@@ -1,0 +1,146 @@
+"""Deduplication operators for large-scale document pipelines.
+
+Exact (hash group-by), n-gram Jaccard, and MinHash+LSH near-dup detection,
+all as shuffles over built-in DataFrame ops.  Scale notes per operator —
+the shapes here are the ones that survive 100 TB:
+
+- exact: one hash-partitioned group-by, map-side combined.
+- jaccard: explode to (doc, shingle) then a shingle-keyed self-join.  The
+  join blows up on stop-shingles, so ``max_doc_freq`` drops shingles that
+  appear in too many documents *before* the join (standard frequent-token
+  pruning; at web scale this is the difference between feasible and not).
+- MinHash+LSH: constant-size signature per doc, then a band-keyed
+  equi-join — candidate generation is linear in docs + pairs-in-bucket,
+  never all-pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from magi_etl_spark.functions.text import salted_min_hashes, tokens, word_shingles
+
+
+def exact_duplicate_groups(df: DataFrame, keys: list[str], id_col: str) -> DataFrame:
+    """Groups of rows identical on ``keys``; keeps the min id as survivor
+    (reference dedup-with-count ``groupby(cols).size()``,
+    ``dash_app/dash_app.py:1558-1570``)."""
+    return (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("n_copies"), F.min(id_col).alias(f"kept_{id_col}"))
+        .where(F.col("n_copies") > 1)
+    )
+
+
+def with_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
+) -> DataFrame:
+    """(id, shingles array) projection; distinct shingle sets for Jaccard."""
+    sh = word_shingles(tokens(F.col(text_col)), n)
+    if distinct:
+        sh = F.array_distinct(sh)
+    return df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All pairs with shingle-set Jaccard >= threshold.
+
+    Jaccard is computed from exact integer intersection/union counts, so
+    the threshold comparison is engine-portable.  ``max_doc_freq`` prunes
+    shingles occurring in more than that many docs before the self-join
+    (changes semantics slightly — documented scale/accuracy trade).
+    """
+    sets = with_shingles(df, id_col, text_col, n).where(F.size("shingles") > 0)
+    sizes = sets.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        rare = (
+            ex.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .where(F.col("df") <= max_doc_freq)
+            .select("shingle")
+        )
+        ex = ex.join(rare, "shingle")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(jac >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3, n_hashes: int = 4
+) -> DataFrame:
+    """Per-doc MinHash signature columns m0..m{k-1} (md5-based, portable)."""
+    sets = with_shingles(df, id_col, text_col, n).where(F.size("shingles") > 0)
+    return sets.select("doc_id", *salted_min_hashes(F.col("shingles"), n_hashes))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, band_cols: list[list[str]]
+) -> DataFrame:
+    """Banded LSH: docs agreeing on all hashes of any band become a
+    candidate pair.  Each band is one equi-join key (concat of its hash
+    columns) — buckets shuffle-join instead of an all-pairs product."""
+    pairs = None
+    for i, cols in enumerate(band_cols):
+        banded = signatures.select(
+            "doc_id", F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_key")
+        )
+        a, b = banded.alias("a"), banded.alias("b")
+        p = (
+            a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs.distinct()
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    n_hashes: int = 4,
+    band_size: int = 2,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Full MinHash→LSH→verify pipeline: signatures → banded candidates →
+    exact Jaccard verification of candidates only."""
+    sigs = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    bands = [
+        [f"m{j}" for j in range(i, min(i + band_size, n_hashes))]
+        for i in range(0, n_hashes, band_size)
+    ]
+    cands = lsh_candidate_pairs(sigs, bands)
+    sets = with_shingles(df, id_col, text_col, n).where(F.size("shingles") > 0)
+    a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter / union
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .where(jac >= F.lit(threshold))
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )

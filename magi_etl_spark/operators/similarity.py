@@ -1,0 +1,107 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Brute-force cosine top-k is the exact baseline; LSH sign-random-projection
+bucketing is the scale path (candidate buckets instead of all-pairs).  The
+reference computes full cosine-similarity matrices driver-side with scipy
+(``dash_app/tasks.py:438-464``); here similarity is a distributed join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from magi_etl_spark.functions.vectors import as_double, cosine
+
+
+def cosine_topk(
+    df: DataFrame,
+    query: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of a (small, broadcast) query set.
+
+    One broadcast nested-loop over the corpus — linear scan, no shuffle of
+    the big side; at cluster scale this is the map-side scoring pattern.
+    """
+    corpus = df.select(
+        F.col(id_col), as_double(F.col(vec_col)).alias("_v")
+    )
+    q = query.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine(F.col("_v"), F.col("_q")).alias("_score"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.desc("_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", id_col, F.round("_score", 6).alias("score"), "rn")
+    )
+
+
+def blocked_neardup_pairs(
+    df: DataFrame,
+    block_col: str,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate embedding pairs within blocking buckets.
+
+    The block key (a label, an LSH bucket, a shard) turns O(n^2) into
+    sum-of-squares-per-bucket; the join is a hash shuffle on the block key.
+    """
+    side = df.select(
+        F.col(id_col), F.col(block_col).alias("block"), as_double(F.col(vec_col)).alias("_v")
+    )
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.block").alias("block"),
+            cosine(F.col("a._v"), F.col("b._v")).alias("_score"),
+        )
+        .where(F.col("_score") >= F.lit(threshold))
+        .select("id_a", "id_b", "block", F.round("_score", 6).alias("score"))
+    )
+
+
+def srp_lsh_buckets(
+    df: DataFrame,
+    n_planes: int = 8,
+    seed_planes: list[list[float]] | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sign-random-projection LSH: bucket = sign bits against fixed planes.
+
+    Planes are passed in (deterministic, seeded by the caller) as literal
+    arrays — broadcast as constants into codegen, no second input needed.
+    """
+    v = as_double(F.col(vec_col))
+    bits = []
+    for i, plane in enumerate(seed_planes or []):
+        p = F.array(*[F.lit(float(x)) for x in plane])
+        d = F.aggregate(
+            F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+        bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
+    return df.select(F.col(id_col), F.concat_ws("", *bits).alias("bucket"))

@@ -1,0 +1,86 @@
+"""Text analysis operators: token stats, quality scoring, language ID
+heuristic, document fingerprinting.  Pure Column expressions (codegen'd);
+no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from magi_etl_spark.functions.text import char_shingles, tokens
+
+# Small, fixed stopword inventories for the language-ID heuristic.  Scores
+# are counts of exact token hits — portable to any SQL engine.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in"),
+    "es": ("el", "la", "de", "y", "que", "los"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "fr": ("le", "les", "des", "et", "est", "une"),
+}
+
+
+def _hits(toks: Column, markers: tuple[str, ...]) -> Column:
+    return F.size(F.filter(toks, lambda x: x.isin(*markers)))
+
+
+def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Token count + average token length (integer-exact ratios)."""
+    t = tokens(F.col(text_col))
+    toklen_sum = F.aggregate(
+        F.transform(t, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
+    )
+    return df.select(
+        F.col(id_col),
+        F.size(t).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars_measured"),
+        F.round(toklen_sum / F.size(t), 6).alias("avg_token_len"),
+    )
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic document quality: length, stopword ratio, lexical
+    diversity, blended 0..1 score (training-data filtering primitive)."""
+    t = tokens(F.col(text_col))
+    n = F.size(t)
+    stop_ratio = _hits(t, LANG_MARKERS["en"]) / n
+    diversity = F.size(F.array_distinct(t)) / n
+    score = (
+        F.least(n / F.lit(50.0), F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + diversity * 0.3
+    )
+    return df.where(F.size(t) > 0).select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(diversity, 6).alias("lexical_diversity"),
+        F.round(score, 6).alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-vote language ID with deterministic tie-break (declaration
+    order).  A real model would be a broadcast n-gram table; the operator
+    shape — per-row scoring against broadcast constants — is the same."""
+    t = tokens(F.col(text_col))
+    hit_cols = {lang: _hits(t, m) for lang, m in LANG_MARKERS.items()}
+    best = F.greatest(*hit_cols.values())
+    pred = F.lit("und")
+    for lang in reversed(list(LANG_MARKERS)):  # earlier languages win ties
+        pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprints(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
+    """Winnowing-style fingerprint: min md5 over character k-grams, plus an
+    exact-content digest.  Both portable (md5 string min)."""
+    sh = char_shingles(F.col(text_col), k)
+    return df.select(
+        F.col(id_col),
+        F.md5(F.col(text_col)).alias("content_md5"),
+        F.when(F.size(sh) > 0, F.array_min(F.transform(sh, F.md5)))
+        .otherwise(F.md5(F.col(text_col)))
+        .alias("kgram_fingerprint"),
+    )

@@ -1,0 +1,132 @@
+"""Deduplication query inventory (exact + MinHash/LSH + n-gram Jaccard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magi_etl_spark.operators import dedup as D
+from magi_etl_spark.queries import query
+from magi_etl_spark.tables import load_table
+
+# Distinct word-3-gram shingle sets, shared by the oracle CTEs below.
+_SHINGLES = r"""
+    t AS (SELECT doc_id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')
+                     AS toks
+          FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(1, len(toks) - 1),
+                           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+                      ELSE CAST([] AS VARCHAR[]) END) AS sh
+          FROM t)
+"""
+
+
+@query(
+    "q23_dedup_exact",
+    oracle="""
+    SELECT user_id, event_type, props,
+           COUNT(*) AS n_copies,
+           MIN(event_id) AS kept_event_id
+    FROM events
+    GROUP BY user_id, event_type, props
+    HAVING COUNT(*) > 1
+    """,
+)
+def q23_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-group detection via hash group-by: one shuffle,
+    map-side combined; the survivor row is the min id."""
+    e = load_table(spark, sf_dir, "events")
+    return D.exact_duplicate_groups(e, ["user_id", "event_type", "props"], "event_id")
+
+
+@query(
+    "q24_minhash_signatures",
+    oracle=f"""
+    WITH {_SHINGLES}
+    SELECT doc_id,
+           list_min(list_transform(sh, x -> md5(concat('0|', x)))) AS m0,
+           list_min(list_transform(sh, x -> md5(concat('1|', x)))) AS m1,
+           list_min(list_transform(sh, x -> md5(concat('2|', x)))) AS m2,
+           list_min(list_transform(sh, x -> md5(concat('3|', x)))) AS m3
+    FROM s WHERE len(sh) > 0
+    """,
+)
+def q24_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (4 salted md5 min-hashes over word-3-gram
+    shingles) — constant-size sketch per document."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_signatures(d, "doc_id", "text", n=3, n_hashes=4)
+
+
+@query(
+    "q25_minhash_lsh_neardup",
+    oracle=f"""
+    WITH {_SHINGLES},
+    sig AS (
+        SELECT doc_id, sh,
+               list_min(list_transform(sh, x -> md5(concat('0|', x)))) AS m0,
+               list_min(list_transform(sh, x -> md5(concat('1|', x)))) AS m1,
+               list_min(list_transform(sh, x -> md5(concat('2|', x)))) AS m2,
+               list_min(list_transform(sh, x -> md5(concat('3|', x)))) AS m3
+        FROM s WHERE len(sh) > 0
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND (concat(a.m0, '|', a.m1) = concat(b.m0, '|', b.m1)
+              OR concat(a.m2, '|', a.m3) = concat(b.m2, '|', b.m3))
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+               len(sa.sh) AS n_a, len(sb.sh) AS n_b
+        FROM cand c
+        JOIN sig sa ON c.doc_a = sa.doc_id
+        JOIN sig sb ON c.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b,
+           ROUND(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
+    FROM verified
+    WHERE n_inter / (n_a + n_b - n_inter) >= 0.5
+    """,
+)
+def q25_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash→LSH→verify near-dup pipeline: banded signature join for
+    candidates (2 bands × 2 hashes), exact Jaccard verification of
+    candidates only — never an all-pairs product."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_dedup(
+        d, "doc_id", "text", n=3, n_hashes=4, band_size=2, threshold=0.5
+    )
+
+
+@query(
+    "q29_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    nonempty AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    ),
+    sized AS (
+        SELECT i.doc_a, i.doc_b, i.n_inter, len(sa.sh) AS n_a, len(sb.sh) AS n_b
+        FROM inter i
+        JOIN nonempty sa ON i.doc_a = sa.doc_id
+        JOIN nonempty sb ON i.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
+    FROM sized
+    WHERE n_inter / (n_a + n_b - n_inter) >= 0.5
+    """,
+)
+def q29_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via explode + shingle-keyed
+    self-join (the exact counterpart the LSH pipeline approximates)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)

@@ -1,0 +1,550 @@
+"""Relational operator inventory (SURVEY.md §2.2-§2.8).
+
+Every operator class the reference's SQL templates exercise, re-expressed
+as DataFrame programs over the generic test tables.  Reference citations in
+each docstring point at the construct being covered.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from magi_etl_spark.queries import query
+from magi_etl_spark.tables import load_table
+
+
+def cents(col: F.Column, scale: int = 100) -> F.Column:
+    """Exact integer money: round(x*scale) as bigint. Keeps big sums
+    order-independent (double summation order differs between engines)."""
+    return F.round(col * F.lit(scale)).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# Aggregation core
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_c,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT)
+               AS sum_disc_price_c4,
+           AVG(l_quantity) AS avg_qty,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE CAST(l_shipdate AS DATE) <= DATE '2000-12-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped multi-aggregate scan (reference A4/A6/A8 pattern:
+    ``dash_app/tasks.py:1758-1767`` metric rollup CTE)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(F.to_date("l_shipdate") <= F.lit("2000-12-01").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum(cents(F.col("l_extendedprice"))).alias("sum_base_price_c"),
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias(
+                "sum_disc_price_c4"
+            ),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@query(
+    "q02_filter_project",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS price_c,
+           CAST(l_shipdate AS DATE) AS ship_date
+    FROM lineitem
+    WHERE l_returnflag = 'R'
+      AND l_quantity >= 45
+      AND CAST(l_shipdate AS DATE) BETWEEN DATE '1996-01-01' AND DATE '1997-12-31'
+    """,
+)
+def q02_filter_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Projection + conjunctive predicates incl. date-range (reference P1/P2/P4:
+    ``dash_app/tasks.py:600`` date between, ``1765`` equality filters).
+    Filters and the 4-column projection push into the parquet scan."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.where(
+            (F.col("l_returnflag") == "R")
+            & (F.col("l_quantity") >= 45)
+            & F.to_date("l_shipdate").between("1996-01-01", "1997-12-31")
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            cents(F.col("l_extendedprice")).alias("price_c"),
+            F.to_date("l_shipdate").alias("ship_date"),
+        )
+    )
+
+
+@query(
+    "q03_top_orders",
+    oracle="""
+    SELECT o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS order_date,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+               AS revenue_c4
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY o.o_orderkey, order_date
+    ORDER BY revenue_c4 DESC, o.o_orderkey
+    LIMIT 10
+    """,
+)
+def q03_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-way join + grouped agg + deterministic global top-K (reference
+    J2 dim join + O2 ``order by ... desc limit 20``, ``dash_app/tasks.py:1852-1866``).
+    The customer side is filtered before the join so Catalyst can broadcast it."""
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("order_date"))
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias(
+                "revenue_c4"
+            )
+        )
+        .orderBy(F.desc("revenue_c4"), "o_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q05_region_revenue",
+    oracle="""
+    SELECT n.n_name,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+               AS revenue_c4
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN supplier s ON s.s_nationkey = n.n_nationkey
+    JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE r.r_name IN ('AFRICA', 'AMERICA')
+      AND CAST(o.o_orderdate AS DATE) >= DATE '1996-01-01'
+    GROUP BY n.n_name
+    """,
+)
+def q05_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join across all dims (reference J2 broadcast-dimension joins,
+    ``dash_app/dash_app.py:526-529``).  Dims are broadcast; only the
+    fact-fact join shuffles."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name").isin("AFRICA", "AMERICA"))
+    n = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.to_date("o_orderdate") >= F.lit("1996-01-01").cast("date")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias(
+                "revenue_c4"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Join forms
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q06_semi_join",
+    oracle="""
+    SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS total_price_c
+    FROM orders
+    WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity >= 49)
+    """,
+)
+def q06_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join via IN-subquery (reference J7, ``dash_app/tasks.py:1878``:
+    ``wiki_name in (select wiki_name from top_20_total)``)."""
+    o = load_table(spark, sf_dir, "orders")
+    big = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") >= 49)
+    return o.join(big, o.o_orderkey == big.l_orderkey, "left_semi").select(
+        "o_orderkey", cents(F.col("o_totalprice")).alias("total_price_c")
+    )
+
+
+@query(
+    "q07_anti_join",
+    oracle="""
+    SELECT c.c_custkey, c.c_name, c.c_nationkey
+    FROM customer c
+    WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def q07_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join exclusion list (reference J8 ignore-list,
+    ``dash_app/tasks.py:2705``: ``~df['wiki_id'].isin(ignore_df['wiki_id'])``)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+
+
+@query(
+    "q08_full_outer_cast_keys",
+    oracle="""
+    WITH per_cust AS (
+        SELECT CAST(o_custkey AS VARCHAR) AS cust_key, COUNT(*) AS order_cnt
+        FROM orders GROUP BY cust_key
+    )
+    SELECT COALESCE(p.cust_key, CAST(c.c_custkey AS VARCHAR)) AS cust_key,
+           c.c_name, COALESCE(p.order_cnt, 0) AS order_cnt
+    FROM per_cust p
+    FULL OUTER JOIN customer c ON p.cust_key = CAST(c.c_custkey AS VARCHAR)
+    """,
+)
+def q08_full_outer_cast_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-outer join on string-cast keys (reference J1: events full-outer
+    taxonomy on varchar-cast compound keys, ``dash_app/dash_app.py:519-525``)."""
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").cast("string").alias("cust_key"))
+        .agg(F.count("*").alias("order_cnt"))
+    )
+    c = load_table(spark, sf_dir, "customer").withColumn(
+        "c_key", F.col("c_custkey").cast("string")
+    )
+    return per_cust.join(c, per_cust.cust_key == c.c_key, "full").select(
+        F.coalesce(per_cust.cust_key, c.c_key).alias("cust_key"),
+        "c_name",
+        F.coalesce("order_cnt", F.lit(0)).alias("order_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Windows / top-k per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q09_top1_per_group",
+    oracle="""
+    WITH agg AS (
+        SELECT l_suppkey, l_partkey, SUM(l_quantity) AS qty
+        FROM lineitem GROUP BY l_suppkey, l_partkey
+    ), ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY l_suppkey ORDER BY qty DESC, l_partkey) AS rn
+        FROM agg
+    )
+    SELECT l_suppkey, l_partkey, qty FROM ranked WHERE rn = 1
+    """,
+)
+def q09_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """row_number top-1-per-group dedupe (reference W1 dominant-wiki pick,
+    ``dash_app/tasks.py:1796-1823``)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    agg = l.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("qty"))
+    w = W.partitionBy("l_suppkey").orderBy(F.desc("qty"), F.asc("l_partkey"))
+    return (
+        agg.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("l_suppkey", "l_partkey", "qty")
+    )
+
+
+@query(
+    "q10_topk_per_group",
+    oracle="""
+    WITH agg AS (
+        SELECT p.p_brand, l.l_partkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+                   AS revenue_c4
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY p.p_brand, l.l_partkey
+    ), ranked AS (
+        SELECT *, RANK() OVER (PARTITION BY p_brand ORDER BY revenue_c4 DESC, l_partkey) AS rnk
+        FROM agg
+    )
+    SELECT p_brand, l_partkey, revenue_c4, rnk FROM ranked WHERE rnk <= 3
+    """,
+)
+def q10_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank() top-K-per-group (reference W2 top-20-pages-per-wiki,
+    ``dash_app/tasks.py:1898-1924``)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    agg = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("p_brand", "l_partkey")
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias(
+                "revenue_c4"
+            )
+        )
+    )
+    w = W.partitionBy("p_brand").orderBy(F.desc("revenue_c4"), F.asc("l_partkey"))
+    return agg.withColumn("rnk", F.rank().over(w)).where(F.col("rnk") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Events: sessionization, conditional aggs, derived keys, JSON
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q11_sessionize",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ), flagged AS (
+        SELECT user_id,
+               CASE WHEN prev_ts IS NULL
+                         OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END AS is_new
+        FROM ordered
+    )
+    SELECT user_id,
+           CAST(SUM(is_new) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM flagged GROUP BY user_id
+    """,
+)
+def q11_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (reference A7/J4 session duration via
+    min/max(event_time) + ``date_diff('second', ...)``,
+    ``dash_app/tasks.py:1988-1996``; 30-min gap is the classic web rule).
+    One shuffle on user_id serves both the window and the final group-by."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.withColumn("prev_ts", F.lag("ts").over(w)).withColumn(
+        "is_new",
+        F.when(
+            F.col("prev_ts").isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")) > 1800),
+            1,
+        ).otherwise(0),
+    )
+    return flagged.groupBy("user_id").agg(
+        F.sum("is_new").alias("n_sessions"), F.count("*").alias("n_events")
+    )
+
+
+@query(
+    "q12_conditional_agg",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchases,
+           COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS errors,
+           CAST(SUM(CASE WHEN event_type = 'purchase'
+                         THEN CAST(ROUND(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT)
+               AS purchase_value_c,
+           COUNT(DISTINCT user_id) AS daily_users
+    FROM events
+    GROUP BY day
+    """,
+)
+def q12_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional counts + exact distinct users per day (reference A5
+    ``count(case when event_type like 'pageview' then 1 end)``,
+    ``dash_app/tasks.py:1762``; A1 ``count(distinct amplitude_id)``,
+    ``dash_app/dash_app.py:389``)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("errors"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", cents(F.col("value"))).otherwise(0)
+            ).alias("purchase_value_c"),
+            F.countDistinct("user_id").alias("daily_users"),
+        )
+    )
+
+
+@query(
+    "q13_distinct_derived_key",
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT CONCAT(CAST(user_id AS VARCHAR), '-', CAST(CAST(ts AS DATE) AS VARCHAR)))
+               AS user_days
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q13_distinct_derived_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct count over a concat-derived key (reference A2 session key
+    ``count(distinct concat(device_id,'-',session_id))``, ``dash_app/tasks.py:1761``)."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct(
+            F.concat_ws("-", F.col("user_id").cast("string"), F.to_date("ts").cast("string"))
+        ).alias("user_days")
+    )
+
+
+@query(
+    "q14_json_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM events
+    GROUP BY k_bucket
+    """,
+)
+def q14_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from a string column (reference semi-structured
+    cell parsing, ``dash_app/tasks.py:290-313`` -> from_json/get_json_object)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.withColumn("k_bucket", F.get_json_object("props", "$.k").cast("long") % 10)
+        .groupBy("k_bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(cents(F.col("value"))).alias("value_c"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Having, set ops, normalization, calendar buckets
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q15_having_threshold",
+    oracle="""
+    SELECT * FROM (
+        SELECT c_nationkey, COUNT(*) AS n_customers,
+               CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS total_bal_c
+        FROM customer GROUP BY c_nationkey
+    ) WHERE n_customers >= 50
+    """,
+)
+def q15_having_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-aggregation threshold filter (reference P7 min-metric cutoff,
+    ``dash_app/dash_app.py:1238-1239``)."""
+    c = load_table(spark, sf_dir, "customer")
+    return (
+        c.groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum(cents(F.col("c_acctbal"))).alias("total_bal_c"),
+        )
+        .where(F.col("n_customers") >= 50)
+    )
+
+
+@query(
+    "q16_set_ops",
+    oracle="""
+    SELECT 'both' AS side, n_nationkey FROM (
+        SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+        INTERSECT
+        SELECT DISTINCT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only' AS side, n_nationkey FROM (
+        SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey FROM supplier
+    )
+    """,
+)
+def q16_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL (reference U1-U3 set semantics,
+    ``dash_app/tasks.py:971-972``, ``2132-2134``)."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("n_nationkey")
+    ).distinct()
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("n_nationkey")
+    ).distinct()
+    both = c.intersect(s).select(F.lit("both").alias("side"), "n_nationkey")
+    only = c.exceptAll(s).select(F.lit("customer_only").alias("side"), "n_nationkey")
+    return both.unionByName(only)
+
+
+@query(
+    "q17_minmax_normalize",
+    oracle="""
+    WITH stats AS (
+        SELECT c_nationkey, MIN(c_acctbal) AS mn, MAX(c_acctbal) AS mx
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey,
+           ROUND(CASE WHEN s.mx = s.mn THEN 0.0
+                      ELSE (c.c_acctbal - s.mn) / (s.mx - s.mn) END, 6) AS bal_norm
+    FROM customer c JOIN stats s ON c.c_nationkey = s.c_nationkey
+    """,
+)
+def q17_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-max normalization by group (reference popularity scaling,
+    ``dash_app/tasks.py:506-511``).  Expressed as a window-free agg + broadcast
+    join back, which scales better than a global collect."""
+    c = load_table(spark, sf_dir, "customer")
+    stats = c.groupBy(F.col("c_nationkey").alias("nk")).agg(
+        F.min("c_acctbal").alias("mn"), F.max("c_acctbal").alias("mx")
+    )
+    return (
+        c.join(F.broadcast(stats), c.c_nationkey == stats.nk)
+        .select(
+            "c_custkey",
+            F.round(
+                F.when(F.col("mx") == F.col("mn"), F.lit(0.0)).otherwise(
+                    (F.col("c_acctbal") - F.col("mn")) / (F.col("mx") - F.col("mn"))
+                ),
+                6,
+            ).alias("bal_norm"),
+        )
+    )
+
+
+@query(
+    "q18_week_buckets",
+    oracle="""
+    SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,
+           event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS users
+    FROM events
+    GROUP BY week_start, event_type
+    """,
+)
+def q18_week_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar bucketing (reference AnchorCalendar period derivations +
+    ``gen_date_intervals``, ``biutils.py:117-141``, ``467-483``)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("week", F.col("ts")).cast("date").alias("week_start"),
+            "event_type",
+        )
+        .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("users"))
+    )

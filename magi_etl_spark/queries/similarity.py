@@ -1,0 +1,66 @@
+"""Similarity-search query inventory over the ``embeddings`` table."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magi_etl_spark.operators import similarity as S
+from magi_etl_spark.queries import query
+from magi_etl_spark.tables import load_table
+
+# Manual double-precision cosine shared by the oracles: cast to double
+# BEFORE multiplying so per-element products match Spark bit-for-bit.
+_COSINE = (
+    "list_sum(list_transform(range(1, len(av) + 1), i -> av[i] * bv[i]))"
+    " / (sqrt(list_sum(list_transform(av, x -> x * x)))"
+    " * sqrt(list_sum(list_transform(bv, x -> x * x))))"
+)
+
+
+@query(
+    "q27_embedding_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS bv
+               FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS av FROM embeddings),
+    scored AS (
+        SELECT q.query_id, c.vec_id, {_COSINE} AS s
+        FROM c, q WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, s,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id)
+                    AS INTEGER) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(s, 6) AS score, rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def q27_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k ANN baseline: broadcast the query set,
+    map-side score the corpus, per-query top-k window."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_topk(e, e.where(F.col("vec_id") == 0), k=10)
+
+
+@query(
+    "q28_embedding_neardup",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.label AS block,
+               a.v AS av, b.v AS bv
+        FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, block, ROUND({_COSINE}, 6) AS score
+    FROM pairs WHERE {_COSINE} >= 0.4
+    """,
+)
+def q28_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs within blocking buckets (label =
+    stand-in for an LSH/IVF bucket): per-bucket pairwise cosine, threshold
+    filter — the blocked form of embedding dedup that scales."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return S.blocked_neardup_pairs(e, "label", threshold=0.4)

@@ -1,0 +1,121 @@
+"""Text-analysis query inventory over the ``documents`` table.
+
+Oracles replicate the exact expression trees (same op order, same md5-based
+hashing) so double results are bit-identical per row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magi_etl_spark.operators import text as T
+from magi_etl_spark.queries import query
+from magi_etl_spark.tables import load_table
+
+_TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
+
+
+@query(
+    "q20_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars_measured,
+           ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / len(toks), 6)
+               AS avg_token_len
+    FROM t
+    """,
+)
+def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) — LLM-pipeline text primitive."""
+    d = load_table(spark, sf_dir, "documents")
+    out = T.token_stats(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
+        "avg_token_len",
+    )
+
+
+@query(
+    "q21_quality_scores",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    m AS (
+        SELECT doc_id,
+               len(toks) AS n,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) / len(toks)
+                   AS stop_ratio,
+               len(list_distinct(toks)) / len(toks) AS diversity
+        FROM t WHERE len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_tokens,
+           ROUND(stop_ratio, 6) AS stopword_ratio,
+           ROUND(diversity, 6) AS lexical_diversity,
+           ROUND(least(n / 50.0, 1.0) * 0.4 + least(stop_ratio * 5.0, 1.0) * 0.3
+                 + diversity * 0.3, 6) AS quality_score
+    FROM m
+    """,
+)
+def q21_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring for corpus filtering (length, stopword
+    ratio, lexical diversity)."""
+    d = load_table(spark, sf_dir, "documents")
+    out = T.quality_scores(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "stopword_ratio",
+        "lexical_diversity",
+        "quality_score",
+    )
+
+
+@query(
+    "q22_language_id",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    h AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS en_h,
+               len(list_filter(toks, x -> x IN ('el','la','de','y','que','los'))) AS es_h,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de_h,
+               len(list_filter(toks, x -> x IN ('le','les','des','et','est','une'))) AS fr_h
+        FROM t
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(en_h, es_h, de_h, fr_h) = 0 THEN 'und'
+                WHEN en_h = greatest(en_h, es_h, de_h, fr_h) THEN 'en'
+                WHEN es_h = greatest(en_h, es_h, de_h, fr_h) THEN 'es'
+                WHEN de_h = greatest(en_h, es_h, de_h, fr_h) THEN 'de'
+                ELSE 'fr' END AS pred_lang
+    FROM h
+    """,
+)
+def q22_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-vote language ID heuristic (deterministic tie-break)."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.language_id(d, "doc_id", "text")
+
+
+@query(
+    "q26_fingerprints",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS content_md5,
+           CASE WHEN length(text) >= 8
+                THEN list_min(list_transform(range(1, length(text) - 6),
+                                             i -> md5(substr(text, i, 8))))
+                ELSE md5(text) END AS kgram_fingerprint
+    FROM documents
+    """,
+)
+def q26_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style document fingerprint (min md5 over char 8-grams) +
+    exact content digest."""
+    d = load_table(spark, sf_dir, "documents")
+    return T.fingerprints(d, "doc_id", "text", k=8)

@@ -1,0 +1,76 @@
+"""Source table access.
+
+The reference reads remote catalog tables by name through Athena
+(``AwsDataCatalog.<db>.<table>``, reference ``connectors.py:182-253``); our
+catalog is parquet-at-rest loaded by name.  Loading stays lazy — Catalyst
+prunes columns and pushes filters into the parquet scan, so callers simply
+compose on the returned DataFrame.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@lru_cache(maxsize=256)
+def _nanos_timestamp_columns(path: str) -> tuple[str, ...]:
+    """Columns stored as parquet TIMESTAMP(NANOS) — Spark rejects these
+    (PARQUET_TYPE_ILLEGAL), so they are read as long and converted."""
+    import pyarrow.parquet as pq
+    import pyarrow as pa
+
+    try:
+        schema = pq.read_schema(path)
+    except Exception:
+        return ()
+    return tuple(
+        f.name
+        for f in schema
+        if pa.types.is_timestamp(f.type) and f.type.unit == "ns"
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Lazy parquet scan for one named table.
+
+    Nanosecond timestamps are read as epoch-nanos longs and truncated to
+    Spark's micro precision with *integer* division (`div`) — floating
+    division would lose precision on epoch-scale int64s.
+    """
+    path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    # Parquet timestamps here are timezone-naive; date/second extraction
+    # must match a naive-timestamp oracle even when the caller's session
+    # (e.g. the driver's) was built with a non-UTC local timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ns_cols = _nanos_timestamp_columns(path)
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES) -> None:
+    """Register every table as a temp view so SQL-form queries can run."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
