@@ -33,14 +33,36 @@ def exact_duplicate_groups(df: DataFrame, keys: list[str], id_col: str) -> DataF
     )
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy per-row
+    work.  A small parquet file arrives as one split; without this, all
+    tokenize/hash work runs on a single core.  No-op (costs one round-robin
+    shuffle of the raw rows) when the input is already wide."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def with_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:
-    """(id, shingles array) projection; distinct shingle sets for Jaccard."""
-    sh = word_shingles(tokens(F.col(text_col)), n)
+    """(id, shingles array) projection; distinct shingle sets for Jaccard.
+
+    The token array is persisted before shingling: higher-order functions
+    run interpreted (CodegenFallback, no common-subexpression elimination),
+    so an inlined ``tokens(text)`` would re-tokenize the document for every
+    ``element_at`` inside the shingle lambda — measured O(shingles)
+    blowup.  Persisting bounds it to one tokenization per document; at
+    cluster scale this spills to local disk, which is still far cheaper.
+    """
+    toks = _fan_out(df.select(F.col(id_col).alias("doc_id"), F.col(text_col))).select(
+        "doc_id", tokens(F.col(text_col)).alias("toks")
+    ).persist()
+    sh = word_shingles(F.col("toks"), n)
     if distinct:
         sh = F.array_distinct(sh)
-    return df.select(F.col(id_col).alias("doc_id"), sh.alias("shingles"))
+    return toks.select("doc_id", sh.alias("shingles"))
 
 
 def ngram_jaccard_pairs(
@@ -58,7 +80,9 @@ def ngram_jaccard_pairs(
     shingles occurring in more than that many docs before the self-join
     (changes semantics slightly — documented scale/accuracy trade).
     """
-    sets = with_shingles(df, id_col, text_col, n).where(F.size("shingles") > 0)
+    sets = (
+        with_shingles(df, id_col, text_col, n).where(F.size("shingles") > 0).persist()
+    )
     sizes = sets.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_doc_freq is not None:
@@ -90,8 +114,14 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, n_hashes: int = 4
 ) -> DataFrame:
-    """Per-doc MinHash signature columns m0..m{k-1} (md5-based, portable)."""
-    sets = with_shingles(df, id_col, text_col, n).where(F.size("shingles") > 0)
+    """Per-doc MinHash signature columns m0..m{k-1} (md5-based, portable).
+
+    The shingle arrays are persisted before fanning out into k min-hash
+    columns — otherwise Catalyst inlines the tokenize/shingle expression
+    into every one of the k projections (k-fold recompute)."""
+    sets = (
+        with_shingles(df, id_col, text_col, n).where(F.size("shingles") > 0).persist()
+    )
     return sets.select("doc_id", *salted_min_hashes(F.col("shingles"), n_hashes))
 
 
@@ -99,20 +129,29 @@ def lsh_candidate_pairs(
     signatures: DataFrame, band_cols: list[list[str]]
 ) -> DataFrame:
     """Banded LSH: docs agreeing on all hashes of any band become a
-    candidate pair.  Each band is one equi-join key (concat of its hash
-    columns) — buckets shuffle-join instead of an all-pairs product."""
-    pairs = None
-    for i, cols in enumerate(band_cols):
-        banded = signatures.select(
-            "doc_id", F.concat_ws("|", *[F.col(c) for c in cols]).alias("band_key")
+    candidate pair.
+
+    All bands go through ONE self-join: each doc explodes to
+    (band_index, band_key) rows and the join keys on both — buckets
+    shuffle-join instead of an all-pairs product, and adding bands adds
+    rows, not extra joins."""
+    keys = F.array(
+        *[F.concat_ws("|", *[F.col(c) for c in cols]) for cols in band_cols]
+    )
+    banded = signatures.select(
+        "doc_id", F.posexplode(keys).alias("band_idx", "band_key")
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        a, b = banded.alias("a"), banded.alias("b")
-        p = (
-            a.join(b, (F.col("a.band_key") == F.col("b.band_key")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
 
 
 def minhash_lsh_dedup(
@@ -126,13 +165,22 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """Full MinHash→LSH→verify pipeline: signatures → banded candidates →
     exact Jaccard verification of candidates only."""
-    sigs = minhash_signatures(df, id_col, text_col, n, n_hashes)
+    # Materialize the tokenize->shingle->md5 work once: Catalyst inlines
+    # projection aliases, so without persist() the whole expression tree is
+    # re-evaluated on EVERY side of every self-join (measured 4x cost).
+    # Both intermediates are small: signatures are 4 hashes/doc, shingle
+    # sets are the tokenized docs.
+    sets = (
+        with_shingles(df, id_col, text_col, n)
+        .where(F.size("shingles") > 0)
+        .persist()
+    )
+    sigs = sets.select("doc_id", *salted_min_hashes(F.col("shingles"), n_hashes)).persist()
     bands = [
         [f"m{j}" for j in range(i, min(i + band_size, n_hashes))]
         for i in range(0, n_hashes, band_size)
     ]
     cands = lsh_candidate_pairs(sigs, bands)
-    sets = with_shingles(df, id_col, text_col, n).where(F.size("shingles") > 0)
     a = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     b = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

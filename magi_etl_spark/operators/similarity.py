@@ -11,7 +11,16 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from magi_etl_spark.functions.vectors import as_double, cosine
+from magi_etl_spark.functions.vectors import as_double, cosine, dot, l2_norm
+
+
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow input (single parquet split) across all cores before
+    per-row vector math; no-op when already wide."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def cosine_topk(
@@ -57,27 +66,41 @@ def blocked_neardup_pairs(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    salt_buckets: int = 8,
 ) -> DataFrame:
     """Near-duplicate embedding pairs within blocking buckets.
 
     The block key (a label, an LSH bucket, a shard) turns O(n^2) into
-    sum-of-squares-per-bucket; the join is a hash shuffle on the block key.
+    sum-of-squares-per-bucket.  Two scale measures on top:
+    - norms are computed ONCE per vector (persisted), not per pair — the
+      per-pair expression is a single dot product;
+    - the join key is salted: the a-side gets ``id % S`` and the b-side is
+      replicated S times, so a block with millions of vectors spreads over
+      S*blocks partitions instead of pinning one core per block.
     """
-    side = df.select(
-        F.col(id_col), F.col(block_col).alias("block"), as_double(F.col(vec_col)).alias("_v")
+    side = _fan_out(
+        df.select(
+            F.col(id_col), F.col(block_col).alias("block"), as_double(F.col(vec_col)).alias("_v")
+        )
+    ).withColumn("_norm", l2_norm(F.col("_v"))).persist()
+    a = side.withColumn("_salt", F.pmod(F.col(id_col), F.lit(salt_buckets)))
+    b = side.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )
-    a, b = side.alias("a"), side.alias("b")
+    score = dot(F.col("a._v"), F.col("b._v")) / (F.col("a._norm") * F.col("b._norm"))
     return (
-        a.join(
-            b,
+        a.alias("a")
+        .join(
+            b.alias("b"),
             (F.col("a.block") == F.col("b.block"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             F.col("a.block").alias("block"),
-            cosine(F.col("a._v"), F.col("b._v")).alias("_score"),
+            score.alias("_score"),
         )
         .where(F.col("_score") >= F.lit(threshold))
         .select("id_a", "id_b", "block", F.round("_score", 6).alias("score"))
