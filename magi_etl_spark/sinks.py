@@ -1,0 +1,131 @@
+"""Sinks (SURVEY.md §2.1 S12-S15): columnar/CSV writers, zip-of-CSVs
+export, Slack Block Kit rendering, Amplitude lookup-table CRUD — the
+formatting/plumbing is real and tested; network edges take injectable
+transports."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import zipfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+from magi_etl_spark.functions.strings import auto_num_format  # noqa: F401  (display helper)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    df.write.mode(mode).parquet(path)
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bool = False) -> None:
+    """CSV sink (reference S12 ``store_result``, ``tasks.py:891-911``).
+    ``single_file`` coalesces for human-facing exports; leave False for
+    data-scale writes."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).option("header", True).csv(path)
+
+
+def zip_results(dfs: dict[str, DataFrame], zip_path: str, max_rows: int = 100_000) -> str:
+    """Zip-of-CSVs download (reference S14, ``dash_app/callbacks.py:77-97``):
+    driver-side export of small result sets; ``max_rows`` guards against
+    accidentally collecting a fact table."""
+    os.makedirs(os.path.dirname(zip_path) or ".", exist_ok=True)
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, df in dfs.items():
+            pdf = df.limit(max_rows).toPandas()
+            buf = io.StringIO()
+            pdf.to_csv(buf, index=False)
+            zf.writestr(f"{name}.csv", buf.getvalue())
+    return zip_path
+
+
+def slack_blocks(
+    df: DataFrame,
+    title: str,
+    columns: list[str],
+    top_n: int = 5,
+    order_by: str | None = None,
+) -> list[dict]:
+    """Top-N table as Slack Block Kit JSON (reference S15
+    ``send_slack_message``, ``tasks.py:2169-2536``): header block + one
+    section per row with mrkdwn fields.  Pure function — the caller posts
+    the payload."""
+    from pyspark.sql import functions as F
+
+    if order_by:
+        df = df.orderBy(F.desc(order_by))
+    rows = df.limit(top_n).collect()
+    blocks: list[dict] = [
+        {"type": "header", "text": {"type": "plain_text", "text": title[:150]}}
+    ]
+    for r in rows:
+        fields = [
+            {"type": "mrkdwn", "text": f"*{c}*: {r[c]}"} for c in columns
+        ]
+        blocks.append({"type": "section", "fields": fields[:10]})
+    if not rows:
+        blocks.append(
+            {"type": "section", "text": {"type": "mrkdwn", "text": "_no rows_"}}
+        )
+    return blocks
+
+
+class AmplitudeLookupTable:
+    """Lookup-table CRUD sink (reference S10, ``connectors.py:538-608``):
+    DataFrame -> CSV body -> REST calls, with the HTTP transport injected
+    (``post(method, url, data) -> (status, body)``)."""
+
+    def __init__(self, base_url: str, api_key: str, post: Callable[[str, str, bytes], tuple[int, str]]):
+        self.base_url = base_url.rstrip("/")
+        self.api_key = api_key
+        self.post = post
+
+    def _csv_body(self, df: DataFrame, max_rows: int = 100_000) -> bytes:
+        buf = io.StringIO()
+        df.limit(max_rows).toPandas().to_csv(buf, index=False)
+        return buf.getvalue().encode()
+
+    def exists(self, name: str) -> bool:
+        status, _ = self.post("GET", f"{self.base_url}/lookup_table/{name}", b"")
+        return status == 200
+
+    def create(self, name: str, df: DataFrame) -> str:
+        status, body = self.post(
+            "POST", f"{self.base_url}/lookup_table/{name}", self._csv_body(df)
+        )
+        if status >= 300:
+            raise RuntimeError(f"create failed: {status} {body}")
+        return body
+
+    def update(self, name: str, df: DataFrame) -> str:
+        status, body = self.post(
+            "PATCH", f"{self.base_url}/lookup_table/{name}", self._csv_body(df)
+        )
+        if status >= 300:
+            raise RuntimeError(f"update failed: {status} {body}")
+        return body
+
+    def delete(self, name: str) -> str:
+        status, body = self.post("DELETE", f"{self.base_url}/lookup_table/{name}", b"")
+        if status >= 300:
+            raise RuntimeError(f"delete failed: {status} {body}")
+        return body
+
+    def upsert(self, name: str, df: DataFrame) -> str:
+        return self.update(name, df) if self.exists(name) else self.create(name, df)
+
+
+def render_report(dfs: dict[str, DataFrame], json_path: str, top_n: int = 5) -> str:
+    """Materialize a multi-table Block Kit report to JSON on disk (the
+    testable half of the Slack edge)."""
+    payload = {
+        name: slack_blocks(df, title=name, columns=df.columns[:5], top_n=top_n)
+        for name, df in dfs.items()
+    }
+    os.makedirs(os.path.dirname(json_path) or ".", exist_ok=True)
+    with open(json_path, "w") as f:
+        json.dump(payload, f, indent=2)
+    return json_path

@@ -1,0 +1,102 @@
+"""Source connectors behind one interface (SURVEY.md §2.1).
+
+Local columnar formats are first-class Spark reads; remote/API sources
+(REST, Sheets, warehouses) are driver-side fetches with *injectable*
+transports so pipelines are testable offline — the reference hardwires
+boto3/googleapiclient/requests (``connectors.py``); here the I/O edge is a
+callable parameter and the dataframe plumbing is the engine's.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def read_csv(spark: SparkSession, path: str, schema: str | None = None) -> DataFrame:
+    """CSV scan (reference S6/S11 ``get_from_s3``/``pd.read_csv``,
+    ``connectors.py:126``).  Explicit schema preferred; header inference
+    otherwise."""
+    reader = spark.read.option("header", True)
+    if schema:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", True)
+    return reader.csv(path)
+
+
+def read_jdbc(
+    spark: SparkSession, url: str, query: str, properties: dict[str, str] | None = None
+) -> DataFrame:
+    """Warehouse scan via JDBC (reference S5 Redshift cursor,
+    ``connectors.py:64-84``).  Predicate pushdown happens through the
+    ``query`` dbtable; partitioned reads via properties."""
+    reader = spark.read.format("jdbc").option("url", url).option("query", query)
+    for k, v in (properties or {}).items():
+        reader = reader.option(k, v)
+    return reader.load()
+
+
+def read_rest(
+    spark: SparkSession,
+    fetch: Callable[[], dict],
+    records_key: str,
+    schema: str,
+) -> DataFrame:
+    """REST API source (reference S7 ``QueryRestApi.run_query``,
+    ``connectors.py:152-179``): driver-side fetch, records list ->
+    DataFrame with an explicit schema (no pandas inference)."""
+    payload = fetch()
+    records = payload.get(records_key, [])
+    return spark.createDataFrame(records, schema=schema)
+
+
+def read_sheet(
+    spark: SparkSession,
+    fetch_values: Callable[[], Sequence[Sequence[str]]],
+    promote_header: bool = True,
+) -> DataFrame:
+    """Spreadsheet A1-range source (reference S9 ``read_sheet``,
+    ``dash_app/tasks.py:1636-1654``): raw string grid, first row promoted
+    to column names (``df.columns = df.iloc[0]; df = df[1:]``)."""
+    rows = [list(r) for r in fetch_values()]
+    if not rows:
+        return spark.createDataFrame([], "value string")
+    width = max(len(r) for r in rows)
+    rows = [r + [""] * (width - len(r)) for r in rows]
+    if promote_header:
+        header, data = rows[0], rows[1:]
+        names = [c.strip() or f"c{i}" for i, c in enumerate(header)]
+    else:
+        names, data = [f"c{i}" for i in range(width)], rows
+    schema = ", ".join(f"`{n}` string" for n in names)
+    return spark.createDataFrame([tuple(r) for r in data], schema)
+
+
+def coerce_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Numeric coercion for sheet extracts: strips thousands separators
+    and try_casts (reference's ad-hoc ``str.replace(',','')`` +
+    ``astype``)."""
+    for c in cols:
+        df = df.withColumn(
+            c, F.expr(f"try_cast(regexp_replace(`{c}`, ',', '') as double)")
+        )
+    return df
+
+
+def dryrun_path(cache_dir: str, name: str) -> str | None:
+    """DRYRUN replay (reference ``tasks.py:35``, ``2104-2120``): return the
+    cached result path if present, else None — callers substitute the
+    cached scan for the compute."""
+    p = os.path.join(cache_dir, f"{name}.parquet")
+    if os.path.exists(p):
+        return p
+    csv = os.path.join(cache_dir, f"{name}.csv")
+    return csv if os.path.exists(csv) else None

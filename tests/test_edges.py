@@ -1,0 +1,118 @@
+"""Connector-edge tests: sources with injected transports, sinks, and
+concurrent fan-out."""
+
+from __future__ import annotations
+
+import json
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from magi_etl_spark.concurrency import run_concurrent
+from magi_etl_spark.sinks import (
+    AmplitudeLookupTable,
+    render_report,
+    slack_blocks,
+    write_csv,
+    zip_results,
+)
+from magi_etl_spark.sources import (
+    coerce_numeric,
+    dryrun_path,
+    read_csv,
+    read_rest,
+    read_sheet,
+)
+
+
+def test_read_rest_shape(spark):
+    payload = {
+        "overlaps": [
+            ("gaming", "anime", 1200, "2025-01-01", "2025-01-31"),
+            ("gaming", "tv", 300, "2025-01-01", "2025-01-31"),
+        ]
+    }
+    df = read_rest(
+        spark,
+        fetch=lambda: payload,
+        records_key="overlaps",
+        schema="community_name string, overlap_community string, overlap_users long,"
+        " start_date string, end_date string",
+    )
+    assert df.count() == 2
+    assert df.schema["overlap_users"].dataType.simpleString() == "bigint"
+
+
+def test_read_sheet_header_promotion_and_coercion(spark):
+    grid = [
+        ["Metric", "Jan", "Feb"],
+        ["pageviews", "1,234", "2,500"],
+        ["users", "400", ""],
+    ]
+    df = read_sheet(spark, lambda: grid)
+    assert df.columns == ["Metric", "Jan", "Feb"]
+    out = coerce_numeric(df, ["Jan", "Feb"]).collect()
+    vals = {r.Metric: (r.Jan, r.Feb) for r in out}
+    assert vals["pageviews"] == (1234.0, 2500.0)
+    assert vals["users"] == (400.0, None)  # empty cell -> NULL, not 'nan'
+
+
+def test_csv_roundtrip_and_dryrun(spark, tmp_path):
+    df = spark.range(5).withColumn("v", F.col("id") * 2)
+    p = str(tmp_path / "out.csv")
+    write_csv(df, p, single_file=True)
+    back = read_csv(spark, p, schema="id long, v long")
+    assert {(r.id, r.v) for r in back.collect()} == {(i, 2 * i) for i in range(5)}
+    assert dryrun_path(str(tmp_path), "missing") is None
+
+
+def test_zip_results(spark, tmp_path):
+    dfs = {"a": spark.range(3), "b": spark.range(2).withColumn("x", F.lit("y"))}
+    zp = zip_results(dfs, str(tmp_path / "results.zip"))
+    with zipfile.ZipFile(zp) as zf:
+        assert sorted(zf.namelist()) == ["a.csv", "b.csv"]
+        assert zf.read("a.csv").decode().splitlines()[0] == "id"
+
+
+def test_slack_blocks_shape(spark, tmp_path):
+    df = spark.createDataFrame(
+        [("w1", 100), ("w2", 50), ("w3", 10)], "wiki string, users int"
+    )
+    blocks = slack_blocks(df, "Trending", ["wiki", "users"], top_n=2, order_by="users")
+    assert blocks[0]["type"] == "header"
+    assert len(blocks) == 3  # header + 2 rows
+    assert blocks[1]["fields"][0]["text"] == "*wiki*: w1"
+    path = render_report({"trending": df}, str(tmp_path / "report.json"))
+    assert "Trending"[:5].lower() in json.load(open(path))["trending"][0]["text"]["text"].lower()
+
+
+def test_amplitude_lookup_table_crud(spark):
+    calls = []
+
+    def fake_post(method, url, body):
+        calls.append((method, url, body))
+        if method == "GET":
+            return (404 if "missing" in url else 200), ""
+        return 200, "ok"
+
+    sink = AmplitudeLookupTable("https://api.example/v1", "key", fake_post)
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    assert not sink.exists("missing_table")
+    sink.upsert("missing_table", df)  # -> create (POST)
+    assert calls[-1][0] == "POST" and b"k,v" in calls[-1][2]
+    sink.upsert("existing", df)  # -> update (PATCH)
+    assert calls[-1][0] == "PATCH"
+    sink.delete("existing")
+    assert calls[-1][0] == "DELETE"
+
+
+def test_run_concurrent(spark, sf_dir):
+    from magi_etl_spark.queries import QUERIES
+
+    jobs = {
+        "q01": lambda: QUERIES["q01_pricing_summary"](spark, sf_dir),
+        "q12": lambda: QUERIES["q12_conditional_agg"](spark, sf_dir),
+    }
+    out = run_concurrent(spark, jobs, materialize=lambda df: df.count())
+    assert out["q01"] > 0 and out["q12"] > 0
