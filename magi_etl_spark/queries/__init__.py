@@ -42,6 +42,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
 
 def _load_all() -> None:
     from magi_etl_spark.queries import (  # noqa: F401
+        advanced,
         dedup,
         engine,
         relational,

@@ -1,0 +1,344 @@
+"""Advanced operator inventory: sketches (SimHash, SRP-LSH), semi-
+structured parsing, calendar functions, vector stats, OLAP extensions
+(rollup/pivot), sparse-cosine recommendations, and a composed
+quality->dedup corpus pipeline.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magi_etl_spark.queries import query
+from magi_etl_spark.tables import load_table
+
+_TOKS_SQL = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
+_H_SQL = "CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)"
+
+SIMHASH_BITS = 16
+
+
+@query(
+    "q32_simhash",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, t -> {_H_SQL}) AS hs
+          FROM t WHERE len(toks) > 0)
+    SELECT doc_id,
+           CAST((
+    {" + ".join(f"(CASE WHEN 2 * len(list_filter(hs, x -> (x >> {b}) & 1 = 1)) > len(hs) THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))}
+           ) AS BIGINT) AS simhash
+    FROM h
+    """,
+)
+def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash document sketch: per bit, majority vote over the md5-derived
+    token hashes; near-dup docs land at small Hamming distance.  Pure
+    bit-arithmetic Column expressions — portable to the oracle engine."""
+    from magi_etl_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    base = (
+        d.select("doc_id", toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.transform(
+                F.col("toks"),
+                lambda t: F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long"),
+            ).alias("hs"),
+        )
+        .persist()  # HOFs are interpreted: bound the 16 bit-counts to one hash pass
+    )
+    ones = lambda b: F.size(  # noqa: E731
+        F.filter(F.col("hs"), lambda x: x.bitwiseAND(F.lit(1 << b)) != 0)
+    )
+    bit = lambda b: F.when(2 * ones(b) > F.size("hs"), F.lit(1 << b)).otherwise(0)  # noqa: E731
+    simhash = bit(0)
+    for b in range(1, SIMHASH_BITS):
+        simhash = simhash + bit(b)
+    return base.select("doc_id", simhash.cast("long").alias("simhash"))
+
+
+@query(
+    "q33_kv_parse",
+    oracle="""
+    WITH kv AS (
+        SELECT doc_id,
+               concat('{{confidence=0.', CAST(doc_id % 10 AS VARCHAR),
+                      ', value=', lang, '}}') AS cell
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(json_extract_string(
+               regexp_replace(
+                   regexp_replace(replace(replace(cell, '{{', '{'), '}}', '}'),
+                                  '([a-zA-Z_]+)=', '"\\1":', 'g'),
+                   ':([a-zA-Z][a-zA-Z0-9_]*)', ':"\\1"', 'g'),
+               '$.confidence') AS DOUBLE) AS confidence,
+           json_extract_string(
+               regexp_replace(
+                   regexp_replace(replace(replace(cell, '{{', '{'), '}}', '}'),
+                                  '([a-zA-Z_]+)=', '"\\1":', 'g'),
+                   ':([a-zA-Z][a-zA-Z0-9_]*)', ':"\\1"', 'g'),
+               '$.value') AS value
+    FROM kv
+    """,
+)
+def q33_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``{k=v, ...}`` cell parsing (reference ``taxonomy_field_to_dict_list``,
+    ``dash_app/tasks.py:290-313``): regex-normalize the pseudo-dict to JSON,
+    then schema'd extraction — no Python parsing in the row path.  The
+    ``{{...}}`` cells are synthesized from table columns so the oracle sees
+    identical input."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = F.concat(
+        F.lit("{{confidence=0."),
+        (F.col("doc_id") % 10).cast("string"),
+        F.lit(", value="),
+        F.col("lang"),
+        F.lit("}}"),
+    )
+    normalized = F.regexp_replace(
+        F.regexp_replace(
+            F.replace(F.replace(cell, F.lit("{{"), F.lit("{")), F.lit("}}"), F.lit("}")),
+            r"([a-zA-Z_]+)=",
+            '"$1":',
+        ),
+        r":([a-zA-Z][a-zA-Z0-9_]*)",
+        ':"$1"',
+    )
+    return d.select(
+        "doc_id",
+        F.get_json_object(normalized, "$.confidence").cast("double").alias("confidence"),
+        F.get_json_object(normalized, "$.value").alias("value"),
+    )
+
+
+@query(
+    "q34_date_functions",
+    oracle="""
+    SELECT CAST(date_trunc('month', o.o_orderdate) AS DATE) AS order_month,
+           COUNT(*) AS n_items,
+           AVG(date_diff('day', CAST(o.o_orderdate AS DATE), CAST(l.l_shipdate AS DATE)))
+               AS avg_ship_days,
+           MIN(CAST(last_day(o.o_orderdate) AS DATE)) AS month_last_day
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY order_month
+    """,
+)
+def q34_date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar function pack: trunc/last_day/datediff (reference §2.8
+    date functions incl. AnchorCalendar derivations, ``biutils.py:467-483``)."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("order_month"))
+        .agg(
+            F.count("*").alias("n_items"),
+            F.avg(F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate"))).alias(
+                "avg_ship_days"
+            ),
+            F.min(F.last_day("o_orderdate")).alias("month_last_day"),
+        )
+    )
+
+
+@query(
+    "q35_vector_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id,
+           ROUND(sqrt(list_sum(list_transform(v, x -> x * x))), 6) AS l2_norm,
+           ROUND(list_sum(v) / len(v), 6) AS mean_val,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER) AS n_positive
+    FROM e
+    """,
+)
+def q35_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector stats via higher-order functions (array math parity pack
+    for the embedding column)."""
+    from magi_etl_spark.functions.vectors import as_double, l2_norm
+
+    e = load_table(spark, sf_dir, "embeddings")
+    v = as_double(F.col("embedding"))
+    base = e.select("vec_id", v.alias("v"))
+    total = F.aggregate(F.col("v"), F.lit(0.0), lambda a, x: a + x)
+    return base.select(
+        "vec_id",
+        F.round(l2_norm(F.col("v")), 6).alias("l2_norm"),
+        F.round(total / F.size("v"), 6).alias("mean_val"),
+        F.size(F.filter(F.col("v"), lambda x: x > 0)).alias("n_positive"),
+    )
+
+
+@query(
+    "q36_rollup",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           SUM(l_quantity) AS sum_qty, COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q36_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (capability extension the reference lacks —
+    SURVEY.md A12 — free on Spark)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.rollup("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity").alias("sum_qty"), F.count("*").alias("n")
+    )
+
+
+@query(
+    "q37_pivot",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+           COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view,
+           COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase
+    FROM events GROUP BY day
+    """,
+)
+def q37_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot to wide per-category counts (the dynamic-metric wide layout
+    the reference assembles by hand, A10)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.to_date("ts").alias("day"))
+        .pivot("event_type", ["click", "view", "purchase"])
+        .count()
+        .na.fill(0, ["click", "view", "purchase"])
+    )
+
+
+def _srp_planes(n_planes: int = 4, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+@query(
+    "q38_srp_lsh_buckets",
+    oracle=None,  # filled below (needs the generated plane literals)
+)
+def q38_srp_lsh_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-random-projection LSH bucketing — the ANN scale path: bucket
+    id = sign bits of fixed random planes; neighbors collide.  Output is
+    bucket occupancy."""
+    from magi_etl_spark.operators.similarity import srp_lsh_buckets
+
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = srp_lsh_buckets(e, seed_planes=_srp_planes())
+    return buckets.groupBy("bucket").agg(F.count("*").alias("n_vectors"))
+
+
+def _srp_oracle() -> str:
+    planes = _srp_planes()
+    bits = []
+    for p in planes:
+        arr = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            "(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),"
+            f" i -> v[i] * ({arr})[i])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    expr = " || ".join(bits)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT {expr} AS bucket, COUNT(*) AS n_vectors
+    FROM e GROUP BY bucket
+    """
+
+
+from magi_etl_spark.queries import ORACLE  # noqa: E402
+
+ORACLE["q38_srp_lsh_buckets"] = _srp_oracle()
+
+
+@query(
+    "q39_token_cosine_pairs",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, list_distinct(list_filter(
+                   regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS toks
+               FROM documents),
+    feats AS (
+        SELECT doc_id AS id, unnest(toks) AS feature,
+               1.0 / sqrt(len(toks)) AS value
+        FROM t WHERE len(toks) > 0
+    ),
+    dots AS (
+        SELECT a.id AS id_a, b.id AS id_b, sum(a.value * b.value) AS dot
+        FROM feats a JOIN feats b ON a.feature = b.feature AND a.id <> b.id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b, ROUND(dot, 6) AS similarity
+    FROM dots WHERE dot >= 0.9
+    """,
+)
+def q39_token_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine similarity of documents over distinct-token features
+    (the recommendation engine's join-based sparse dot product,
+    ``operators/recommend.py``, demonstrated on the generic corpus).
+    With binary token features the row L2 norm is sqrt(|tokens|), so
+    value = 1/sqrt(n) and cosine = plain dot."""
+    from magi_etl_spark.functions.text import tokens
+    from magi_etl_spark.operators.recommend import cosine_similarity_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    feats = (
+        d.select(F.col("doc_id").alias("id"), toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "id",
+            F.explode("toks").alias("feature"),
+            (F.lit(1.0) / F.sqrt(F.size("toks"))).alias("value"),
+        )
+        .persist()
+    )
+    return cosine_similarity_pairs(feats, min_similarity=0.9).select(
+        "id_a", "id_b", F.round("similarity", 6).alias("similarity")
+    )
+
+
+@query(
+    "q40_corpus_pipeline",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, lang, text,
+                      list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                  x -> x <> '') AS toks
+               FROM documents),
+    quality AS (
+        SELECT doc_id, lang, text FROM t
+        WHERE len(toks) >= 30
+          AND len(list_distinct(toks)) / len(toks) >= 0.3
+    ),
+    kept AS (
+        SELECT min(doc_id) AS doc_id FROM quality GROUP BY md5(text)
+    )
+    SELECT q.lang, COUNT(*) AS docs_kept
+    FROM quality q JOIN kept k ON q.doc_id = k.doc_id
+    GROUP BY q.lang
+    """,
+)
+def q40_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed training-corpus pipeline: quality gate (length + lexical
+    diversity) -> exact dedup by content hash keeping the min id -> per-
+    language corpus counts.  The canonical filter->dedup->stat flow."""
+    from magi_etl_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    quality = d.select("doc_id", "lang", "text", toks.alias("toks")).where(
+        (F.size("toks") >= 30)
+        & ((F.size(F.array_distinct("toks")) / F.size("toks")) >= 0.3)
+    )
+    kept = quality.groupBy(F.md5("text")).agg(F.min("doc_id").alias("doc_id"))
+    return (
+        quality.join(kept, "doc_id", "left_semi")
+        .groupBy("lang")
+        .agg(F.count("*").alias("docs_kept"))
+    )
