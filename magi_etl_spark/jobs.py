@@ -1,0 +1,170 @@
+"""Pipeline runner CLI — the scheduler shim (SURVEY.md §7.2.9).
+
+The reference schedules pipelines through Celery/RedBeat cron entries
+(``dash_app/dash_app.py:1260-1357``); here each pipeline is a
+parameterized batch job invokable from any scheduler (cron, Airflow,
+spark-submit):
+
+    python -m magi_etl_spark.jobs trending --data-dir DIR --out OUT \
+        --anchor-date 2025-02-28
+    python -m magi_etl_spark.jobs monetization --data-dir DIR --out OUT \
+        --anchor-date 2025-02-28 --threshold 5000
+    python -m magi_etl_spark.jobs metric-query --config config.json --out OUT
+
+Determinism: the anchor date is an explicit argument, never wall-clock.
+Results land as parquet under ``--out/<output_name>`` plus a Block Kit
+report JSON for the Slack-facing pipelines.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def _read(spark: SparkSession, data_dir: str, name: str):
+    return spark.read.parquet(os.path.join(data_dir, f"{name}.parquet"))
+
+
+def run_trending(spark: SparkSession, args) -> dict[str, str]:
+    from magi_etl_spark.pipelines.trending import TrendingConfig, trending_pipeline
+    from magi_etl_spark.sinks import render_report, write_parquet
+
+    cfg = TrendingConfig(
+        anchor_date=args.anchor_date,
+        min_users_total=args.min_users,
+        min_users_percent=args.min_users_percent,
+        min_page_users=args.min_page_users,
+    )
+    out = trending_pipeline(
+        _read(spark, args.data_dir, "analytics_events"),
+        _read(spark, args.data_dir, "dimension_wikis"),
+        cfg,
+    )
+    paths = {}
+    for name, df in out.items():
+        p = os.path.join(args.out, name)
+        write_parquet(df, p)
+        paths[name] = p
+    render_report(
+        {"wiki_summary": out["wiki_summary"]}, os.path.join(args.out, "report.json")
+    )
+    return paths
+
+
+def run_monetization(spark: SparkSession, args) -> dict[str, str]:
+    from magi_etl_spark.pipelines.monetization import (
+        apply_ignore_list,
+        unmonetized_wikis,
+    )
+    from magi_etl_spark.sinks import render_report, write_parquet
+
+    out = unmonetized_wikis(
+        _read(spark, args.data_dir, "analytics_events"),
+        _read(spark, args.data_dir, "dimension_wikis"),
+        args.anchor_date,
+        threshold=args.threshold,
+    )
+    ignore_path = os.path.join(args.data_dir, "ignore_list.parquet")
+    if os.path.exists(ignore_path):
+        out = apply_ignore_list(out, spark.read.parquet(ignore_path))
+    p = os.path.join(args.out, "unmonetized_wikis")
+    write_parquet(out, p)
+    render_report({"unmonetized": out}, os.path.join(args.out, "report.json"))
+    return {"unmonetized_wikis": p}
+
+
+def run_wiki_metadata(spark: SparkSession, args) -> dict[str, str]:
+    from magi_etl_spark.operators.upsert import upsert
+    from magi_etl_spark.pipelines.wiki_metadata import (
+        wiki_dim_enriched,
+        wiki_id_traffic,
+        wikis_complete,
+    )
+    from magi_etl_spark.sinks import write_parquet
+
+    traffic = wiki_id_traffic(
+        _read(spark, args.data_dir, "analytics_events"), args.anchor_date
+    )
+    meta = wiki_dim_enriched(
+        _read(spark, args.data_dir, "dimension_wikis"),
+        _read(spark, args.data_dir, "dimension_users"),
+    )
+    complete = wikis_complete(traffic, meta)
+    prior_path = os.path.join(args.data_dir, "wiki_metadata.parquet")
+    if os.path.exists(prior_path):
+        prior = spark.read.parquet(prior_path)
+        new = complete.select(
+            complete.wiki_id.cast("bigint").cast("string").alias("wiki_id"),
+            "wiki_group",
+        )
+        merged = upsert(new, prior.select("wiki_id", "wiki_group"), ["wiki_id"])
+    else:
+        merged = complete
+    p = os.path.join(args.out, "wiki_metadata")
+    write_parquet(merged, p)
+    return {"wiki_metadata": p}
+
+
+def run_metric_query(spark: SparkSession, args) -> dict[str, str]:
+    from magi_etl_spark.cache import ResultCache
+    from magi_etl_spark.config import MetricQueryConfig
+    from magi_etl_spark.query import metric_query
+
+    cfg = MetricQueryConfig.from_dict(json.load(open(args.config)))
+    cache = ResultCache(os.path.join(args.out, "_cache"))
+    df = cache.get_or_compute(
+        spark,
+        cfg.cache_key(),
+        lambda: metric_query(spark, args.data_dir, cfg),
+        force_refresh=args.force_refresh,
+    )
+    p = os.path.join(args.out, "metric_query")
+    df.write.mode("overwrite").parquet(p)
+    return {"metric_query": p, "cache_key": cfg.cache_key()}
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="magi-etl-spark")
+    sub = ap.add_subparsers(dest="job", required=True)
+
+    common = argparse.ArgumentParser(add_help=False)
+    common.add_argument("--data-dir", required=True)
+    common.add_argument("--out", required=True)
+    common.add_argument("--anchor-date", default="2025-02-28")
+
+    t = sub.add_parser("trending", parents=[common])
+    t.add_argument("--min-users", type=int, default=1000)
+    t.add_argument("--min-users-percent", type=int, default=2000)
+    t.add_argument("--min-page-users", type=int, default=100)
+
+    m = sub.add_parser("monetization", parents=[common])
+    m.add_argument("--threshold", type=int, default=5000)
+
+    sub.add_parser("wiki-metadata", parents=[common])
+
+    q = sub.add_parser("metric-query", parents=[common])
+    q.add_argument("--config", required=True)
+    q.add_argument("--force-refresh", action="store_true")
+
+    args = ap.parse_args(argv)
+    from magi_etl_spark.session import get_spark
+
+    spark = get_spark(app_name=f"magi-etl-{args.job}")
+    runner = {
+        "trending": run_trending,
+        "monetization": run_monetization,
+        "wiki-metadata": run_wiki_metadata,
+        "metric-query": run_metric_query,
+    }[args.job]
+    paths = runner(spark, args)
+    print(json.dumps({"job": args.job, "outputs": paths}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
