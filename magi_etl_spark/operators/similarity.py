@@ -107,6 +107,85 @@ def blocked_neardup_pairs(
     )
 
 
+def ivf_index(
+    df: DataFrame,
+    n_lists: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF coarse quantizer: KMeans centroids + per-vector inverted-list
+    assignment.  The index is (assigned vectors, centroid table); at
+    cluster scale the assigned side is written partitioned by ``list_id``
+    so probes become partition pruning."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = _fan_out(
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    ).withColumn("_feat", array_to_vector("_v")).persist()
+    model = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="list_id").fit(feat)
+    assigned = model.transform(feat).select(
+        id_col, F.col("_v"), F.col("list_id")
+    )
+    centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned.persist(), centroids
+
+
+def ivf_topk(
+    assigned: DataFrame,
+    centroids: list[list[float]],
+    query: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: each query probes its ``n_probe`` nearest
+    centroids and scores only those inverted lists — the IVF trade of
+    recall for a ~(n_probe/n_lists) scan fraction.  Probe selection is a
+    tiny crossJoin against the broadcast centroid table; scoring joins on
+    ``list_id`` (partition-prunable at rest)."""
+    import math
+
+    cent = query.sparkSession.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "list_id int, centroid array<double>"
+    )
+    q = query.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("_q"), F.col("centroid"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql import Window as W
+
+    probe_w = W.partitionBy("query_id").orderBy(F.asc("_d2"), F.asc("list_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cent))
+        .withColumn("_d2", d2)
+        .withColumn("_pr", F.row_number().over(probe_w))
+        .where(F.col("_pr") <= n_probe)
+        .select("query_id", "_q", "list_id")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "list_id")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col(id_col),
+            cosine(F.col("_v"), F.col("_q")).alias("_score"),
+        )
+    )
+    rank_w = W.partitionBy("query_id").orderBy(F.desc("_score"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= k)
+        .select("query_id", id_col, F.round("_score", 6).alias("score"), "rn")
+    )
+
+
 def srp_lsh_buckets(
     df: DataFrame,
     n_planes: int = 8,

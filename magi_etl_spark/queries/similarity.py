@@ -45,6 +45,18 @@ def q27_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(e, e.where(F.col("vec_id") == 0), k=10)
 
 
+@query("q41_ivf_topk")  # approximate + KMeans-based: rows-only driver check
+def q41_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k: KMeans coarse quantizer, n_probe nearest
+    inverted lists scanned per query (~n_probe/n_lists scan fraction).
+    Recall vs the exact baseline is tested in tests/test_ivf.py."""
+    from magi_etl_spark.operators.similarity import ivf_index, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index(e, n_lists=8, seed=42)
+    return ivf_topk(assigned, centroids, e.where(F.col("vec_id") < 3), k=10, n_probe=4)
+
+
 @query(
     "q28_embedding_neardup",
     oracle=f"""
