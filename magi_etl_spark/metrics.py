@@ -46,6 +46,28 @@ def _cents(c: Column) -> Column:
     return F.round(c * 100).cast("long")
 
 
+APPROX_DISTINCT_CONF = "spark.magi.approxDistinct"
+
+
+def count_distinct_scaled(*cols: Column | str) -> Column:
+    """Exact countDistinct by default; switches to HyperLogLog
+    ``approx_count_distinct`` when the session sets
+    ``spark.magi.approxDistinct=true`` (SURVEY.md §4.3.4: the 100 TB
+    opt-in — exact distinct counts are the dominant shuffle at scale)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    use_approx = (
+        spark is not None
+        and spark.conf.get(APPROX_DISTINCT_CONF, "false").lower() == "true"
+    )
+    if use_approx:
+        first, *rest = cols
+        target = F.concat_ws("", first, *rest) if rest else first
+        return F.approx_count_distinct(target)
+    return F.countDistinct(*cols)
+
+
 def _events_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load_table(spark, sf_dir, "events")
     return e.withColumn("day", F.to_date("ts"))
@@ -63,7 +85,7 @@ EVENTS_DATASET = MetricDataset(
         ),
     },
     metrics={
-        "users": MetricSpec("users", lambda: F.countDistinct("user_id")),
+        "users": MetricSpec("users", lambda: count_distinct_scaled("user_id")),
         "events_cnt": MetricSpec("events_cnt", lambda: F.count("*")),
         "value_c": MetricSpec("value_c", lambda: F.sum(_cents(F.col("value")))),
     },
