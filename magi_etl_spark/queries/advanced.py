@@ -305,6 +305,45 @@ def q39_token_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q42_window_benchmark",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, event_type,
+               COUNT(DISTINCT user_id) AS users
+        FROM events GROUP BY day, event_type
+    )
+    SELECT day, event_type, users,
+           ROUND(AVG(users) OVER (
+               PARTITION BY event_type, dayofweek(day)
+               ORDER BY day
+               ROWS BETWEEN 4 PRECEDING AND 1 PRECEDING), 6) AS benchmark_users
+    FROM daily
+    """,
+)
+def q42_window_benchmark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same-weekday rolling benchmark as a frame-spec window — the
+    Spark-native form of the reference's 4-week comparison join (SURVEY.md
+    W3: ``avg(users) over (partition by wiki, dow order by date
+    rowsBetween(-4,-1))``; the join form lives in pipelines/trending.py
+    for oracle parity)."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.countDistinct("user_id").alias("users"))
+    w = (
+        W.partitionBy("event_type", F.dayofweek("day"))
+        .orderBy("day")
+        .rowsBetween(-4, -1)
+    )
+    return daily.select(
+        "day", "event_type", "users",
+        F.round(F.avg("users").over(w), 6).alias("benchmark_users"),
+    )
+
+
+@query(
     "q40_corpus_pipeline",
     oracle=r"""
     WITH t AS (SELECT doc_id, lang, text,

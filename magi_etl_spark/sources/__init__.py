@@ -44,6 +44,26 @@ def read_jdbc(
     return reader.load()
 
 
+def read_bigquery(
+    spark: SparkSession, table: str, options: dict[str, str] | None = None
+) -> DataFrame:
+    """BigQuery scan (reference S4 ``QueryBigQuery``, ``connectors.py:
+    50-62``) via the spark-bigquery connector when it's on the classpath;
+    raises a clear error otherwise (the connector jar isn't bundled
+    here)."""
+    reader = spark.read.format("bigquery").option("table", table)
+    for k, v in (options or {}).items():
+        reader = reader.option(k, v)
+    try:
+        return reader.load()
+    except Exception as e:  # connector jar absent in this environment
+        raise RuntimeError(
+            "BigQuery connector not available; add the spark-bigquery "
+            "connector jar to the session (--packages "
+            "com.google.cloud.spark:spark-bigquery-with-dependencies...)"
+        ) from e
+
+
 def read_rest(
     spark: SparkSession,
     fetch: Callable[[], dict],

@@ -1,0 +1,53 @@
+"""Physical-plan regression tests: lock in the scan/join properties the
+engine is designed around (pushdown, broadcast, no accidental cartesian
+products) so a refactor can't silently regress them."""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+import pytest
+
+from magi_etl_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        QUERIES[name](spark, sf_dir).explain("formatted")
+    return buf.getvalue()
+
+
+def test_filters_and_projection_push_into_scan(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q02_filter_project")
+    assert "PushedFilters:" in p and "EqualTo(l_returnflag,R)" in p
+    assert "GreaterThanOrEqual(l_quantity,45" in p
+    # projection pruning: unneeded columns don't reach the scan
+    read_schema = next(l for l in p.splitlines() if "ReadSchema" in l)
+    assert "l_extendedprice" in read_schema and "l_suppkey" not in read_schema
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q05_region_revenue")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_semi_anti_join_strategies(spark, sf_dir):
+    assert "LeftSemi" in plan_of(spark, sf_dir, "q06_semi_join")
+    assert "LeftAnti" in plan_of(spark, sf_dir, "q07_anti_join")
+
+
+def test_agg_is_partial_then_single_exchange(spark, sf_dir):
+    p = plan_of(spark, sf_dir, "q01_pricing_summary")
+    assert "partial_sum" in p  # map-side partial aggregation present
+    assert p.count("+- Exchange") == 1  # one shuffle for the whole rollup
+    # the to_date() range filter still reaches the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in p
+
+
+def test_topk_uses_window_group_limit(spark, sf_dir):
+    # Spark 4 pushes rank()<=k into WindowGroupLimit before the full sort
+    p = plan_of(spark, sf_dir, "q10_topk_per_group")
+    assert "WindowGroupLimit" in p
