@@ -64,6 +64,41 @@ def q32_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q43_simhash_neardup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, list_distinct({_TOKS_SQL}) AS toks FROM documents),
+    h AS (SELECT doc_id, list_transform(toks, t -> {_H_SQL}) AS hs
+          FROM t WHERE len(toks) > 0),
+    s AS (
+        SELECT doc_id,
+               CAST((
+    {" + ".join(f"(CASE WHEN 2 * len(list_filter(hs, x -> (x >> {b}) & 1 = 1)) > len(hs) THEN {1 << b} ELSE 0 END)" for b in range(SIMHASH_BITS))}
+               ) AS BIGINT) AS simhash
+        FROM h
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM s a JOIN s b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 1
+    """,
+)
+def q43_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-duplicate pairs: Hamming distance over the 16-bit
+    sketches (bit_count of xor).  At corpus scale the pair generation is
+    banded (join on sketch bytes) instead of this exact all-pairs form;
+    the sketch comparison itself is identical."""
+    sigs = q32_simhash(spark, sf_dir).persist()
+    a = sigs.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("sb"))
+    hamming = F.bit_count(F.col("sa").bitwiseXOR(F.col("sb")))
+    return (
+        a.join(b, F.col("doc_a") < F.col("doc_b"))
+        .where(hamming <= 1)
+        .select("doc_a", "doc_b", hamming.cast("int").alias("hamming"))
+    )
+
+
+@query(
     "q33_kv_parse",
     oracle="""
     WITH kv AS (

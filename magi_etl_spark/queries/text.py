@@ -22,6 +22,8 @@ _TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
     WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
     SELECT doc_id,
            CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]')) AS BIGINT)
+               AS n_tokens_bpe,
            CAST(length(text) AS BIGINT) AS n_chars_measured,
            ROUND(CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) / len(toks), 6)
                AS avg_token_len
@@ -29,12 +31,16 @@ _TOKS = r"list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')"
     """,
 )
 def q20_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Token counting (whitespace tokenizer) — LLM-pipeline text primitive."""
+    """Token counting — whitespace tokenizer plus a BPE-ish regex count
+    (letter runs / digit runs / single punctuation, the pre-tokenization
+    split BPE vocabularies assume)."""
     d = load_table(spark, sf_dir, "documents")
     out = T.token_stats(d, "doc_id", "text")
-    return out.select(
+    bpe = F.size(F.regexp_extract_all("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"), 0))
+    return out.join(load_table(spark, sf_dir, "documents").select("doc_id", "text"), "doc_id").select(
         "doc_id",
         F.col("n_tokens").cast("long").alias("n_tokens"),
+        bpe.cast("long").alias("n_tokens_bpe"),
         F.col("n_chars_measured").cast("long").alias("n_chars_measured"),
         "avg_token_len",
     )
