@@ -45,6 +45,63 @@ def q27_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_topk(e, e.where(F.col("vec_id") == 0), k=10)
 
 
+def _dedup_planes() -> list[list[float]]:
+    import random
+
+    rng = random.Random(11)
+    return [[rng.uniform(-1, 1) for _ in range(64)] for _ in range(2)]
+
+
+def _q44_oracle() -> str:
+    bits = []
+    for p in _dedup_planes():
+        arr = "[" + ", ".join(repr(x) for x in p) + "]"
+        bits.append(
+            "(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),"
+            f" i -> v[i] * ({arr})[i])) >= 0 THEN '1' ELSE '0' END)"
+        )
+    bucket = " || ".join(bits)
+    cos = (
+        "list_sum(list_transform(range(1, len(av) + 1), i -> av[i] * bv[i]))"
+        " / (na * nb)"
+    )
+    return f"""
+    WITH e AS (
+        SELECT vec_id, embedding::DOUBLE[] AS v,
+               sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x * x))) AS norm
+        FROM embeddings
+    ),
+    bucketed AS (SELECT vec_id, v, norm, {bucket} AS bucket FROM e),
+    pairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, a.bucket AS block,
+               a.v AS av, b.v AS bv, a.norm AS na, b.norm AS nb
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, block, ROUND({cos}, 6) AS score
+    FROM pairs WHERE {cos} >= 0.35
+    """
+
+
+@query("q44_lsh_blocked_embedding_dedup")
+def q44_lsh_blocked_embedding_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup at scale: SRP-LSH buckets as the blocking key,
+    pairwise cosine only within buckets — candidate generation is the
+    bucket join, never all-pairs.  (q28 shows the same operator blocked by
+    an existing label column.)"""
+    from magi_etl_spark.operators.similarity import blocked_neardup_pairs, srp_lsh_buckets
+
+    e = load_table(spark, sf_dir, "embeddings")
+    buckets = srp_lsh_buckets(e, seed_planes=_dedup_planes())
+    blocked = e.join(buckets, "vec_id")
+    return blocked_neardup_pairs(blocked, "bucket", threshold=0.35)
+
+
+from magi_etl_spark.queries import ORACLE  # noqa: E402
+
+ORACLE["q44_lsh_blocked_embedding_dedup"] = _q44_oracle()
+
+
 @query("q41_ivf_topk")  # approximate + KMeans-based: rows-only driver check
 def q41_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: KMeans coarse quantizer, n_probe nearest
