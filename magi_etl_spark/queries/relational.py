@@ -272,8 +272,14 @@ def q08_full_outer_cast_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q09_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """row_number top-1-per-group dedupe (reference W1 dominant-wiki pick,
-    ``dash_app/tasks.py:1796-1823``)."""
-    l = load_table(spark, sf_dir, "lineitem")
+    ``dash_app/tasks.py:1796-1823``).
+
+    One shuffle, not two: pre-partitioning on l_suppkey satisfies both the
+    (suppkey, partkey) group-by clustering AND the window's partitioning,
+    so the agg and the window share the same exchange.  Only safe when the
+    partition key has enough cardinality to keep all cores busy (1000
+    suppliers here; don't do this for a 5-value key)."""
+    l = load_table(spark, sf_dir, "lineitem").repartition("l_suppkey")
     agg = l.groupBy("l_suppkey", "l_partkey").agg(F.sum("l_quantity").alias("qty"))
     w = W.partitionBy("l_suppkey").orderBy(F.desc("qty"), F.asc("l_partkey"))
     return (
