@@ -540,6 +540,90 @@ def q17_minmax_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q45_nation_pair_volume",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS INTEGER) AS ship_year,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)) AS BIGINT)
+               AS revenue_c4
+    FROM lineitem l
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation ns ON ns.n_nationkey = s.s_nationkey
+    JOIN nation nc ON nc.n_nationkey = c.c_nationkey
+    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    GROUP BY supp_nation, cust_nation, ship_year
+    """,
+)
+def q45_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bidirectional nation-pair shipping volume by year (TPC-H Q7-class:
+    disjunctive cross-table predicate + multi-join + yearly rollup)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ns = n.select(F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation"))
+    nc = n.select(F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("s_nk"))
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("c_nk"))
+        .where(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("ship_year")
+        )
+        .agg(
+            F.sum(cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)).alias(
+                "revenue_c4"
+            )
+        )
+    )
+
+
+@query(
+    "q46_above_avg_customers",
+    oracle="""
+    WITH stats AS (
+        SELECT c_nationkey, AVG(c_acctbal) AS avg_bal
+        FROM customer WHERE c_acctbal > 0 GROUP BY c_nationkey
+    )
+    SELECT c.c_custkey, c.c_nationkey,
+           CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal_c,
+           ROUND(s.avg_bal, 6) AS nation_avg_bal
+    FROM customer c JOIN stats s ON c.c_nationkey = s.c_nationkey
+    WHERE c.c_acctbal > s.avg_bal
+    """,
+)
+def q46_above_avg_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-subquery pattern (TPC-H Q22-class: value above the
+    group's aggregate) decorrelated into an agg + broadcast join-back."""
+    c = load_table(spark, sf_dir, "customer")
+    stats = (
+        c.where(F.col("c_acctbal") > 0)
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    return (
+        c.join(F.broadcast(stats), c.c_nationkey == stats.nk)
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            cents(F.col("c_acctbal")).alias("bal_c"),
+            F.round("avg_bal", 6).alias("nation_avg_bal"),
+        )
+    )
+
+
+@query(
     "q18_week_buckets",
     oracle="""
     SELECT CAST(date_trunc('week', ts) AS DATE) AS week_start,

@@ -28,6 +28,68 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bo
     out.write.mode(mode).option("header", True).csv(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table (hash-bucketed by ``bucket_col``).
+
+    The 100 TB join strategy: two tables bucketed on the same key with the
+    same bucket count join WITHOUT a shuffle — the exchange disappears
+    from the plan (asserted in tests/test_bucketing.py).  Bucket pruning
+    also serves point lookups on the bucket key."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table)
+
+
+def slack_blocks_grouped(
+    df: DataFrame,
+    title: str,
+    group_col: str,
+    columns: list[str],
+    top_n_per_group: int = 5,
+    order_by: str | None = None,
+) -> list[dict]:
+    """Block Kit report grouped into per-category sections (the reference
+    groups its Slack trending report by vertical, ``tasks.py:2191-2193``):
+    header, then one context + rows block set per group value."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    if order_by:
+        w = W.partitionBy(group_col).orderBy(F.desc(order_by))
+        df = df.withColumn("_rn", F.row_number().over(w)).where(
+            F.col("_rn") <= top_n_per_group
+        ).drop("_rn")
+    rows = df.collect()
+    by_group: dict[str, list] = {}
+    for r in rows:
+        by_group.setdefault(str(r[group_col]), []).append(r)
+    blocks: list[dict] = [
+        {"type": "header", "text": {"type": "plain_text", "text": title[:150]}}
+    ]
+    for group in sorted(by_group):
+        blocks.append(
+            {"type": "context", "elements": [{"type": "mrkdwn", "text": f"*{group}*"}]}
+        )
+        for r in by_group[group][:top_n_per_group]:
+            blocks.append(
+                {
+                    "type": "section",
+                    "fields": [
+                        {"type": "mrkdwn", "text": f"*{c}*: {r[c]}"} for c in columns
+                    ][:10],
+                }
+            )
+    return blocks
+
+
 def zip_results(dfs: dict[str, DataFrame], zip_path: str, max_rows: int = 100_000) -> str:
     """Zip-of-CSVs download (reference S14, ``dash_app/callbacks.py:77-97``):
     driver-side export of small result sets; ``max_rows`` guards against
