@@ -45,6 +45,23 @@ def canonical_page_metadata(url: Column) -> Column:
     return F.regexp_replace(F.regexp_replace(url, r"\?.+$", ""), r"#+$", "")
 
 
+def stringify(c: Column) -> Column:
+    """Display normalizer (reference F1 ``stringify``,
+    ``dash_app/dash_app.py:754-765``): NULL-safe cast to string with true
+    NULLs preserved — never the pandas ``'nan'``-string artifact the
+    reference fights (SURVEY.md §7.4.4)."""
+    return c.cast("string")
+
+
+def quoted_in_list(values: list[str]) -> str:
+    """``'v1','v2',...`` IN-list building (reference ``col_to_string``,
+    ``biutils.py:221-228``) for the SQL-string entry point.  Prefer a
+    broadcast semi-join on a DataFrame — this exists for parity with
+    callers that need literal SQL."""
+    escaped = [str(v).replace("'", "''") for v in values]
+    return ", ".join(f"'{v}'" for v in escaped)
+
+
 def auto_num_format(c: Column, precision: int = 1) -> Column:
     """Human-readable K/M/B/T formatting (reference ``biutils.py:230-237``).
     Display-layer helper; returns a string Column."""

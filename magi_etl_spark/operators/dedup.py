@@ -44,6 +44,25 @@ def _fan_out(df: DataFrame) -> DataFrame:
     return df
 
 
+def dedup_keep_best(
+    df: DataFrame,
+    keys: list[str],
+    quality_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Duplicate resolution keeping the highest-quality row per key group
+    (the corpus-dedup policy: among duplicates, keep the best copy, not an
+    arbitrary one).  Ties break on min id for determinism."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*keys).orderBy(F.desc(quality_col), F.asc(id_col))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def with_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3, distinct: bool = True
 ) -> DataFrame:

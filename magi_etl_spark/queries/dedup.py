@@ -42,6 +42,32 @@ def q23_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q47_dedup_keep_best",
+    oracle="""
+    SELECT user_id, event_type, props, event_id AS kept_event_id,
+           CAST(ROUND(value * 100) AS BIGINT) AS kept_value_c
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id, event_type, props
+            ORDER BY value DESC NULLS LAST, event_id) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+)
+def q47_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-best duplicate resolution: one survivor per duplicate key
+    group, chosen by quality (here: max value) instead of arbitrary —
+    the corpus-dedup policy that preserves the best copy."""
+    e = load_table(spark, sf_dir, "events")
+    kept = D.dedup_keep_best(e, ["user_id", "event_type", "props"], "value", "event_id")
+    return kept.select(
+        "user_id", "event_type", "props",
+        F.col("event_id").alias("kept_event_id"),
+        F.round(F.col("value") * 100).cast("long").alias("kept_value_c"),
+    )
+
+
+@query(
     "q24_minhash_signatures",
     oracle=f"""
     WITH {_SHINGLES}
