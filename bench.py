@@ -28,6 +28,9 @@ HEADLINE = [
     "q25_minhash_lsh_neardup",
     "q27_embedding_topk",
     "q28_embedding_neardup",
+    "q30_metric_query_events",
+    "q32_simhash",
+    "q42_window_benchmark",
 ]
 
 
