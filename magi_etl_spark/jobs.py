@@ -79,32 +79,19 @@ def run_monetization(spark: SparkSession, args) -> dict[str, str]:
 
 
 def run_wiki_metadata(spark: SparkSession, args) -> dict[str, str]:
-    from magi_etl_spark.operators.upsert import upsert
-    from magi_etl_spark.pipelines.wiki_metadata import (
-        wiki_dim_enriched,
-        wiki_id_traffic,
-        wikis_complete,
-    )
+    from magi_etl_spark.pipelines.wiki_metadata import wiki_metadata_pipeline
     from magi_etl_spark.sinks import write_parquet
 
-    traffic = wiki_id_traffic(
-        _read(spark, args.data_dir, "analytics_events"), args.anchor_date
-    )
-    meta = wiki_dim_enriched(
+    prior_path = os.path.join(args.data_dir, "wiki_metadata.parquet")
+    prior = spark.read.parquet(prior_path) if os.path.exists(prior_path) else None
+    merged = wiki_metadata_pipeline(
+        _read(spark, args.data_dir, "analytics_events"),
         _read(spark, args.data_dir, "dimension_wikis"),
         _read(spark, args.data_dir, "dimension_users"),
+        _read(spark, args.data_dir, "taxonomy"),
+        prior_metadata=prior,
+        anchor_date=args.anchor_date,
     )
-    complete = wikis_complete(traffic, meta)
-    prior_path = os.path.join(args.data_dir, "wiki_metadata.parquet")
-    if os.path.exists(prior_path):
-        prior = spark.read.parquet(prior_path)
-        new = complete.select(
-            complete.wiki_id.cast("bigint").cast("string").alias("wiki_id"),
-            "wiki_group",
-        )
-        merged = upsert(new, prior.select("wiki_id", "wiki_group"), ["wiki_id"])
-    else:
-        merged = complete
     p = os.path.join(args.out, "wiki_metadata")
     write_parquet(merged, p)
     return {"wiki_metadata": p}

@@ -192,6 +192,167 @@ def taxonomy_flatten(taxonomy: DataFrame) -> DataFrame:
     )
 
 
+def wiki_attribute_confidences(
+    unity: DataFrame, attr: str, threshold: float = 0.6
+) -> DataFrame:
+    """Per-wiki attribute values above the confidence threshold (reference
+    ``wiki_themes``-style CTEs, ``tasks.py:770-860``): parallel unnest of
+    the CSV value/confidence pair via arrays_zip, P6 try-cast semantics
+    (malformed confidence -> NULL comparison -> row dropped), distinct."""
+    vals = F.split(F.col(f"all_{attr}s"), ",")
+    cons = F.split(F.col(f"all_{attr}s_con"), ",")
+    pairs = F.explode(F.arrays_zip(vals.alias("value"), cons.alias("con")))
+    return (
+        unity.where(F.col(f"all_{attr}s").isNotNull())
+        .select(F.col("wiki_id"), pairs.alias("p"))
+        .select(
+            "wiki_id",
+            F.col("p.value").alias("value"),
+            F.expr("try_cast(p.con as double)").alias("confidence"),
+        )
+        .where(F.col("confidence") >= F.lit(threshold))
+        .distinct()
+    )
+
+
+def attribute_json_strings(confidences: DataFrame) -> DataFrame:
+    """Comma-joined one-key JSON cells per wiki (reference
+    ``json.dumps({value: confidence})`` packing, ``tasks.py:956-966``),
+    deterministically ordered by descending confidence then value."""
+    ordered = F.transform(
+        F.reverse(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("confidence"), F.col("value")))
+            )
+        ),
+        lambda s: F.to_json(F.create_map(s["value"], s["confidence"])),
+    )
+    return confidences.groupBy("wiki_id").agg(
+        F.array_join(ordered, ",").alias("json_cells")
+    )
+
+
+def format_crossovers(similar: DataFrame, names: DataFrame, top_n: int = 25) -> DataFrame:
+    """Reference crossover string format: ``{name} [{id}] | {score:.0%}``
+    comma-joined in rank order (``tasks.py:949``, ``1058-1060``)."""
+    named = similar.join(
+        names.select(F.col("id").alias("id_b"), F.col("name")), "id_b", "left"
+    ).where(F.col("rn") <= top_n)
+    key = F.concat(
+        F.coalesce(F.col("name"), F.col("id_b").cast("string")),
+        F.lit(" ["), F.col("id_b").cast("string"), F.lit("] | "),
+        F.bround(F.col("combined_score") * 100).cast("int").cast("string"),
+        F.lit("%"),
+    )
+    ordered = F.transform(
+        F.array_sort(F.collect_list(F.struct(F.col("rn"), key.alias("key")))),
+        lambda s: s["key"],
+    )
+    return named.groupBy(F.col("id_a").alias("wiki_id")).agg(
+        F.array_join(ordered, ",").alias("crossover_wikis")
+    )
+
+
+def wiki_metadata_pipeline(
+    events: DataFrame,
+    dim_wikis: DataFrame,
+    dim_users: DataFrame,
+    taxonomy: DataFrame,
+    prior_metadata: DataFrame | None,
+    anchor_date: dt.date | str,
+    enricher=None,
+    confidence_threshold: float = 0.6,  # reference tasks.py:585
+    crossover_alpha: float = 0.7,
+) -> DataFrame:
+    """The WikiMetadata end-product (reference ``refresh_wiki_ids``,
+    ``tasks.py:862-1000``): traffic + dimensions + taxonomy JSON cells +
+    crossover recommendations + AI enrichment, upserted over prior state.
+
+    ``last_refreshed`` is the anchor date, not wall-clock (SURVEY §7.4.5);
+    the enricher defaults to the deterministic fake."""
+    from magi_etl_spark.operators.enrich import (
+        AI_SCHEMA_SUFFIX,
+        enrich_with,
+        fake_media_summary,
+    )
+    from magi_etl_spark.operators.recommend import (
+        cosine_similarity_pairs,
+        similar_content,
+        taxonomy_features,
+    )
+    from magi_etl_spark.operators.upsert import upsert
+
+    traffic = wiki_id_traffic(events, anchor_date)
+    meta = wiki_dim_enriched(dim_wikis, dim_users)
+    complete = wikis_complete(traffic, meta)
+
+    flat = taxonomy_flatten(taxonomy)
+    unity = events_taxonomy_unity(events, flat, anchor_date).persist()
+    tax_cols = {}
+    feature_parts = []
+    for attr in ("theme", "genre", "subgenre"):
+        conf = wiki_attribute_confidences(unity, attr, confidence_threshold).persist()
+        tax_cols[f"taxonomy_{attr}s"] = attribute_json_strings(conf)
+        # canonical string ids + max-confidence dedupe: the same value can
+        # appear at several confidences, which would duplicate the feature
+        # and inflate the cosine dot product past 1
+        feature_parts.append(
+            conf.groupBy(
+                F.col("wiki_id").cast("bigint").cast("string").alias("id"),
+                F.concat(F.lit(f"{attr}:"), F.col("value")).alias("feature"),
+            ).agg(F.max("confidence").alias("value"))
+        )
+    feats = feature_parts[0]
+    for p in feature_parts[1:]:
+        feats = feats.unionByName(p)
+    norm = F.sqrt(
+        F.sum(F.col("value") * F.col("value")).over(W.partitionBy("id"))
+    )
+    feats = feats.withColumn("value", F.col("value") / norm).where(F.col("id").isNotNull())
+
+    sims = cosine_similarity_pairs(feats)
+    pop = complete.select(
+        F.col("wiki_id").cast("bigint").cast("string").alias("id"),
+        F.col("users_30_days").alias("users"),
+    )
+    similar = similar_content(sims, pop, pop.select("id"), n=25, alpha=crossover_alpha)
+    names = complete.select(
+        F.col("wiki_id").cast("bigint").cast("string").alias("id"),
+        F.col("wiki_group").alias("name"),
+    )
+    crossovers = format_crossovers(similar, names)
+
+    record = complete.withColumn(
+        "wiki_id", F.col("wiki_id").cast("bigint").cast("string")
+    )
+    for col_name, df in tax_cols.items():
+        side = df.select(
+            F.col("wiki_id").alias("t_id"), F.col("json_cells").alias(col_name)
+        )
+        record = record.join(side, record.wiki_id == side.t_id, "left").drop("t_id")
+    record = record.join(crossovers, "wiki_id", "left")
+    record = enrich_with(record, enricher or fake_media_summary, AI_SCHEMA_SUFFIX)
+    record = record.withColumn(
+        "last_refreshed",
+        F.lit(AnchorCalendar(anchor_date).current_date.isoformat() + "T00:00:00"),
+    )
+    if prior_metadata is not None:
+        # align the prior to the NEW record schema (missing columns become
+        # NULL) — a narrow prior must not silently drop fresh columns
+        aligned = prior_metadata.select(
+            *[
+                (
+                    F.col(f.name).cast(f.dataType)
+                    if f.name in prior_metadata.columns
+                    else F.lit(None).cast(f.dataType)
+                ).alias(f.name)
+                for f in record.schema.fields
+            ]
+        )
+        record = upsert(record, aligned, ["wiki_id"])
+    return record
+
+
 def events_taxonomy_unity(
     events: DataFrame,
     taxonomy_flat: DataFrame,
@@ -204,7 +365,11 @@ def events_taxonomy_unity(
     """events FULL OUTER JOIN taxonomy on varchar-cast (wiki_id, article_id)
     (reference ``unity``, ``tasks.py:726-748``; J1).  The window filter
     applies *after* the join on the events-side date — taxonomy-only rows
-    are dropped by it, faithfully to the reference."""
+    are dropped by it, faithfully to the reference.
+
+    Intent-deviation (SURVEY §7.4.2, same as helix.py): the wiki join key
+    is floor-normalized — a raw ``cast(double as varchar)`` ('100.0')
+    could never equal the taxonomy's integer-string ids."""
     cal = AnchorCalendar(anchor_date)
     start_date, end_date = cal.rolling_window(window_days)
     amp = events.where(
@@ -218,7 +383,7 @@ def events_taxonomy_unity(
     t1 = amp.select(
         F.col("wiki_id"), F.col("analytics_id"), F.col("pageviews"),
         F.col("content_id"), F.col("year"), F.col("month"), F.col("day"),
-        F.col("wiki_id").cast("string").alias("j_wiki"),
+        F.floor("wiki_id").cast("bigint").cast("string").alias("j_wiki"),
         F.col("content_id").cast("string").alias("j_article"),
     )
     t2 = taxonomy_flat.select(

@@ -408,7 +408,7 @@ def test_events_taxonomy_unity(mdfs, mcon):
                t1.year, t1.month, t1.day
         FROM amp t1
         FULL OUTER JOIN tax t2
-          ON CAST(t1.wiki_id AS VARCHAR) = t2.tax_wiki_id
+          ON CAST(CAST(floor(t1.wiki_id) AS BIGINT) AS VARCHAR) = t2.tax_wiki_id
          AND CAST(t1.content_id AS VARCHAR) = t2.article_id
     )
     SELECT wiki_id, analytics_id, pageviews, wiki_article_id,
