@@ -24,6 +24,7 @@ import os
 import sys
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 
 def _read(spark: SparkSession, data_dir: str, name: str):
@@ -53,6 +54,19 @@ def run_trending(spark: SparkSession, args) -> dict[str, str]:
     render_report(
         {"wiki_summary": out["wiki_summary"]}, os.path.join(args.out, "report.json")
     )
+    # grouped-by-vertical Slack layout (reference tasks.py:2191-2193)
+    from magi_etl_spark.sinks import slack_blocks_grouped
+
+    blocks = slack_blocks_grouped(
+        out["wiki_summary"].where(F.col("vertical_name").isNotNull()),
+        "Trending wikis by vertical",
+        "vertical_name",
+        ["wiki_name", "users", "users_total_vs_benchmark"],
+        top_n_per_group=5,
+        order_by="users_total_vs_benchmark",
+    )
+    with open(os.path.join(args.out, "report_by_vertical.json"), "w") as f:
+        json.dump(blocks, f, indent=2)
     return paths
 
 
