@@ -589,6 +589,53 @@ def q45_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q48_market_share",
+    oracle="""
+    WITH enriched AS (
+        SELECT CAST(year(o.o_orderdate) AS INTEGER) AS order_year,
+               n.n_name AS supp_nation,
+               CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 10000) AS BIGINT)
+                   AS rev_c4
+        FROM lineitem l
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+    )
+    SELECT order_year,
+           ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_c4 ELSE 0 END) AS BIGINT)
+                 / CAST(SUM(rev_c4) AS BIGINT), 6) AS nation3_share,
+           CAST(SUM(rev_c4) AS BIGINT) AS total_rev_c4
+    FROM enriched GROUP BY order_year
+    """,
+)
+def q48_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-share ratio per year (TPC-H Q8-class: conditional-sum over
+    total-sum).  Both sums are exact integer cents, so the share double is
+    bit-identical across engines."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    rev = cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)
+    enriched = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select(
+            F.year("o_orderdate").alias("order_year"),
+            F.col("n_name").alias("supp_nation"),
+            rev.alias("rev_c4"),
+        )
+    )
+    nation3 = F.sum(F.when(F.col("supp_nation") == "NATION_3", F.col("rev_c4")).otherwise(0))
+    total = F.sum("rev_c4")
+    return enriched.groupBy("order_year").agg(
+        F.round(nation3 / total, 6).alias("nation3_share"),
+        total.alias("total_rev_c4"),
+    )
+
+
+@query(
     "q46_above_avg_customers",
     oracle="""
     WITH stats AS (
