@@ -67,6 +67,20 @@ def run_trending(spark: SparkSession, args) -> dict[str, str]:
     )
     with open(os.path.join(args.out, "report_by_vertical.json"), "w") as f:
         json.dump(blocks, f, indent=2)
+    # wikis whose cached metadata is stale and needs refresh (reference
+    # refresh-if-stale gate before the metadata pipeline, tasks.py:2149-2163)
+    meta_path = os.path.join(args.data_dir, "wiki_metadata.parquet")
+    if os.path.exists(meta_path):
+        from magi_etl_spark.pipelines.monetization import stale_metadata
+
+        stale = stale_metadata(spark.read.parquet(meta_path), args.anchor_date)
+        top_ids = out["wiki_summary"].select(
+            F.col("wiki_id").cast("bigint").cast("string").alias("wiki_id")
+        )
+        needs = stale.join(top_ids, "wiki_id", "left_semi").select("wiki_id")
+        p = os.path.join(args.out, "needs_refresh")
+        needs.write.mode("overwrite").parquet(p)
+        paths["needs_refresh"] = p
     return paths
 
 
