@@ -106,3 +106,27 @@ class ResultCache:
                 return hit
             time.sleep(wait_poll_seconds)
         raise TimeoutError(f"cache wait timed out for key {key}")
+
+    def evict_expired(self) -> list[str]:
+        """Delete expired materializations (TTL housekeeping the reference
+        delegates to Redis expiry); returns the evicted keys."""
+        import shutil
+
+        evicted = []
+        for meta_name in os.listdir(self.root):
+            if not meta_name.endswith(".meta.json"):
+                continue
+            key = meta_name[: -len(".meta.json")]
+            path, meta, _ = self._paths(key)
+            try:
+                created = json.load(open(meta))["created_at"]
+            except (ValueError, KeyError, OSError):
+                created = 0
+            if self.clock() - created > self.ttl_seconds:
+                shutil.rmtree(path, ignore_errors=True)
+                try:
+                    os.unlink(meta)
+                except FileNotFoundError:
+                    pass
+                evicted.append(key)
+        return evicted

@@ -132,3 +132,8 @@ def test_result_cache_ttl_and_singleflight(spark, tmp_path):
     lock.write_text("0")
     cache.get_or_compute(spark, "k2", compute)
     assert len(calls) == 4
+    # TTL housekeeping: k1 (created ~1200) is expired at t=10000, k2 fresh
+    evicted = cache.evict_expired()
+    assert "k1" in evicted and "k2" not in evicted
+    assert cache.lookup(spark, "k1") is None
+    assert cache.lookup(spark, "k2") is not None
