@@ -109,6 +109,35 @@ def q22_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q49_chunking",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    nonempty AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+    grid AS (
+        SELECT doc_id, toks,
+               generate_subscripts(range(1, len(toks) + 1, 48), 1) - 1 AS chunk_idx,
+               unnest(range(1, len(toks) + 1, 48)) AS start
+        FROM nonempty
+    )
+    SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+           array_to_string(toks[start : start + 63], ' ') AS chunk_text,
+           CAST(len(toks[start : start + 63]) AS INTEGER) AS n_chunk_tokens
+    FROM grid
+    WHERE len(toks[start : start + 63]) >= 16
+    """,
+)
+def q49_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token windows, stride 48) —
+    the sequence-packing primitive that turns long documents into
+    training-sized samples."""
+    from magi_etl_spark.operators.chunking import chunk_documents
+
+    d = load_table(spark, sf_dir, "documents")
+    return chunk_documents(d, "doc_id", "text", chunk_tokens=64, stride=48,
+                           min_chunk_tokens=16)
+
+
+@query(
     "q26_fingerprints",
     oracle="""
     SELECT doc_id,
