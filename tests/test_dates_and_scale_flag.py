@@ -25,7 +25,12 @@ def test_date_helpers(spark):
         reassemble_date(F.col("y"), F.col("m"), F.col("d")).alias("dt"),
         reassemble_date(F.col("y"), F.col("m"), F.col("nil")).alias("dt_null"),
         date_intervals(F.lit("2025-01-01"), F.lit("2025-01-08"), "7 days").alias("seq"),
-        convert_tz(F.lit("2025-06-01 12:00:00").cast("timestamp"), "UTC", "America/New_York").alias("nyc"),
+        # Render engine-side: collecting a naive datetime would leak the driver
+        # OS timezone through PySpark's timestamp conversion (TZ-dependent).
+        F.date_format(
+            convert_tz(F.lit("2025-06-01 12:00:00").cast("timestamp"), "UTC", "America/New_York"),
+            "yyyy-MM-dd HH:mm:ss",
+        ).alias("nyc"),
         first_day_of_iso_week(F.lit(2025), F.lit(9)).alias("wk"),
         seconds_between(
             F.lit("2025-01-01 00:00:01").cast("timestamp"),
@@ -35,7 +40,7 @@ def test_date_helpers(spark):
     assert row.dt == dt.date(2025, 2, 27)
     assert row.dt_null is None  # NULL part -> NULL date (Presto parity)
     assert row.seq == [dt.date(2025, 1, 1), dt.date(2025, 1, 8)]
-    assert row.nyc == dt.datetime(2025, 6, 1, 8, 0)  # EDT = UTC-4
+    assert row.nyc == "2025-06-01 08:00:00"  # EDT = UTC-4
     assert row.wk == dt.date(2025, 2, 24)  # ISO 2025-W09 Monday
     assert row.secs == 599
 
