@@ -90,14 +90,20 @@ def ngram_jaccard_pairs(
     text_col: str,
     n: int = 3,
     threshold: float = 0.5,
-    max_doc_freq: int | None = None,
+    max_doc_freq: int | float | None = None,
 ) -> DataFrame:
     """All pairs with shingle-set Jaccard >= threshold.
 
     Jaccard is computed from exact integer intersection/union counts, so
     the threshold comparison is engine-portable.  ``max_doc_freq`` prunes
-    shingles occurring in more than that many docs before the self-join
-    (changes semantics slightly — documented scale/accuracy trade).
+    stop-shingles before the self-join and is the REQUIRED scale lever:
+    the join's intermediate size is Σ_s df(s)², so popular shingles cost
+    quadratically.  An ``int`` caps absolute document frequency; a
+    ``float`` in (0, 1) caps it at that fraction of the corpus (portable
+    across scale factors — prefer it).  Union sizes still use the FULL
+    shingle sets, so pruning can only lower a pair's Jaccard — pairs that
+    survive are true near-dups (no false positives added); pairs held
+    together only by stop-shingles are dropped, which is the point.
     """
     sets = (
         with_shingles(df, id_col, text_col, n).where(F.size("shingles") > 0).persist()
@@ -105,12 +111,16 @@ def ngram_jaccard_pairs(
     sizes = sets.select("doc_id", F.size("shingles").alias("n_sh"))
     ex = sets.select("doc_id", F.explode("shingles").alias("shingle"))
     if max_doc_freq is not None:
-        rare = (
-            ex.groupBy("shingle")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_doc_freq)
-            .select("shingle")
-        )
+        dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+        if isinstance(max_doc_freq, float) and max_doc_freq < 1.0:
+            ndocs = ex.agg(F.countDistinct("doc_id").alias("_nd"))
+            rare = (
+                dfreq.crossJoin(F.broadcast(ndocs))
+                .where(F.col("df") <= F.col("_nd") * F.lit(max_doc_freq))
+                .select("shingle")
+            )
+        else:
+            rare = dfreq.where(F.col("df") <= int(max_doc_freq)).select("shingle")
         ex = ex.join(rare, "shingle")
     a = ex.alias("a")
     b = ex.alias("b")

@@ -58,24 +58,38 @@ def taxonomy_features(
 def cosine_similarity_pairs(
     features: DataFrame,
     min_similarity: float = 0.0,
-    max_feature_doc_freq: int | None = None,
+    max_feature_doc_freq: int | float | None = None,
 ) -> DataFrame:
     """Pairwise cosine similarity over sparse feature triples.
 
     sim(a,b) = Σ_f a_f·b_f / (‖a‖·‖b‖), computed as a feature-keyed
     self-join + sum — sparse matrix product, never a dense cross join.
-    ``max_feature_doc_freq`` drops stop-features before the join (the
-    quadratic term lives in popular features; standard scale lever).
-    Emits both (a,b) and (b,a) like the reference's full matrix.
+
+    ``max_feature_doc_freq`` drops stop-features before the join and is
+    the REQUIRED scale lever for large corpora: the join's intermediate
+    size is Σ_f df(f)², so a single popular feature dominates cost
+    quadratically.  An ``int`` is an absolute document-frequency cap; a
+    ``float`` in (0, 1) is a fraction of the corpus (portable across
+    scale factors — prefer it).  Norms are recomputed over the kept
+    features, so the result is exact cosine in the pruned subspace
+    (classic stop-word removal).  Pass ``None`` only for small,
+    bounded inputs. Emits both (a,b) and (b,a) like the reference's
+    full matrix.
     """
     feats = features
     if max_feature_doc_freq is not None:
-        rare = (
-            feats.groupBy("feature")
-            .agg(F.count("*").alias("df"))
-            .where(F.col("df") <= max_feature_doc_freq)
-            .select("feature")
-        )
+        dfreq = feats.groupBy("feature").agg(F.count("*").alias("df"))
+        if isinstance(max_feature_doc_freq, float) and max_feature_doc_freq < 1.0:
+            ndocs = feats.agg(F.countDistinct("id").alias("_nd"))
+            rare = (
+                dfreq.crossJoin(F.broadcast(ndocs))
+                .where(F.col("df") <= F.col("_nd") * F.lit(max_feature_doc_freq))
+                .select("feature")
+            )
+        else:
+            rare = dfreq.where(F.col("df") <= int(max_feature_doc_freq)).select(
+                "feature"
+            )
         feats = feats.join(rare, "feature")
     norms = feats.groupBy("id").agg(
         F.sqrt(F.sum(F.col("value") * F.col("value"))).alias("norm")

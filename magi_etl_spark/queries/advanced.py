@@ -299,6 +299,67 @@ ORACLE["q38_srp_lsh_buckets"] = _srp_oracle()
     WITH t AS (SELECT doc_id, list_distinct(list_filter(
                    regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS toks
                FROM documents),
+    feats0 AS (
+        SELECT doc_id AS id, unnest(toks) AS feature,
+               1.0 / sqrt(len(toks)) AS value
+        FROM t WHERE len(toks) > 0
+    ),
+    nd AS (SELECT COUNT(DISTINCT id) AS n FROM feats0),
+    rare AS (
+        SELECT feature FROM feats0, nd
+        GROUP BY feature, nd.n HAVING COUNT(*) <= 0.76 * nd.n
+    ),
+    feats AS (SELECT f.id, f.feature, f.value
+              FROM feats0 f JOIN rare r ON f.feature = r.feature),
+    norms AS (SELECT id, sqrt(sum(value * value)) AS norm FROM feats GROUP BY id),
+    dots AS (
+        SELECT a.id AS id_a, b.id AS id_b, sum(a.value * b.value) AS dot
+        FROM feats a JOIN feats b ON a.feature = b.feature AND a.id <> b.id
+        GROUP BY 1, 2
+    )
+    SELECT d.id_a, d.id_b,
+           ROUND(d.dot / (na.norm * nb.norm), 6) AS similarity
+    FROM dots d
+    JOIN norms na ON d.id_a = na.id
+    JOIN norms nb ON d.id_b = nb.id
+    WHERE d.dot / (na.norm * nb.norm) >= 0.9
+    """,
+)
+def q39_token_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse cosine similarity over token features WITH stop-word pruning
+    — the 100TB-safe registration.  Features occurring in more than 76%
+    of documents are dropped before the feature-keyed self-join (the
+    join's intermediate is Σ df², so popular features are the quadratic
+    term); norms are recomputed over the kept features, so the result is
+    exact cosine in the pruned subspace (classic stop-word removal — the
+    per-doc 1/sqrt(|toks|) weights cancel).  The unpruned small-N parity
+    form is q51."""
+    from magi_etl_spark.functions.text import tokens
+    from magi_etl_spark.operators.recommend import cosine_similarity_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    feats = (
+        d.select(F.col("doc_id").alias("id"), toks.alias("toks"))
+        .where(F.size("toks") > 0)
+        .select(
+            "id",
+            F.explode("toks").alias("feature"),
+            (F.lit(1.0) / F.sqrt(F.size("toks"))).alias("value"),
+        )
+        .persist()
+    )
+    return cosine_similarity_pairs(
+        feats, min_similarity=0.9, max_feature_doc_freq=0.76
+    ).select("id_a", "id_b", F.round("similarity", 6).alias("similarity"))
+
+
+@query(
+    "q51_exact_token_cosine_pairs",
+    oracle=r"""
+    WITH t AS (SELECT doc_id, list_distinct(list_filter(
+                   regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS toks
+               FROM documents),
     feats AS (
         SELECT doc_id AS id, unnest(toks) AS feature,
                1.0 / sqrt(len(toks)) AS value
@@ -313,12 +374,12 @@ ORACLE["q38_srp_lsh_buckets"] = _srp_oracle()
     FROM dots WHERE dot >= 0.9
     """,
 )
-def q39_token_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sparse cosine similarity of documents over distinct-token features
-    (the recommendation engine's join-based sparse dot product,
-    ``operators/recommend.py``, demonstrated on the generic corpus).
+def q51_exact_token_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (unpruned) sparse token cosine — small-N parity form only.
     With binary token features the row L2 norm is sqrt(|tokens|), so
-    value = 1/sqrt(n) and cosine = plain dot."""
+    value = 1/sqrt(n) and cosine = plain dot.  The unpruned feature
+    self-join is quadratic in posting-list length; use q39 (pruned)
+    at scale."""
     from magi_etl_spark.functions.text import tokens
     from magi_etl_spark.operators.recommend import cosine_similarity_pairs
 

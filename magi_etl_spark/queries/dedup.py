@@ -134,7 +134,13 @@ def q25_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH {_SHINGLES},
     nonempty AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
-    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+    ex0 AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+    nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM ex0),
+    rare AS (
+        SELECT shingle FROM ex0, nd
+        GROUP BY shingle, nd.n HAVING COUNT(*) <= 0.01 * nd.n
+    ),
+    ex AS (SELECT e.doc_id, e.shingle FROM ex0 e JOIN rare r ON e.shingle = r.shingle),
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
         FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -152,7 +158,45 @@ def q25_minhash_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q29_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via explode + shingle-keyed
-    self-join (the exact counterpart the LSH pipeline approximates)."""
+    """n-gram Jaccard near-dup pairs with stop-shingle pruning — the
+    100TB-safe registration.  Shingles occurring in more than 1% of the
+    corpus are dropped BEFORE the shingle-keyed self-join (the join's
+    intermediate is Σ df², so stop-shingles are the quadratic term);
+    union sizes still use full sets, so pruning only removes pairs held
+    together by stop-shingles.  On this corpus the pruned result is
+    IDENTICAL to the exact one (q50) — near-dups share rare shingles.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    return D.ngram_jaccard_pairs(
+        d, "doc_id", "text", n=3, threshold=0.5, max_doc_freq=0.01
+    )
+
+
+@query(
+    "q50_exact_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES},
+    nonempty AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    ),
+    sized AS (
+        SELECT i.doc_a, i.doc_b, i.n_inter, len(sa.sh) AS n_a, len(sb.sh) AS n_b
+        FROM inter i
+        JOIN nonempty sa ON i.doc_a = sa.doc_id
+        JOIN nonempty sb ON i.doc_b = sb.doc_id
+    )
+    SELECT doc_a, doc_b, ROUND(n_inter / (n_a + n_b - n_inter), 6) AS jaccard
+    FROM sized
+    WHERE n_inter / (n_a + n_b - n_inter) >= 0.5
+    """,
+)
+def q50_exact_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT (unpruned) n-gram Jaccard pairs — small-N parity form only.
+    The unpruned shingle self-join is quadratic in posting-list length and
+    must not be run on a large corpus; use q29 (pruned) at scale."""
     d = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
