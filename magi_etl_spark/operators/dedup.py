@@ -36,12 +36,14 @@ def exact_duplicate_groups(df: DataFrame, keys: list[str], id_col: str) -> DataF
 def _fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-heavy per-row
     work.  A small parquet file arrives as one split; without this, all
-    tokenize/hash work runs on a single core.  No-op (costs one round-robin
-    shuffle of the raw rows) when the input is already wide."""
+    tokenize/hash work runs on a single core.  No-op when the input is
+    already wide (checked via ``inputFiles()`` plan metadata, not
+    ``df.rdd``, which would force an RDD-path plan analysis per call)."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if files and len(files) >= target:
+        return df
+    return df.repartition(target)
 
 
 def dedup_keep_best(

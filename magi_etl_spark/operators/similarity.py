@@ -16,11 +16,16 @@ from magi_etl_spark.functions.vectors import as_double, cosine, dot, l2_norm
 
 def _fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow input (single parquet split) across all cores before
-    per-row vector math; no-op when already wide."""
+    per-row vector math; no-op when already wide.
+
+    Uses ``inputFiles()`` (plan metadata) rather than
+    ``df.rdd.getNumPartitions()``, which would force plan analysis through
+    the RDD conversion path on every call."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        return df.repartition(target)
-    return df
+    files = df.inputFiles()
+    if files and len(files) >= target:
+        return df
+    return df.repartition(target)
 
 
 def cosine_topk(
@@ -129,6 +134,52 @@ def ivf_index(
         id_col, F.col("_v"), F.col("list_id")
     )
     centroids = [[float(x) for x in c] for c in model.clusterCenters()]
+    return assigned.persist(), centroids
+
+
+def ivf_index_sampled(
+    df: DataFrame,
+    n_lists: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, list[list[float]]]:
+    """Deterministic IVF coarse quantizer: the centroids are the
+    ``n_lists`` corpus vectors with the smallest ids (a sampled-centroid
+    quantizer — the standard KMeans-free IVF variant; FAISS supports any
+    coarse quantizer).  Unlike :func:`ivf_index` (KMeans) this build is
+    fully order-deterministic and expressible in ANSI SQL, so the whole
+    IVF probe path can be oracle-checked end to end.  Assignment is a
+    broadcast of the tiny centroid table against the corpus — one narrow
+    pass, no shuffle of the big side; at cluster scale the assigned set
+    is written partitioned by ``list_id`` so probes become partition
+    pruning."""
+    base = _fan_out(
+        df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    )
+    centroids = [
+        [float(x) for x in r["_v"]]
+        for r in base.orderBy(F.col(id_col)).limit(n_lists).collect()
+    ]
+    def _d2_to(c: list[float]):
+        lit = F.array(*[F.lit(x) for x in c])
+        return F.aggregate(
+            F.zip_with(F.col("_v"), lit, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    # argmin as a narrow expression: struct comparison sorts by (d2,
+    # list_id), so [0] is the nearest centroid with a deterministic
+    # tie-break — no crossJoin, no window, no shuffle of the corpus.
+    cands = F.array(
+        *[
+            F.struct(_d2_to(c).alias("d2"), F.lit(i).alias("list_id"))
+            for i, c in enumerate(centroids)
+        ]
+    )
+    assigned = base.select(
+        id_col, "_v", F.array_sort(cands)[0]["list_id"].alias("list_id")
+    )
     return assigned.persist(), centroids
 
 

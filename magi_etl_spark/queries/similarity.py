@@ -102,16 +102,66 @@ from magi_etl_spark.queries import ORACLE  # noqa: E402
 ORACLE["q44_lsh_blocked_embedding_dedup"] = _q44_oracle()
 
 
-@query("q41_ivf_topk")  # approximate + KMeans-based: rows-only driver check
+# Squared L2 distance between a corpus vector v and centroid c (DuckDB).
+_D2 = (
+    "list_sum(list_transform(range(1, len({v}) + 1),"
+    " i -> ({v}[i] - {c}[i]) * ({v}[i] - {c}[i])))"
+)
+
+
+@query(
+    "q41_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER) AS list_id,
+               v AS c
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    assigned AS (
+        SELECT vec_id, v, list_id FROM (
+            SELECT e.vec_id, e.v, cent.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       {_D2.format(v="e.v", c="cent.c")} ASC, cent.list_id ASC) AS rn
+            FROM e, cent
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 3),
+    probes AS (
+        SELECT query_id, qv, list_id FROM (
+            SELECT q.query_id, q.qv, cent.list_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       {_D2.format(v="q.qv", c="cent.c")} ASC, cent.list_id ASC) AS pr
+            FROM q, cent
+        ) WHERE pr <= 2
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, a.v AS av, p.qv AS bv
+        FROM assigned a JOIN probes p
+          ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, {_COSINE} AS s,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY {_COSINE} DESC, vec_id) AS INTEGER) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(s, 6) AS score, rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
 def q41_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-k: KMeans coarse quantizer, n_probe nearest
-    inverted lists scanned per query (~n_probe/n_lists scan fraction).
-    Recall vs the exact baseline is tested in tests/test_ivf.py."""
-    from magi_etl_spark.operators.similarity import ivf_index, ivf_topk
+    """IVF approximate top-k with a deterministic sampled-centroid coarse
+    quantizer: each query probes its 2 nearest of 8 inverted lists (25%
+    scan fraction).  The sampled quantizer makes the whole IVF path
+    order-deterministic and SQL-expressible, so the driver can
+    hash-check it end to end; the KMeans quantizer variant
+    (``ivf_index``) has its recall tested in tests/test_ivf.py."""
+    from magi_etl_spark.operators.similarity import ivf_index_sampled, ivf_topk
 
     e = load_table(spark, sf_dir, "embeddings")
-    assigned, centroids = ivf_index(e, n_lists=8, seed=42)
-    return ivf_topk(assigned, centroids, e.where(F.col("vec_id") < 3), k=10, n_probe=4)
+    assigned, centroids = ivf_index_sampled(e, n_lists=8)
+    return ivf_topk(assigned, centroids, e.where(F.col("vec_id") < 3), k=10, n_probe=2)
 
 
 @query(
