@@ -31,6 +31,14 @@ HEADLINE = [
     "q30_metric_query_events",
     "q32_simhash",
     "q42_window_benchmark",
+    # heavy dedup/similarity tail — visible round-over-round
+    "q43_simhash_neardup",
+    "q44_lsh_blocked_embedding_dedup",
+    "q47_dedup_keep_best",
+    # engine surface + nested-subquery breadth
+    "q52_min_cost_supplier",
+    "q53_dominant_supplier",
+    "q54_helix_generic",
 ]
 
 

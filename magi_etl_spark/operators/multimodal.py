@@ -3,15 +3,18 @@ metadata (LLM-training-pipeline extension; no counterpart in the
 reference, which is tabular-only).
 
 The Spark-side plumbing — schema, Arrow batching through mapInPandas,
-partition sizing for large blobs — is real and tested; the actual
-codec work is pluggable because media libraries aren't available here:
-``decoder=None`` routes to a clearly-marked NotImplementedError stub,
-tests inject ``fake_image_decoder``.
+partition sizing for large blobs — is real and tested.  The default
+decoder is a pure-stdlib PNG codec (zlib + struct; no external media
+libraries needed); other formats are pluggable via
+``extract_features(decoder=...)`` (e.g. a PIL-backed callable), and
+``fake_image_decoder`` exercises the Arrow path without any codec.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
+import zlib
 from collections.abc import Callable, Iterator
 
 import pandas as pd
@@ -39,14 +42,122 @@ MEDIA_SCHEMA = T.StructType(
 )
 
 
-def real_image_decode(payload: bytes) -> list[float]:  # pragma: no cover - stub
-    """Decode + feature-extract one image.  STUB: the container has no
-    image codec libraries; plug a PIL/torchvision-backed callable into
-    ``extract_features(decoder=...)`` in a real deployment."""
-    raise NotImplementedError(
-        "image decoding requires a codec library; inject decoder=... "
-        "(e.g. PIL-based) into extract_features()"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}  # grey, RGB, grey+alpha, RGBA
+
+
+def png_decode(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Pure-stdlib PNG decode: signature + chunk walk (struct), IDAT
+    reassembly + inflate (zlib), per-scanline unfilter (filters 0-4).
+
+    Supports 8-bit non-interlaced greyscale / RGB / grey+alpha / RGBA —
+    the common training-corpus cases.  Returns ``(width, height,
+    channels, samples)`` with samples as row-major interleaved bytes.
+    Raises ValueError for non-PNG or unsupported variants (inject a
+    PIL-backed decoder into ``extract_features`` for those).
+    """
+    if not payload or bytes(payload[:8]) != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = color_type = None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = bytes(payload[pos + 4 : pos + 8])
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # data + length/type/CRC words
+        if ctype == b"IHDR":
+            w, h, bit_depth, color_type, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if bit_depth != 8 or interlace != 0 or color_type not in _PNG_CHANNELS:
+                raise ValueError(
+                    "unsupported PNG variant (need 8-bit non-interlaced "
+                    "grey/RGB/grey+alpha/RGBA)"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None or not idat:
+        raise ValueError("truncated PNG (missing IHDR or IDAT)")
+    channels = _PNG_CHANNELS[color_type]
+    raw = zlib.decompress(bytes(idat))
+    stride = w * channels
+    if len(raw) != h * (stride + 1):
+        raise ValueError("corrupt PNG scanline data")
+    out = bytearray()
+    prev = bytearray(stride)
+    p = 0
+    for _ in range(h):
+        f = raw[p]
+        line = bytearray(raw[p + 1 : p + 1 + stride])
+        p += 1 + stride
+        if f == 1:  # Sub
+            for i in range(channels, stride):
+                line[i] = (line[i] + line[i - channels]) & 0xFF
+        elif f == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average
+            for i in range(stride):
+                left = line[i - channels] if i >= channels else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - channels] if i >= channels else 0
+                b = prev[i]
+                c = prev[i - channels] if i >= channels else 0
+                pp = a + b - c
+                pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif f != 0:
+            raise ValueError(f"bad PNG filter type {f}")
+        out += line
+        prev = line
+    return w, h, channels, bytes(out)
+
+
+def png_encode(width: int, height: int, channels: int, samples: bytes) -> bytes:
+    """Minimal stdlib PNG writer (filter 0, one IDAT) — the round-trip
+    partner of :func:`png_decode` for tests and fixture generation."""
+    color_type = {1: 0, 3: 2, 2: 4, 4: 6}[channels]
+    stride = width * channels
+    raw = b"".join(
+        b"\x00" + bytes(samples[y * stride : (y + 1) * stride]) for y in range(height)
     )
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def real_image_decode(payload: bytes) -> list[float]:
+    """Decode one real image (PNG via the stdlib codec above) into 8
+    features: width, height, channels, n_samples, then per-channel means
+    scaled to [0,1] (zero-padded to 4 channels).  Non-PNG payloads raise
+    ValueError — plug a PIL/torchvision-backed callable into
+    ``extract_features(decoder=...)`` for other formats."""
+    w, h, ch, samples = png_decode(payload)
+    means = []
+    for c in range(ch):
+        vals = samples[c::ch]
+        means.append(sum(vals) / len(vals) / 255.0 if vals else 0.0)
+    means += [0.0] * (4 - len(means))
+    return [float(w), float(h), float(ch), float(len(samples)), *means]
 
 
 def fake_image_decoder(payload: bytes) -> list[float]:
@@ -61,17 +172,30 @@ def extract_features(
     decoder: Callable[[bytes], list[float]] | None = None,
     feature_len: int = 8,
     media_type: str = "image",
+    on_error: str = "null",
 ) -> DataFrame:
     """binary payload -> features array<double> via Arrow-batched
     mapInPandas.  Rows of other media types pass through with NULL
-    features (schema-stable)."""
+    features (schema-stable).  ``on_error="null"`` (default) maps
+    undecodable payloads to NULL features instead of failing the job —
+    at corpus scale a fraction of blobs is always corrupt and one bad
+    row must not kill a 1000-executor pass; set ``on_error="raise"``
+    to surface decode bugs in tests."""
     dec = decoder or real_image_decode
     out_schema = "media_id long, media_type string, features array<double>"
+
+    def safe(p: bytes) -> list[float] | None:
+        try:
+            return dec(p)
+        except Exception:
+            if on_error == "raise":
+                raise
+            return None
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             feats = [
-                dec(p) if (t == media_type and p is not None) else None
+                safe(p) if (t == media_type and p is not None) else None
                 for t, p in zip(pdf["media_type"], pdf["payload"])
             ]
             yield pd.DataFrame(

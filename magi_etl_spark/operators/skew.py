@@ -33,3 +33,40 @@ def salted_count_distinct(
         .agg(F.countDistinct(c).alias("_partial"))
     )
     return phase1.groupBy(*group_cols).agg(F.sum("_partial").alias(out_name))
+
+
+def salted_join(
+    skewed: DataFrame,
+    other: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Equi-join that survives a hot join key (the trending pipeline's
+    viral-wiki case: one ``wiki_name`` carrying 100x the traffic of the
+    rest turns the shuffle join into a single straggler task).
+
+    The skewed side gets a stable salt derived from its full row hash;
+    the other side is replicated across all ``salt_buckets`` values
+    (explode of a literal range — rows × S, cheap when the other side is
+    the smaller aggregate table); the join keys become (on…, salt), so
+    the hot key's rows spread over S reducers.  Semantically identical to
+    ``skewed.join(other, on, how)`` for inner/left joins: every skewed
+    row still meets every matching other-side row exactly once.
+
+    Prefer AQE's skew-join split (on by default in the session factory)
+    when the skew appears at runtime shuffle statistics; use this
+    explicit form when the hot key is *known* (a viral wiki) or when the
+    optimizer can't see the skew (e.g. skew introduced by an upstream
+    explode in the same stage).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in skewed.columns]), F.lit(salt_buckets)
+    )
+    s = skewed.withColumn("_salt", salt)
+    rep = other.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    return s.join(rep, on + ["_salt"], how).drop("_salt")

@@ -95,3 +95,112 @@ def q31_metric_query_unnest(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_count=10,
     )
     return metric_query(spark, sf_dir, cfg)
+
+
+@query(
+    "q54_helix_generic",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id % 20 AS wid,
+               CAST(event_id % 500 AS VARCHAR) AS article,
+               CASE user_id % 3 WHEN 0 THEN 'US' WHEN 1 THEN 'DE' ELSE 'JP' END
+                   AS country,
+               CAST(user_id AS VARCHAR) AS amplitude_id
+        FROM events
+        WHERE CAST(year(ts) AS VARCHAR) = '2024'
+          AND CAST(month(ts) AS VARCHAR) = '1'
+    ),
+    tax AS (
+        SELECT CAST(p_partkey % 500 AS VARCHAR) AS article,
+               CAST(p_partkey % 20 AS VARCHAR) AS twid,
+               CASE WHEN (p_partkey % 6) / 10.0 + 0.4 >= 0.6
+                    THEN lower(p_type) END AS genre
+        FROM part
+    ),
+    joined AS (
+        SELECT e.amplitude_id, e.country, t.genre
+        FROM ev e JOIN tax t
+          ON CAST(e.wid AS VARCHAR) = t.twid AND e.article = t.article
+        WHERE t.genre IS NOT NULL
+    ),
+    cm AS (SELECT * FROM (VALUES ('US', 'north america'), ('DE', 'emea'),
+                                 ('JP', 'apac')) AS v(country, region))
+    SELECT j.genre, cm.region,
+           COUNT(DISTINCT j.amplitude_id) AS users,
+           CAST(COUNT(*) AS BIGINT) AS pageviews
+    FROM joined j LEFT JOIN cm ON j.country = cm.country
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT j.amplitude_id) >= 3
+    """,
+)
+def q54_helix_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine's top-level surface — ``helix_metric_dataset`` →
+    ``metric_query`` — driver-gated over the GENERIC tables via a
+    deterministic adapter: events become the amplitude-shaped stream
+    (float-polluted wiki_id exercising the floor-normalized join keys),
+    part becomes the taxonomy (confidence ramp exercising the >= 0.6
+    filter), and a 3-row country map exercises the broadcast dim joins.
+    Dims = (genre [unnest], region [scalar]); metrics = distinct users +
+    summed pageviews with a min-users cutoff."""
+    from pyspark.sql import functions as F
+
+    from magi_etl_spark.pipelines.helix import HelixConfig, helix_metric_dataset
+    from magi_etl_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    p = load_table(spark, sf_dir, "part")
+    ev = e.select(
+        F.year("ts").cast("string").alias("year"),
+        F.month("ts").cast("string").alias("month"),
+        (F.col("user_id") % 20).cast("double").alias("wiki_id"),
+        (F.col("event_id") % 500).cast("string").alias("content_id"),
+        F.concat(
+            F.lit("https://w"), (F.col("user_id") % 20).cast("string"),
+            F.lit(".acme.com/a/"), (F.col("event_id") % 500).cast("string"),
+        ).alias("page_url"),
+        F.lit(1).alias("pageviews"),
+        F.element_at(
+            F.array(F.lit("US"), F.lit("DE"), F.lit("JP")),
+            (F.col("user_id") % 3 + 1).cast("int"),
+        ).alias("country"),
+        F.lit("acme").alias("brand"),
+        F.lit("Web").alias("platform"),
+        F.col("user_id").cast("string").alias("analytics_id"),
+    )
+    empty = F.expr("cast(array() as array<struct<confidence:double,value:string>>)")
+    conf = (F.col("p_partkey") % 6) / F.lit(10.0) + F.lit(0.4)
+    tax = p.select(
+        F.create_map(
+            F.lit("article_id"), (F.col("p_partkey") % 500).cast("string"),
+            F.lit("wiki_id"), (F.col("p_partkey") % 20).cast("string"),
+        ).alias("content_ids"),
+        F.array(
+            F.struct(conf.alias("confidence"), F.col("p_type").alias("value"))
+        ).alias("site_all_genres"),
+        empty.alias("site_all_verticals"),
+        empty.alias("site_all_subgenres"),
+        empty.alias("site_all_themes"),
+        F.array(F.col("p_brand")).alias("site_all_franchises"),
+    )
+    dim = spark.range(20).select(
+        F.col("id").cast("double").alias("wiki_id"),
+        F.concat(F.lit("v"), (F.col("id") % 4).cast("string")).alias("vertical_name"),
+    )
+    cmap = spark.createDataFrame(
+        [
+            ("US", "United States", "North America", "NA-sub"),
+            ("DE", "Germany", "EMEA", "EU-sub"),
+            ("JP", "Japan", "APAC", "JP-sub"),
+        ],
+        "amplitude_country string, acme_country string, acme_sales_region string,"
+        " sales_insights_subcontinent string",
+    )
+    ds = helix_metric_dataset(ev, tax, dim, cmap, HelixConfig(year="2024", month="1"))
+    qcfg = MetricQueryConfig(
+        dataset="helix",
+        dimensions=["genre", "region"],
+        metrics=["users", "pageviews"],
+        min_metric="users",
+        min_count=3,
+    )
+    return metric_query(spark, sf_dir, qcfg, dataset=ds)

@@ -692,3 +692,133 @@ def q18_week_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n"), F.countDistinct("user_id").alias("users"))
     )
+
+
+@query(
+    "q52_min_cost_supplier",
+    oracle="""
+    WITH eu AS (
+        SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        FROM supplier s
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT DISTINCT p.p_partkey, p.p_name, e.s_name, e.n_name,
+           CAST(ROUND(e.s_acctbal * 100) AS BIGINT) AS bal_c,
+           CAST(ROUND(l.l_extendedprice * 100) AS BIGINT) AS price_c
+    FROM part p
+    JOIN lineitem l ON p.p_partkey = l.l_partkey
+    JOIN eu e ON l.l_suppkey = e.s_suppkey
+    WHERE p.p_size <= 10
+      AND l.l_extendedprice = (
+          SELECT MIN(l2.l_extendedprice)
+          FROM lineitem l2 JOIN eu e2 ON l2.l_suppkey = e2.s_suppkey
+          WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q52_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2-class nested subquery: the cheapest EUROPE supplier per
+    small part, where the min-price subquery is itself correlated through
+    the same region-restricted supplier set (second correlation level).
+
+    Decorrelated Spark-first: the region-restricted supplier dim reduces
+    once and broadcasts into the fact scan; the correlated MIN becomes
+    one partkey agg over the same reduced frame; the join-back on
+    (partkey, price) hits only the winning rows.  The fact table shuffles
+    once (for the agg) — never for the dims."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    eu = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r.where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = (
+        l.join(F.broadcast(eu), l.l_suppkey == F.col("s_suppkey"))
+        .select("l_partkey", "s_name", "s_acctbal", "n_name", "l_extendedprice")
+    )
+    minp = offers.groupBy(F.col("l_partkey").alias("mk")).agg(
+        F.min("l_extendedprice").alias("min_price")
+    )
+    small = p.where(F.col("p_size") <= 10).select("p_partkey", "p_name")
+    return (
+        offers.join(
+            minp,
+            (F.col("l_partkey") == F.col("mk"))
+            & (F.col("l_extendedprice") == F.col("min_price")),
+        )
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", "n_name",
+            cents(F.col("s_acctbal")).alias("bal_c"),
+            cents(F.col("l_extendedprice")).alias("price_c"),
+        )
+        .distinct()
+    )
+
+
+@query(
+    "q53_dominant_supplier",
+    oracle="""
+    SELECT s.s_name, n.n_name
+    FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE EXISTS (
+        SELECT 1 FROM part p
+        WHERE p.p_name LIKE 'small%'
+          AND p.p_partkey IN (
+              SELECT l.l_partkey FROM lineitem l
+              WHERE l.l_suppkey = s.s_suppkey
+                AND l.l_shipdate >= DATE '1996-01-01'
+                AND l.l_shipdate <  DATE '1997-01-01'
+              GROUP BY l.l_partkey
+              HAVING SUM(l.l_quantity) > 0.3 * (
+                  SELECT SUM(l2.l_quantity) FROM lineitem l2
+                  WHERE l2.l_partkey = l.l_partkey
+                    AND l2.l_shipdate >= DATE '1996-01-01'
+                    AND l2.l_shipdate <  DATE '1997-01-01')
+          )
+    )
+    """,
+)
+def q53_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20-class EXISTS chain: suppliers who shipped more than 30%
+    of 1996's total quantity of some 'small%' part — a two-level
+    correlated EXISTS/IN/HAVING nest.
+
+    Decorrelated Spark-first: one filtered scan of the year's lineitems
+    feeds BOTH aggregates (per supplier-part and per part); the dominance
+    predicate is a join of the two; the EXISTS levels collapse to
+    broadcast LEFT SEMI joins, so the supplier table is filtered without
+    duplication and the fact table shuffles once."""
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    year = l.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    per_ps = year.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("sq")
+    )
+    per_p = year.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("l_quantity").alias("tq")
+    )
+    small = p.where(F.col("p_name").like("small%")).select("p_partkey")
+    dominant = (
+        per_ps.join(per_p, F.col("l_partkey") == F.col("pk"))
+        .where(F.col("sq") > 0.3 * F.col("tq"))
+        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .select("l_suppkey")
+    )
+    return (
+        s.join(dominant, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )

@@ -62,12 +62,18 @@ def slack_blocks_grouped(
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
 
-    if order_by:
-        w = W.partitionBy(group_col).orderBy(F.desc(order_by))
-        df = df.withColumn("_rn", F.row_number().over(w)).where(
-            F.col("_rn") <= top_n_per_group
-        ).drop("_rn")
-    rows = df.collect()
+    # Always cap per-group BEFORE collect — this is a driver-edge sink and
+    # must never pull an unbounded DataFrame; without an explicit order the
+    # cap keeps the first rows per group in the frame's own ordering.
+    order = F.desc(order_by) if order_by else F.monotonically_increasing_id()
+    w = W.partitionBy(group_col).orderBy(order)
+    df = (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_n_per_group)
+        .drop("_rn")
+    )
+    # Slack renders at most 50 blocks; bound the group count too.
+    rows = df.limit(50 * max(1, top_n_per_group)).collect()
     by_group: dict[str, list] = {}
     for r in rows:
         by_group.setdefault(str(r[group_col]), []).append(r)

@@ -100,6 +100,67 @@ def read_sheet(
     return spark.createDataFrame([tuple(r) for r in data], schema)
 
 
+def read_search_console(
+    spark: SparkSession,
+    fetch_page: Callable[[dict], dict],
+    *,
+    start_date: str,
+    end_date: str,
+    dimensions: Sequence[str] = ("page", "date", "query"),
+    row_limit: int = 25_000,
+    max_pages: int = 10_000,
+) -> DataFrame:
+    """Search-Console-style paginated source (reference S8
+    ``SearchData.get_search_data``, ``connectors.py:489-534``).
+
+    Offset pagination: page ``i`` requests ``startRow = i * row_limit``
+    and the loop stops at the first page with no rows (the reference's
+    ``while True`` / ``response.get("rows")`` contract); the API's
+    ``keys`` list column is then split into one column per requested
+    dimension — engine-side ``element_at`` — with the ``date`` dimension
+    parsed to a real date and ``keys`` dropped.  ``fetch_page`` is the
+    injected transport (payload -> response dict) so the source is
+    testable offline.  The API edge is driver-side by nature (offset
+    pagination is sequential); everything after the fetch is a Spark
+    plan, and ``max_pages`` bounds a misbehaving endpoint.
+    """
+    rows: list[dict] = []
+    for i in range(max_pages):
+        payload = {
+            "startDate": start_date,
+            "endDate": end_date,
+            "dimensions": list(dimensions),
+            "rowLimit": row_limit,
+            "startRow": i * row_limit,
+        }
+        got = fetch_page(payload).get("rows") or []
+        if not got:
+            break
+        rows.extend(got)
+    schema = (
+        "keys array<string>, clicks double, impressions double, "
+        "ctr double, position double"
+    )
+    df = spark.createDataFrame(
+        [
+            (
+                list(r.get("keys", [])),
+                r.get("clicks"),
+                r.get("impressions"),
+                r.get("ctr"),
+                r.get("position"),
+            )
+            for r in rows
+        ],
+        schema,
+    )
+    dim_cols = []
+    for j, d in enumerate(dimensions):
+        c = F.try_element_at("keys", F.lit(j + 1))
+        dim_cols.append((F.to_date(c) if d == "date" else c).alias(d))
+    return df.select(*dim_cols, "clicks", "impressions", "ctr", "position")
+
+
 def coerce_numeric(df: DataFrame, cols: list[str]) -> DataFrame:
     """Numeric coercion for sheet extracts: strips thousands separators
     and try_casts (reference's ad-hoc ``str.replace(',','')`` +

@@ -22,6 +22,7 @@ from magi_etl_spark.sources import (
     dryrun_path,
     read_csv,
     read_rest,
+    read_search_console,
     read_sheet,
 )
 
@@ -42,6 +43,66 @@ def test_read_rest_shape(spark):
     )
     assert df.count() == 2
     assert df.schema["overlap_users"].dataType.simpleString() == "bigint"
+
+
+def test_read_search_console_pagination_and_key_split(spark):
+    """3-page offset pagination (2 + 2 + empty) and keys-list split into
+    typed dimension columns, mirroring reference connectors.py:489-534."""
+    pages = [
+        {
+            "rows": [
+                {"keys": ["/wiki/A", "2025-03-01", "heroes"],
+                 "clicks": 10.0, "impressions": 100.0, "ctr": 0.1, "position": 1.5},
+                {"keys": ["/wiki/B", "2025-03-01", "villains"],
+                 "clicks": 5.0, "impressions": 50.0, "ctr": 0.1, "position": 2.0},
+            ]
+        },
+        {
+            "rows": [
+                {"keys": ["/wiki/C", "2025-03-02", "heroes"],
+                 "clicks": 7.0, "impressions": 70.0, "ctr": 0.1, "position": 3.0},
+                {"keys": ["/wiki/D", "2025-03-02", "lore"],
+                 "clicks": 2.0, "impressions": 40.0, "ctr": 0.05, "position": 9.9},
+            ]
+        },
+        {},  # empty page terminates the loop
+    ]
+    seen_payloads = []
+
+    def fetch_page(payload):
+        seen_payloads.append(payload)
+        return pages[min(len(seen_payloads) - 1, len(pages) - 1)]
+
+    df = read_search_console(
+        spark,
+        fetch_page,
+        start_date="2025-03-01",
+        end_date="2025-03-02",
+        dimensions=("page", "date", "query"),
+        row_limit=2,
+    )
+    assert [p["startRow"] for p in seen_payloads] == [0, 2, 4]
+    assert all(p["rowLimit"] == 2 for p in seen_payloads)
+    assert df.columns == ["page", "date", "query", "clicks", "impressions", "ctr", "position"]
+    assert df.schema["date"].dataType.simpleString() == "date"
+    rows = {r.page: r for r in df.collect()}
+    assert len(rows) == 4
+    assert rows["/wiki/C"].query == "heroes"
+    assert rows["/wiki/D"].date.isoformat() == "2025-03-02"
+    assert rows["/wiki/A"].clicks == 10.0
+
+
+def test_read_search_console_empty_first_page(spark):
+    df = read_search_console(
+        spark,
+        lambda payload: {"rows": []},
+        start_date="2025-03-01",
+        end_date="2025-03-01",
+        dimensions=("date", "country"),
+        row_limit=100,
+    )
+    assert df.count() == 0
+    assert df.columns == ["date", "country", "clicks", "impressions", "ctr", "position"]
 
 
 def test_read_sheet_header_promotion_and_coercion(spark):

@@ -76,9 +76,99 @@ def test_multimodal_feature_extraction(media):
     assert rows[4].features is None  # NULL payload safe
 
 
-def test_multimodal_stub_raises_cleanly(media):
-    with pytest.raises(Exception, match="codec|NotImplemented"):
-        extract_features(media).collect()
+def test_multimodal_non_png_raises_or_nulls(media):
+    # on_error="raise" surfaces the decode failure for non-PNG payloads
+    with pytest.raises(Exception, match="PNG"):
+        extract_features(media, on_error="raise").collect()
+    # default policy: corrupt/unknown blobs -> NULL features, job survives
+    rows = {r.media_id: r for r in extract_features(media).collect()}
+    assert rows[1].features is None and rows[2].features is None
+
+
+def _rgb_png() -> tuple[bytes, list[int]]:
+    from magi_etl_spark.operators.multimodal import png_encode
+
+    # 2x2 RGB: red, green / blue, white
+    samples = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    return png_encode(2, 2, 3, bytes(samples)), samples
+
+
+def test_png_roundtrip_and_real_decode():
+    from magi_etl_spark.operators.multimodal import png_decode, real_image_decode
+
+    payload, samples = _rgb_png()
+    w, h, ch, out = png_decode(payload)
+    assert (w, h, ch) == (2, 2, 3) and list(out) == samples
+    feats = real_image_decode(payload)
+    assert feats[:4] == [2.0, 2.0, 3.0, 12.0]
+    # channel means: R=(255+0+0+255)/4, G=(0+255+0+255)/4, B=(0+0+255+255)/4
+    assert feats[4] == pytest.approx(510 / 4 / 255)
+    assert feats[5] == pytest.approx(510 / 4 / 255)
+    assert feats[6] == pytest.approx(510 / 4 / 255)
+    assert feats[7] == 0.0  # padded 4th channel
+
+
+def test_png_decode_all_filter_types():
+    """Hand-filter scanlines with each PNG filter type and check the
+    decoder reconstructs the original pixels."""
+    import struct
+    import zlib
+
+    from magi_etl_spark.operators.multimodal import png_decode
+
+    width, height, ch = 4, 5, 2  # grey+alpha
+    img = [[(x * 37 + y * 91 + c * 13) % 256 for x in range(width) for c in range(ch)]
+           for y in range(height)]
+    stride = width * ch
+    raw = bytearray()
+    prev = [0] * stride
+    for y, line in enumerate(img):
+        f = y % 5  # exercise filters 0..4
+        raw.append(f)
+        for i in range(stride):
+            a = line[i - ch] if i >= ch else 0
+            b = prev[i]
+            c = prev[i - ch] if i >= ch else 0
+            if f == 0:
+                enc = line[i]
+            elif f == 1:
+                enc = line[i] - a
+            elif f == 2:
+                enc = line[i] - b
+            elif f == 3:
+                enc = line[i] - ((a + b) >> 1)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc = line[i] - pred
+            raw.append(enc & 0xFF)
+        prev = line
+
+    def chunk(ctype, data):
+        return (struct.pack(">I", len(data)) + ctype + data
+                + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+    payload = (b"\x89PNG\r\n\x1a\n"
+               + chunk(b"IHDR", struct.pack(">IIBBBBB", width, height, 8, 4, 0, 0, 0))
+               + chunk(b"IDAT", zlib.compress(bytes(raw)))
+               + chunk(b"IEND", b""))
+    w, h, c, out = png_decode(payload)
+    assert (w, h, c) == (width, height, ch)
+    assert list(out) == [v for line in img for v in line]
+
+
+def test_multimodal_real_png_through_spark(spark):
+    payload, _ = _rgb_png()
+    df = spark.createDataFrame(
+        [(1, "image", payload, ("png", 2, 2, None)),
+         (2, "image", b"\xff\xd8\xffnot-a-png", ("jpg", 1, 1, None))],
+        "media_id long, media_type string, payload binary,"
+        " meta struct<format:string,width:int,height:int,duration_ms:long>",
+    )
+    rows = {r.media_id: r for r in extract_features(df).collect()}
+    assert rows[1].features[:3] == [2.0, 2.0, 3.0]
+    assert rows[2].features is None  # undecodable -> NULL, job survives
 
 
 def test_frame_sampling_grid(media):

@@ -62,3 +62,84 @@ def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
     # the predicate becomes a partition filter: non-matching dirs never read
     assert "PartitionFilters: [isnotnull(event_type" in plan
     assert back.count() == e.where(F.col("event_type") == "purchase").count()
+
+
+def _viral_fixture(spark, tmp_path):
+    """100:1 skewed traffic: one viral wiki dominates page_traffic; the
+    per-wiki daily table is small (the trending J3 join shape)."""
+    from pyspark.sql import functions as F
+
+    viral = spark.range(20_000).select(
+        F.lit("viral_wiki").alias("wiki_name"),
+        F.concat(F.lit("/p"), (F.col("id") % 500).cast("string")).alias("page"),
+        (F.col("id") % 97).alias("users"),
+    )
+    cold = spark.range(40_000).select(
+        F.concat(F.lit("w"), (F.col("id") % 200).cast("string")).alias("wiki_name"),
+        F.concat(F.lit("/p"), (F.col("id") % 50).cast("string")).alias("page"),
+        (F.col("id") % 11).alias("users"),
+    )
+    traffic_path = str(tmp_path / "traffic")
+    viral.unionByName(cold).write.parquet(traffic_path)
+    daily = spark.createDataFrame(
+        [("viral_wiki", 9000)] + [(f"w{i}", 40 + i) for i in range(200)],
+        "wiki_name string, daily_users long",
+    )
+    return spark.read.parquet(traffic_path), daily
+
+
+def test_viral_wiki_aqe_skew_join_split(spark, tmp_path):
+    """AQE detects the viral-wiki partition at shuffle time and splits it
+    (`skew=true` in the final SMJ) — the runtime path the session factory
+    enables for trending's hot-key joins."""
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        # forbid broadcast so the join shuffles; lower the skew thresholds
+        # to fixture scale (defaults target 256MB partitions)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        traffic, daily = _viral_fixture(spark, tmp_path)
+        joined = traffic.join(daily, "wiki_name")
+        # collect() finalizes THIS DataFrame's AdaptiveSparkPlan (count()
+        # would execute a different QueryExecution and leave this one
+        # unplanned)
+        assert len(joined.collect()) == 60_000
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_viral_wiki_salted_join_exact(spark, tmp_path):
+    """The explicit salted join spreads the known-hot wiki across salt
+    buckets and returns exactly the plain join's rows."""
+    from magi_etl_spark.operators.skew import salted_join
+
+    traffic, daily = _viral_fixture(spark, tmp_path)
+    plain = traffic.join(daily, "wiki_name")
+    salted = salted_join(traffic, daily, ["wiki_name"], salt_buckets=8)
+    assert salted.count() == plain.count() == 60_000
+    key = lambda r: (r["wiki_name"], r["page"], r["users"], r["daily_users"])  # noqa: E731
+    assert sorted(map(key, salted.collect())) == sorted(map(key, plain.collect()))
+    # left join with an unmatched hot row keeps NULLs intact
+    some_missing = daily.where(F.col("wiki_name") != "viral_wiki")
+    left = salted_join(traffic, some_missing, ["wiki_name"], how="left")
+    assert left.where(F.col("daily_users").isNull()).count() == 20_000

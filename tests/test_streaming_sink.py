@@ -60,3 +60,40 @@ def test_foreach_batch_upsert_checkpointed(spark, sf_dir, tmp_path):
     pq.write_table(table, src / "b.parquet")
     consume_stateless()
     assert spark.read.parquet(target).count() == n1 + 10
+
+
+def test_foreach_batch_upsert_cleans_staging(spark, sf_dir, tmp_path):
+    """The stage-then-swap commit must not leave .staging/.old dirs behind
+    (they would grow stale data), and a promoted staging copy must be
+    recovered on restart."""
+    import os
+
+    from magi_etl_spark.streaming.events_stream import (
+        run_foreach_batch_upsert,
+        stream_events,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    target = str(tmp_path / "target")
+
+    run_foreach_batch_upsert(
+        stream_events(spark, str(src)).select("event_id", "user_id", "value"),
+        target, str(tmp_path / "ckpt"), keys=["event_id"],
+    )
+    assert os.path.exists(target)
+    assert not os.path.exists(target + ".staging")
+    assert not os.path.exists(target + ".old")
+    n = spark.read.parquet(target).count()
+
+    # simulate a crash between the two commit renames: target gone,
+    # staging holds the good copy — the next batch must recover it
+    os.rename(target, target + ".staging")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "c.parquet")
+    run_foreach_batch_upsert(
+        stream_events(spark, str(src)).select("event_id", "user_id", "value"),
+        target, str(tmp_path / "ckpt"), keys=["event_id"],
+    )
+    assert spark.read.parquet(target).count() == n
+    assert not os.path.exists(target + ".staging")
