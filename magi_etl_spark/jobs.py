@@ -168,6 +168,7 @@ def main(argv: list[str] | None = None) -> int:
 
     args = ap.parse_args(argv)
     from magi_etl_spark.session import get_spark
+    from magi_etl_spark.telemetry import RunTelemetry
 
     spark = get_spark(app_name=f"magi-etl-{args.job}")
     runner = {
@@ -176,8 +177,19 @@ def main(argv: list[str] | None = None) -> int:
         "wiki-metadata": run_wiki_metadata,
         "metric-query": run_metric_query,
     }[args.job]
+    # run-status telemetry (reference callbacks.py:103-136); in-memory
+    # store here — hand RunTelemetry(store=redis_client) a shared store
+    # for cross-process ETAs
+    telemetry = RunTelemetry()
+    run_id = f"{args.job}-{os.getpid()}"
+    telemetry.start_run(args.job, run_id)
     paths = runner(spark, args)
-    print(json.dumps({"job": args.job, "outputs": paths}))
+    duration = telemetry.end_run(args.job, run_id)
+    print(
+        json.dumps(
+            {"job": args.job, "outputs": paths, "duration_sec": round(duration, 3)}
+        )
+    )
     return 0
 
 
