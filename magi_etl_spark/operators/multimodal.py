@@ -160,6 +160,104 @@ def real_image_decode(payload: bytes) -> list[float]:
     return [float(w), float(h), float(ch), float(len(samples)), *means]
 
 
+_WAV_FMT_PCM = 1
+
+
+def wav_decode(payload: bytes) -> tuple[int, int, int, list[list[float]]]:
+    """Pure-stdlib RIFF/WAVE decode: chunk walk (struct) over
+    ``fmt ``/``data``, 8- or 16-bit integer PCM.
+
+    Returns ``(sample_rate, channels, n_frames, samples)`` with samples
+    as one list per channel, normalized to [-1.0, 1.0].  Raises
+    ValueError for non-WAV or non-PCM payloads (inject a soundfile/
+    pydub-backed decoder into ``extract_features`` for those)."""
+    if len(payload) < 12 or bytes(payload[:4]) != b"RIFF" or bytes(payload[8:12]) != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = channels = bits = None
+    data = None
+    while pos + 8 <= len(payload):
+        ctype = bytes(payload[pos : pos + 4])
+        (length,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + length]
+        pos += 8 + length + (length & 1)  # chunks are word-aligned
+        if ctype == b"fmt ":
+            fmt, channels, rate, _byte_rate, _align, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if fmt != _WAV_FMT_PCM or bits not in (8, 16):
+                raise ValueError("unsupported WAV variant (need 8/16-bit PCM)")
+        elif ctype == b"data":
+            data = body
+    if rate is None or data is None:
+        raise ValueError("truncated WAV (missing fmt or data chunk)")
+    if bits == 16:
+        n = len(data) // 2
+        ints = struct.unpack(f"<{n}h", data[: n * 2])
+        flat = [v / 32768.0 for v in ints]
+    else:  # 8-bit PCM is unsigned, midpoint 128
+        flat = [(b - 128) / 128.0 for b in data]
+    n_frames = len(flat) // channels
+    samples = [flat[c::channels][:n_frames] for c in range(channels)]
+    return rate, channels, n_frames, samples
+
+
+def wav_encode(
+    sample_rate: int, channels: list[list[float]], bits: int = 16
+) -> bytes:
+    """Minimal stdlib WAV writer (integer PCM) — the round-trip partner
+    of :func:`wav_decode` for tests and fixture generation."""
+    n_ch = len(channels)
+    n_frames = len(channels[0]) if channels else 0
+    interleaved = [channels[c][i] for i in range(n_frames) for c in range(n_ch)]
+    if bits == 16:
+        clip = [max(-32768, min(32767, round(v * 32768.0))) for v in interleaved]
+        data = struct.pack(f"<{len(clip)}h", *clip)
+    elif bits == 8:
+        clip = [max(0, min(255, round(v * 128.0) + 128)) for v in interleaved]
+        data = bytes(clip)
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block = n_ch * bits // 8
+    fmt = struct.pack(
+        "<HHIIHH", _WAV_FMT_PCM, n_ch, sample_rate, sample_rate * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def real_audio_decode(payload: bytes) -> list[float]:
+    """Decode one real audio clip (WAV via the stdlib codec above) into 8
+    features: sample_rate, channels, n_frames, duration_sec, per-channel
+    RMS (zero-padded to 2), overall peak amplitude, and mean
+    zero-crossing rate — the cheap clip-level stats a corpus filter
+    keys on (silence/clipping/sample-rate gates)."""
+    rate, n_ch, n_frames, chans = wav_decode(payload)
+    rms = [
+        (sum(v * v for v in ch) / len(ch)) ** 0.5 if ch else 0.0 for ch in chans
+    ]
+    peak = max((max(abs(v) for v in ch) for ch in chans if ch), default=0.0)
+    crossings = 0
+    for ch in chans:
+        crossings += sum(
+            1 for a, b in zip(ch, ch[1:]) if (a >= 0) != (b >= 0)
+        )
+    zcr = crossings / (n_ch * max(1, n_frames - 1))
+    return [
+        float(rate),
+        float(n_ch),
+        float(n_frames),
+        n_frames / rate if rate else 0.0,
+        *(rms[:2] + [0.0] * (2 - len(rms[:2]))),
+        float(peak),
+        float(zcr),
+    ]
+
+
 def fake_image_decoder(payload: bytes) -> list[float]:
     """Deterministic stand-in: 8 pseudo-features from the payload digest —
     exercises the full Arrow/batching path without a codec."""

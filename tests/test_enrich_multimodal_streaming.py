@@ -213,3 +213,69 @@ def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     sess = spark.sql("select * from sessions")
     assert sess.count() > 0
     assert sess.where(F.col("session_end") < F.col("session_start")).count() == 0
+
+
+def _stereo_wav() -> tuple[bytes, int]:
+    import math
+
+    from magi_etl_spark.operators.multimodal import wav_encode
+
+    rate = 8000
+    n = 800  # 0.1s
+    left = [math.sin(2 * math.pi * 440 * i / rate) * 0.5 for i in range(n)]
+    right = [0.25] * n  # constant positive: zero crossings only on left
+    return wav_encode(rate, [left, right]), rate
+
+
+def test_wav_roundtrip_and_real_decode():
+    from magi_etl_spark.operators.multimodal import real_audio_decode, wav_decode
+
+    payload, rate = _stereo_wav()
+    got_rate, ch, frames, chans = wav_decode(payload)
+    assert (got_rate, ch, frames) == (rate, 2, 800)
+    assert chans[1][0] == pytest.approx(0.25, abs=1 / 32768)
+    feats = real_audio_decode(payload)
+    assert feats[0] == rate and feats[1] == 2.0 and feats[2] == 800.0
+    assert feats[3] == pytest.approx(0.1)  # duration
+    # sine RMS = A/sqrt(2); constant channel RMS = its value
+    assert feats[4] == pytest.approx(0.5 / 2**0.5, rel=1e-3)
+    assert feats[5] == pytest.approx(0.25, rel=1e-3)
+    assert feats[6] == pytest.approx(0.5, rel=1e-3)  # peak
+    assert 0.0 < feats[7] < 0.1  # 440Hz at 8kHz: ~88 crossings / 1598 slots
+
+
+def test_wav_8bit_and_error_paths():
+    from magi_etl_spark.operators.multimodal import wav_decode, wav_encode
+
+    payload = wav_encode(4000, [[0.0, 0.5, -0.5, 1.0]], bits=8)
+    rate, ch, frames, chans = wav_decode(payload)
+    assert (rate, ch, frames) == (4000, 1, 4)
+    assert chans[0][1] == pytest.approx(0.5, abs=1 / 128)
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode(b"\x89PNG\r\n\x1a\nnot-audio")
+    with pytest.raises(ValueError, match="truncated"):
+        wav_decode(b"RIFF\x04\x00\x00\x00WAVE")
+
+
+def test_multimodal_real_wav_through_spark(spark):
+    from magi_etl_spark.operators.multimodal import extract_features, real_audio_decode
+
+    payload, rate = _stereo_wav()
+    df = spark.createDataFrame(
+        [
+            (1, "audio", payload, ("wav", None, None, 100)),
+            (2, "audio", b"\x00garbage", ("mp3", None, None, 100)),
+            (3, "image", payload, ("png", 1, 1, None)),  # wrong type: passthrough
+        ],
+        "media_id long, media_type string, payload binary,"
+        " meta struct<format:string,width:int,height:int,duration_ms:long>",
+    )
+    rows = {
+        r.media_id: r
+        for r in extract_features(
+            df, decoder=real_audio_decode, media_type="audio"
+        ).collect()
+    }
+    assert rows[1].features[0] == float(rate)
+    assert rows[2].features is None  # undecodable -> NULL, job survives
+    assert rows[3].features is None  # non-audio row passes through
