@@ -200,3 +200,58 @@ def q50_exact_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     must not be run on a large corpus; use q29 (pruned) at scale."""
     d = load_table(spark, sf_dir, "documents")
     return D.ngram_jaccard_pairs(d, "doc_id", "text", n=3, threshold=0.5)
+
+
+@query(
+    "q55_decontaminate",
+    oracle=f"""
+    WITH {_SHINGLES},
+    bt AS (SELECT doc_id AS bench_id, toks[1:10] AS btoks
+           FROM t WHERE doc_id % 89 = 0 AND len(toks) >= 10),
+    b AS (SELECT bench_id,
+                 list_distinct(list_transform(range(1, len(btoks) - 1),
+                      i -> concat(btoks[i], ' ', btoks[i+1], ' ', btoks[i+2])))
+                     AS bsh
+          FROM bt),
+    pairs AS (
+        SELECT s.doc_id, b.bench_id,
+               len(list_intersect(s.sh, b.bsh)) AS overlap,
+               len(b.bsh) AS bench_shingles
+        FROM s, b
+        WHERE len(s.sh) > 0 AND len(b.bsh) > 0
+    )
+    SELECT doc_id, bench_id, overlap, bench_shingles,
+           CAST(ROUND(overlap * 1000.0 / bench_shingles) AS BIGINT)
+               AS containment_permille
+    FROM pairs
+    WHERE overlap >= bench_shingles * 0.8
+    """,
+)
+def q55_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag documents containing >= 80% of a
+    benchmark item's distinct word-3-grams.  The benchmark set is carved
+    deterministically from the corpus (first 10 tokens of every 89th doc
+    — the planted-leak scenario), so every bench item flags at least its
+    own source document.
+
+    Scale shape: the small benchmark side explodes and BROADCASTS; the
+    corpus is one linear scan + a candidate-only aggregation (see
+    operators/decontaminate.py)."""
+    from magi_etl_spark.functions.text import tokens
+    from magi_etl_spark.operators.decontaminate import contamination_pairs
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bench = d.where((F.col("doc_id") % 89 == 0) & (F.size(toks) >= 10)).select(
+        F.col("doc_id").alias("bench_id"),
+        F.array_join(F.slice(toks, 1, 10), " ").alias("text"),
+    )
+    pairs = contamination_pairs(
+        d, bench, bench_id="bench_id", n=3, threshold=0.8
+    )
+    return pairs.select(
+        "doc_id", "bench_id", "overlap", "bench_shingles",
+        F.round(F.col("containment") * 1000).cast("long").alias(
+            "containment_permille"
+        ),
+    )
