@@ -1,0 +1,89 @@
+"""Weighted dataset mixing via deterministic hash sampling
+(LLM-data-pipeline extension; no counterpart in the tabular-only
+reference).
+
+A training mixture assigns each source a weight: 0.25 keeps a quarter
+of the rows, 1.0 keeps all, 2.5 emits two copies of every row plus a
+third for half of them (fractional epochs).  The sampling decision is a
+pure function of (seed, row key): ``u = md5(seed|key)[:8]`` compared
+against a fixed-point hex threshold — no RNG state, so the sample is
+reproducible across runs, engines (the same expression runs in DuckDB),
+partitionings, and retries of failed tasks (a re-executed task emits
+exactly the same rows, which keeps speculative execution and stage
+retries correct).
+
+Scale shape: the whole operator is project + filter + bounded explode —
+NO shuffle, no state; it composes with a downstream repartition/write
+without adding a stage boundary.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_HEX_SPAN = 16**8  # first 8 md5 hex chars, uniform over [0, 16^8)
+
+
+def uniform_hex(key: Column, seed: str) -> Column:
+    """First 8 lowercase-hex chars of md5(seed|key) — a deterministic
+    uniform draw; fixed-length lowercase hex compares lexicographically
+    as a number, portably across engines."""
+    return F.substring(
+        F.md5(F.concat(F.lit(f"{seed}|"), key.cast("string"))), 1, 8
+    )
+
+
+def frac_threshold_hex(fraction: float) -> str:
+    """The 8-hex-digit threshold t such that P(u < t) == fraction."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    return format(min(_HEX_SPAN, int(fraction * _HEX_SPAN)), "08x")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, seed: str = "sample"
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, chosen by key hash — stable across
+    runs/partitionings/retries, unlike ``DataFrame.sample`` whose draw
+    depends on partition layout."""
+    u = uniform_hex(F.col(key_col), seed)
+    return df.where(u < F.lit(frac_threshold_hex(fraction)))
+
+
+def weighted_mix(
+    df: DataFrame,
+    weights: dict[str, float],
+    source_col: str,
+    key_col: str,
+    seed: str = "mix",
+    copy_col: str = "copy_idx",
+    default_weight: float = 0.0,
+) -> DataFrame:
+    """Resample ``df`` to the mixture given by ``weights`` (source value
+    -> weight).  Each row of a source with weight w is emitted
+    ``floor(w)`` times, plus once more when its hash draw falls under
+    ``frac(w)``; sources absent from ``weights`` get ``default_weight``.
+    ``copy_col`` numbers the copies 1..n so downstream exact-dedup can
+    distinguish intentional replication from accidental duplicates."""
+    for s, w in weights.items():
+        if w < 0:
+            raise ValueError(f"negative weight for {s!r}: {w}")
+    src = F.col(source_col)
+    whole = F.lit(int(math.floor(default_weight)))
+    thr = F.lit(frac_threshold_hex(default_weight - math.floor(default_weight)))
+    for s, w in weights.items():
+        whole = F.when(src == s, int(math.floor(w))).otherwise(whole)
+        thr = F.when(
+            src == s, frac_threshold_hex(w - math.floor(w))
+        ).otherwise(thr)
+    u = uniform_hex(F.col(key_col), seed)
+    n = (whole + F.when(u < thr, 1).otherwise(0)).alias("_n_copies")
+    # sequence(1, 0) yields a DESCENDING [1, 0] — the n==0 case must be
+    # filtered out before the explode, never clamped
+    out = df.withColumn("_n_copies", n).where(F.col("_n_copies") > 0)
+    return out.withColumn(
+        copy_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies")))
+    ).drop("_n_copies")

@@ -154,3 +154,40 @@ def q26_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact content digest."""
     d = load_table(spark, sf_dir, "documents")
     return T.fingerprints(d, "doc_id", "text", k=8)
+
+
+@query(
+    "q56_dataset_mix",
+    oracle="""
+    WITH w(lang, whole, thr) AS (VALUES
+        ('en', 2, '80000000'), ('de', 1, '00000000'), ('fr', 0, '80000000'),
+        ('es', 0, '40000000'), ('zh', 0, '00000000')),
+    d AS (SELECT doc_id, lang,
+                 substr(md5(concat('mix|', CAST(doc_id AS VARCHAR))), 1, 8) AS u
+          FROM documents),
+    n AS (SELECT d.doc_id, d.lang,
+                 w.whole + CASE WHEN d.u < w.thr THEN 1 ELSE 0 END AS copies
+          FROM d JOIN w USING (lang))
+    SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_idx
+    FROM n WHERE copies > 0
+    """,
+)
+def q56_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted training-mixture resample of the documents corpus:
+    en 2.5x (two copies + a hash-chosen half), de 1.0, fr 0.5, es 0.25,
+    zh dropped.  The draw is md5(seed|doc_id) — identical expression in
+    the DuckDB oracle, so the sample itself is verified, not just its
+    size.  Plan is project+filter+explode: zero shuffles at any scale."""
+    from magi_etl_spark.operators.mixing import weighted_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    mixed = weighted_mix(
+        d,
+        {"en": 2.5, "de": 1.0, "fr": 0.5, "es": 0.25, "zh": 0.0},
+        source_col="lang",
+        key_col="doc_id",
+        seed="mix",
+    )
+    return mixed.select(
+        "doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx")
+    )
