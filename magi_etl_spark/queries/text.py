@@ -191,3 +191,70 @@ def q56_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixed.select(
         "doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx")
     )
+
+
+@query(
+    "q57_sequence_packing",
+    oracle=f"""
+    WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    nonempty AS (SELECT doc_id, toks FROM t WHERE len(toks) > 0),
+    grid AS (
+        SELECT doc_id, toks,
+               generate_subscripts(range(1, len(toks) + 1, 48), 1) - 1 AS chunk_idx,
+               unnest(range(1, len(toks) + 1, 48)) AS start
+        FROM nonempty
+    ),
+    ch AS (
+        SELECT doc_id, CAST(chunk_idx AS INTEGER) AS chunk_idx,
+               CAST(len(toks[start : start + 63]) AS INTEGER) AS n_chunk_tokens,
+               CAST(doc_id % 16 AS INTEGER) AS bucket
+        FROM grid
+        WHERE len(toks[start : start + 63]) >= 16
+    ),
+    ordered AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY bucket ORDER BY doc_id, chunk_idx) AS rn
+        FROM ch
+    ),
+    pack AS (
+        SELECT bucket, rn, doc_id, chunk_idx, n_chunk_tokens,
+               0 AS seq_id, 0 AS seq_pos, n_chunk_tokens AS fill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.bucket, o.rn, o.doc_id, o.chunk_idx, o.n_chunk_tokens,
+               CASE WHEN p.fill + o.n_chunk_tokens <= 256
+                    THEN p.seq_id ELSE p.seq_id + 1 END,
+               CASE WHEN p.fill + o.n_chunk_tokens <= 256
+                    THEN p.seq_pos + 1 ELSE 0 END,
+               CASE WHEN p.fill + o.n_chunk_tokens <= 256
+                    THEN p.fill + o.n_chunk_tokens ELSE o.n_chunk_tokens END
+        FROM pack p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+    )
+    SELECT bucket, doc_id, chunk_idx, n_chunk_tokens,
+           CAST(seq_id AS INTEGER) AS seq_id, CAST(seq_pos AS INTEGER) AS seq_pos
+    FROM pack
+    """,
+)
+def q57_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-fit sequence packing of the q49 chunks into 256-token
+    training sequences, bucketed by doc_id % 16 (the modulo form so the
+    DuckDB oracle — a recursive CTE running the identical greedy
+    recursion — can verify every (seq_id, seq_pos) assignment).  The
+    Spark side is one applyInPandas pass per bucket: the only shuffle is
+    the bucket co-location exchange."""
+    from magi_etl_spark.operators.chunking import chunk_documents
+    from magi_etl_spark.operators.packing import pack_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(
+        d, "doc_id", "text", chunk_tokens=64, stride=48, min_chunk_tokens=16
+    ).select("doc_id", "chunk_idx", "n_chunk_tokens")
+    packed = pack_chunks(
+        chunks,
+        budget=256,
+        n_buckets=16,
+        bucket_expr=F.col("doc_id") % 16,
+    )
+    return packed.select(
+        "bucket", "doc_id", "chunk_idx", "n_chunk_tokens", "seq_id", "seq_pos"
+    )
