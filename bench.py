@@ -39,6 +39,11 @@ HEADLINE = [
     "q52_min_cost_supplier",
     "q53_dominant_supplier",
     "q54_helix_generic",
+    "q58_blame_supplier",
+    # training-pipeline operators
+    "q55_decontaminate",
+    "q56_dataset_mix",
+    "q57_sequence_packing",
 ]
 
 

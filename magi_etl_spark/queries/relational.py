@@ -822,3 +822,76 @@ def q53_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_name", "n_name")
     )
+
+
+@query(
+    "q58_blame_supplier",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN (
+        SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+        FROM lineitem l1
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+    ) c ON c.l_suppkey = s.s_suppkey
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+    """,
+)
+def q58_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-class multi-correlation: suppliers who were the SOLE
+    late shipper on a finished multi-supplier order (late = shipped more
+    than 90 days after the order date; the synthetic schema has no
+    commit/receipt dates).  The EXISTS / NOT EXISTS pair correlates the
+    fact table with itself twice.
+
+    Decorrelated Spark-first: ONE scan of lineitem⋈orders computes
+    per-order supplier counts and late-supplier counts in a single
+    aggregation; the blame condition becomes ``n_supp >= 2 AND
+    n_late_supp = 1`` joined back to the late candidates — the fact
+    table shuffles once on l_orderkey instead of three correlated
+    rescans, and the supplier dim broadcasts."""
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    lo = (
+        l.join(
+            o.where(F.col("o_orderstatus") == "F").select("o_orderkey", "o_orderdate"),
+            l.l_orderkey == F.col("o_orderkey"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    )
+    candidates = lo.where(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
+    blamed = candidates.join(
+        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
+        "l_orderkey",
+        "left_semi",
+    )
+    return (
+        blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
