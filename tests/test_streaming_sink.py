@@ -97,3 +97,82 @@ def test_foreach_batch_upsert_cleans_staging(spark, sf_dir, tmp_path):
     )
     assert spark.read.parquet(target).count() == n
     assert not os.path.exists(target + ".staging")
+
+
+def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
+    """dropDuplicatesWithinWatermark over the file stream keeps one row
+    per key even when duplicates arrive in separate micro-batches, and
+    matches the batch dropDuplicates survivor set."""
+    from magi_etl_spark.streaming.events_stream import (
+        run_to_memory_append,
+        stream_events,
+        streaming_dedup,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    # same file twice: every event_id arrives in two different micro-batches
+    shutil.copy(f"{sf_dir}/events.parquet", src / "a.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", src / "b.parquet")
+    stream = stream_events(spark, str(src), max_files_per_trigger=1)
+    run_to_memory_append(
+        streaming_dedup(stream, ["event_id"], watermark="365 days"), "dedup_out"
+    )
+    got = spark.table("dedup_out")
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    assert got.count() == batch.select("event_id").distinct().count()
+    assert got.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked interval join across two file streams equals the batch
+    join with the same predicate."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from magi_etl_spark.streaming.events_stream import (
+        run_to_memory_append,
+        stream_events,
+        stream_stream_join,
+    )
+
+    base = 1_700_000_000_000_000_000  # epoch ns
+    hour = 3_600_000_000_000
+
+    def write(dirname, rows):
+        d = tmp_path / dirname
+        d.mkdir()
+        ids, ts, users = zip(*rows)
+        table = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array([base + t * hour for t in ts], pa.int64()),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(["x"] * len(rows)),
+                "value": pa.array([1.0] * len(rows)),
+                "props": pa.array(["{}"] * len(rows)),
+            }
+        )
+        pq.write_table(table, d / "part.parquet")
+        return str(d)
+
+    # views at hour h, clicks possibly within the 1h window after
+    views = write("views", [(1, 0, 10), (2, 0, 20), (3, 5, 30)])
+    clicks = write(
+        "clicks",
+        [
+            (101, 0, 10),   # same hour as view 1 -> match
+            (102, 2, 20),   # 2h after view 2 -> outside 1h window
+            (103, 5, 30),   # same hour as view 3 -> match
+            (104, 0, 99),   # no view for this user
+        ],
+    )
+    joined = stream_stream_join(
+        stream_events(spark, views),
+        stream_events(spark, clicks),
+        key="user_id",
+        within="1 hour",
+    )
+    run_to_memory_append(joined, "ss_join_out")
+    got = sorted(r.user_id for r in spark.table("ss_join_out").collect())
+    assert got == [10, 30]
