@@ -255,3 +255,64 @@ def q55_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "containment_permille"
         ),
     )
+
+
+@query(
+    "q59_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE {_SHINGLES},
+    sig AS (
+        SELECT doc_id, sh,
+               list_min(list_transform(sh, x -> md5(concat('0|', x)))) AS m0,
+               list_min(list_transform(sh, x -> md5(concat('1|', x)))) AS m1,
+               list_min(list_transform(sh, x -> md5(concat('2|', x)))) AS m2,
+               list_min(list_transform(sh, x -> md5(concat('3|', x)))) AS m3
+        FROM s WHERE len(sh) > 0
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND (concat(a.m0, '|', a.m1) = concat(b.m0, '|', b.m1)
+              OR concat(a.m2, '|', a.m3) = concat(b.m2, '|', b.m3))
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+               len(sa.sh) AS n_a, len(sb.sh) AS n_b
+        FROM cand c
+        JOIN sig sa ON c.doc_a = sa.doc_id
+        JOIN sig sb ON c.doc_b = sb.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM verified
+        WHERE n_inter / (n_a + n_b - n_inter) >= 0.5
+    ),
+    sym AS (
+        SELECT doc_a AS v, doc_b AS n FROM pairs
+        UNION ALL
+        SELECT doc_b AS v, doc_a AS n FROM pairs
+    ),
+    walk AS (
+        SELECT v, n AS reach FROM sym
+        UNION
+        SELECT w.v, s.n FROM walk w JOIN sym s ON w.reach = s.v
+    )
+    SELECT v AS vertex, LEAST(v, MIN(reach)) AS component
+    FROM walk GROUP BY v
+    """,
+)
+def q59_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS from the q25 MinHash-LSH pairs: connected
+    components by iterative min-label propagation, component id = min
+    doc_id reachable.  Pairs alone under-deduplicate (A~B, B~C leaves
+    two copies of one family); components give the survivor-per-cluster
+    policy.  The DuckDB oracle computes the same closure with a
+    recursive CTE, verifying every (vertex, component) assignment."""
+    from magi_etl_spark.operators.components import connected_components
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_dedup(
+        d, "doc_id", "text", n=3, n_hashes=4, band_size=2, threshold=0.5
+    ).select("doc_a", "doc_b")
+    return connected_components(pairs)
