@@ -477,3 +477,52 @@ def q40_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.count("*").alias("docs_kept"))
     )
+
+
+@query(
+    "q60_quantize_embeddings",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v,
+                 list_max(list_transform(v, x -> abs(x))) / 127 AS scale
+          FROM e),
+    q AS (SELECT vec_id, v, scale,
+                 list_transform(v, x -> CAST(GREATEST(-127, LEAST(127,
+                     ROUND(x / scale))) AS INTEGER)) AS codes
+          FROM s WHERE scale > 0)
+    SELECT vec_id,
+           CAST(len(codes) AS INTEGER) AS n_dims,
+           ROUND(scale, 6) AS scale_r,
+           CAST(list_sum(codes) AS BIGINT) AS q_sum,
+           CAST(list_min(codes) AS INTEGER) AS q_min,
+           CAST(list_max(codes) AS INTEGER) AS q_max,
+           ROUND(list_max(list_transform(range(1, len(codes) + 1),
+                 i -> abs(v[i] - codes[i] * scale))), 6) AS max_abs_err
+    FROM q
+    """,
+)
+def q60_quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding corpus: per-vector
+    scale, integer code checksums (hash-exact across engines), and the
+    max reconstruction error.  Pure array Columns, zero shuffles; the
+    integer q_sum/q_min/q_max verify the actual codes, not just sizes."""
+    from magi_etl_spark.operators.quantize import (
+        quantize_embeddings,
+        reconstruction_error,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = quantize_embeddings(e)
+    q = reconstruction_error(q).where(F.col("scale") > 0)
+    code_sum = F.aggregate(
+        F.col("codes"), F.lit(0).cast("long"), lambda a, c: a + c.cast("long")
+    )
+    return q.select(
+        "vec_id",
+        F.size("codes").alias("n_dims"),
+        F.round("scale", 6).alias("scale_r"),
+        code_sum.alias("q_sum"),
+        F.array_min("codes").alias("q_min"),
+        F.array_max("codes").alias("q_max"),
+        F.round("max_abs_err", 6).alias("max_abs_err"),
+    )
