@@ -895,3 +895,56 @@ def q58_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("numwait"), "s_name")
         .limit(100)
     )
+
+
+@query(
+    "q62_top_supplier",
+    oracle="""
+    WITH rev AS (
+        SELECT l_suppkey,
+               CAST(ROUND(SUM(l_extendedprice * (1 - l_discount)) * 100) AS BIGINT)
+                   AS total_revenue_c
+        FROM lineitem
+        WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue_c
+    FROM supplier s JOIN rev r ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_revenue_c = (SELECT MAX(total_revenue_c) FROM rev)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q62_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-class: the supplier(s) achieving the quarter's maximum
+    revenue — a scalar-subquery-against-aggregate-view shape.
+
+    Decorrelated Spark-first: the revenue view aggregates once (single
+    fact shuffle on l_suppkey); the scalar max reduces that small view
+    and cross-joins back as a broadcast literal, so the comparison is a
+    map-side filter, not a second correlated scan.  Revenue is compared
+    in integer cents, making the max tie-exact across engines."""
+    s = load_table(spark, sf_dir, "supplier")
+    l = load_table(spark, sf_dir, "lineitem")
+    rev = (
+        l.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 100
+            )
+            .cast("long")
+            .alias("total_revenue_c")
+        )
+    )
+    mx = rev.agg(F.max("total_revenue_c").alias("_mx"))
+    top = rev.join(F.broadcast(mx)).where(
+        F.col("total_revenue_c") == F.col("_mx")
+    )
+    return (
+        s.join(F.broadcast(top), s.s_suppkey == F.col("l_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue_c")
+        .orderBy("s_suppkey")
+    )

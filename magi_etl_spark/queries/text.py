@@ -258,3 +258,41 @@ def q57_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return packed.select(
         "bucket", "doc_id", "chunk_idx", "n_chunk_tokens", "seq_id", "seq_pos"
     )
+
+
+@query(
+    "q61_corpus_percentiles",
+    oracle=f"""
+    WITH t AS (SELECT lang, len({_TOKS}) AS n_toks, n_chars FROM documents)
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(quantile_cont(n_toks, 0.5), 6) AS toks_p50,
+           ROUND(quantile_cont(n_toks, 0.9), 6) AS toks_p90,
+           ROUND(quantile_cont(n_toks, 0.99), 6) AS toks_p99,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS chars_p50,
+           CAST(MAX(n_toks) AS BIGINT) AS toks_max
+    FROM t GROUP BY lang
+    """,
+)
+def q61_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus length distribution: exact interpolated
+    percentiles of token and char counts — the cut-points a corpus
+    filter derives its length gates from.  Spark's exact ``percentile``
+    and DuckDB's ``quantile_cont`` share the (n-1)*p linear-interpolation
+    definition, so values match to the 6-dp grid.  At 100 TB swap in
+    ``percentile_approx`` (t-digest, single pass, mergeable) — the exact
+    form sorts each group and is the small-N parity variant."""
+    from magi_etl_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "lang", F.size(tokens(F.col("text"))).alias("n_toks"), "n_chars"
+    )
+    return t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.expr("percentile(n_toks, 0.5)"), 6).alias("toks_p50"),
+        F.round(F.expr("percentile(n_toks, 0.9)"), 6).alias("toks_p90"),
+        F.round(F.expr("percentile(n_toks, 0.99)"), 6).alias("toks_p99"),
+        F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("chars_p50"),
+        F.max("n_toks").cast("long").alias("toks_max"),
+    )
