@@ -296,3 +296,62 @@ def q61_corpus_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.expr("percentile(n_chars, 0.5)"), 6).alias("chars_p50"),
         F.max("n_toks").cast("long").alias("toks_max"),
     )
+
+
+@query(
+    "q63_vocab_coverage",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+    counts AS (SELECT token, COUNT(*) AS n FROM t GROUP BY token),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    ranked AS (
+        SELECT token, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, token) AS rank,
+               SUM(n) OVER (ORDER BY n DESC, token
+                            ROWS UNBOUNDED PRECEDING) AS cum
+        FROM counts
+    )
+    SELECT r.token, CAST(r.n AS BIGINT) AS n, CAST(r.rank AS BIGINT) AS rank,
+           ROUND(r.cum * 1.0 / t.total, 6) AS cum_share
+    FROM ranked r, tot t
+    WHERE (r.cum - r.n) * 1.0 / t.total < 0.99
+    """,
+)
+def q63_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary induction cut: the smallest count-ranked token set
+    covering 99% of corpus occurrences (the candidate list a tokenizer
+    trainer starts from).  A token is kept when coverage WITHOUT it is
+    still under the cutoff, so the first token crossing 99% is included
+    and the tail is dropped.
+
+    Scale: token counts are one map-side-combined shuffle; the ranked
+    cumulative sum runs on the distinct-vocabulary frame (orders of
+    magnitude smaller than the corpus), and its single-partition window
+    is bounded by vocabulary size, not corpus size."""
+    from magi_etl_spark.functions.text import tokens
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_total"))
+    w = W.orderBy(F.desc("n"), "token")
+    ranked = counts.select(
+        "token",
+        "n",
+        F.row_number().over(w).alias("rank"),
+        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+    )
+    return (
+        ranked.join(F.broadcast(total))
+        .where((F.col("cum") - F.col("n")) / F.col("_total") < 0.99)
+        .select(
+            "token",
+            "n",
+            F.col("rank").cast("long").alias("rank"),
+            F.round(F.col("cum") / F.col("_total"), 6).alias("cum_share"),
+        )
+    )
