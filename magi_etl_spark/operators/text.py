@@ -84,3 +84,28 @@ def fingerprints(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataF
         .otherwise(F.md5(F.col(text_col)))
         .alias("kgram_fingerprint"),
     )
+
+
+def normalize_text(
+    text: Column,
+    lowercase: bool = True,
+    strip_punct: bool = False,
+    collapse_ws: bool = True,
+) -> Column:
+    """Corpus canonicalization column: control-char removal, optional
+    lowercasing and ASCII-punctuation stripping, whitespace collapse +
+    trim.  Character classes are spelled as explicit ASCII ranges so the
+    identical pattern runs under Java regex (Spark) and RE2 (DuckDB) —
+    named classes like \\p{Punct} differ subtly between engines.
+
+    Pure Column expression: composes into any scan with no extra stage.
+    Unicode NFC/NFKC folding needs ICU and is deliberately out of scope
+    here — run it in the decode/ingest UDF seam if required."""
+    c = F.regexp_replace(text, r"[\x00-\x08\x0b-\x1f\x7f]", "")
+    if lowercase:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, r"[!-/:-@\[-`{-~]", " ")
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return c

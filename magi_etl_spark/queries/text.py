@@ -355,3 +355,73 @@ def q63_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cum") / F.col("_total"), 6).alias("cum_share"),
         )
     )
+
+
+@query(
+    "q64_stratified_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang, source, n_chars,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY substr(md5(concat('strat|',
+                       CAST(doc_id AS VARCHAR))), 1, 8), doc_id) AS pick
+        FROM documents
+    )
+    SELECT doc_id, lang, source, n_chars, CAST(pick AS INTEGER) AS pick
+    FROM ranked WHERE pick <= 20
+    """,
+)
+def q64_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: exactly 20 documents per
+    language, chosen by md5-hash order (+doc_id tie-break) so the
+    selection is reproducible across runs, partitionings, and engines —
+    the eval-set carving primitive.  One shuffle on the stratum key;
+    the window ranks within strata only."""
+    from magi_etl_spark.operators.mixing import uniform_hex
+    from pyspark.sql import Window as W
+
+    d = load_table(spark, sf_dir, "documents")
+    w = W.partitionBy("lang").orderBy(uniform_hex(F.col("doc_id"), "strat"), "doc_id")
+    return (
+        d.select(
+            "doc_id", "lang", "source", "n_chars",
+            F.row_number().over(w).alias("pick"),
+        )
+        .where(F.col("pick") <= 20)
+    )
+
+
+@query(
+    "q65_normalize_text",
+    oracle=r"""
+    WITH n AS (
+        SELECT doc_id,
+               trim(regexp_replace(
+                   regexp_replace(
+                       lower(regexp_replace(text,
+                             '[\x00-\x08\x0b-\x1f\x7f]', '', 'g')),
+                       '[!-/:-@\[-`{-~]', ' ', 'g'),
+                   '\s+', ' ', 'g')) AS norm
+        FROM documents
+    )
+    SELECT doc_id, norm, md5(norm) AS norm_md5,
+           CAST(length(norm) AS INTEGER) AS n_norm_chars
+    FROM n
+    """,
+)
+def q65_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalized text (lowercase, punctuation stripped, whitespace
+    collapsed, control chars removed) with a content digest — the
+    pre-dedup normalization pass.  Identical explicit-ASCII regexes run
+    on both engines; the md5 digest makes the comparison byte-exact."""
+    from magi_etl_spark.operators.text import normalize_text
+
+    d = load_table(spark, sf_dir, "documents")
+    norm = normalize_text(F.col("text"), strip_punct=True)
+    return d.select(
+        "doc_id",
+        norm.alias("norm"),
+        F.md5(norm).alias("norm_md5"),
+        F.length(norm).alias("n_norm_chars"),
+    )

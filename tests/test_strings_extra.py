@@ -21,3 +21,32 @@ def test_stringify_preserves_null(spark):
 
 def test_quoted_in_list_escapes():
     assert quoted_in_list(["a", "b'c"]) == "'a', 'b''c'"
+
+
+def test_normalize_text_paths(spark):
+    from pyspark.sql import functions as F
+
+    from magi_etl_spark.operators.text import normalize_text
+
+    df = spark.createDataFrame(
+        [
+            (1, "  Hello,\tWORLD!!  (test)  "),
+            (2, "keep\x01control\x1fout\x7f"),
+            (3, "tabs\t\tand\n\nnewlines"),
+        ],
+        "id long, text string",
+    )
+    full = {
+        r.id: r.n
+        for r in df.select(
+            "id", normalize_text(F.col("text"), strip_punct=True).alias("n")
+        ).collect()
+    }
+    assert full[1] == "hello world test"
+    assert full[2] == "keepcontrolout"
+    assert full[3] == "tabs and newlines"
+    # punctuation preserved when not stripping
+    soft = df.where(F.col("id") == 1).select(
+        normalize_text(F.col("text")).alias("n")
+    ).collect()[0].n
+    assert soft == "hello, world!! (test)"
