@@ -948,3 +948,93 @@ def q62_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue_c")
         .orderBy("s_suppkey")
     )
+
+
+@query(
+    "q66_asof_join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT user_id, epoch_ns(ts) // 1000 AS us
+        FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id, c.user_id,
+           CAST(c.us - p.us AS BIGINT) AS wait_us
+    FROM c ASOF JOIN p
+      ON c.user_id = p.user_id AND c.us >= p.us
+    """,
+)
+def q66_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: every click matched to the user's most recent prior
+    (or simultaneous) purchase — DuckDB's native ASOF JOIN is the
+    oracle.  The Spark side is the union-and-carry form (one shuffle on
+    user_id, no pair explosion; see operators/temporal.py).  Time is
+    compared as integer epoch-microseconds on both engines so ns-vs-us
+    timestamp truncation can't flip a boundary match."""
+    from magi_etl_spark.operators.temporal import asof_join
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    clicks = base.where(F.col("event_type") == "click").drop("event_type")
+    purchases = base.where(F.col("event_type") == "purchase").select(
+        "user_id", "us"
+    )
+    m = asof_join(clicks, purchases, key="user_id", ts="us", right_cols=[])
+    return m.select(
+        "event_id", "user_id", (F.col("us") - F.col("asof_ts")).alias("wait_us")
+    )
+
+
+@query(
+    "q67_range_join",
+    oracle="""
+    WITH c AS (
+        SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us
+        FROM events WHERE event_type = 'click'
+    ),
+    s AS (
+        SELECT event_id AS signup_event_id, user_id,
+               epoch_ns(ts) // 1000 AS start_us,
+               epoch_ns(ts) // 1000 + 86400000000 AS end_us
+        FROM events WHERE event_type = 'signup'
+    )
+    SELECT c.event_id, c.user_id, s.signup_event_id,
+           CAST(c.us - s.start_us AS BIGINT) AS offset_us
+    FROM c JOIN s
+      ON c.user_id = s.user_id
+     AND c.us >= s.start_us AND c.us < s.end_us
+    """,
+)
+def q67_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks falling inside the 24h window after any signup
+    of the same user.  Spark executes a raw interval predicate as a
+    nested-loop join; the binned form (intervals replicated into the
+    hour-buckets they overlap, hash join on (user, bucket), exact
+    re-filter) keeps it a plain equi-join — here with 1-day bins, so
+    each interval lands in at most 2 buckets."""
+    from magi_etl_spark.operators.temporal import range_join
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "user_id", "event_type", F.unix_micros("ts").alias("us")
+    )
+    clicks = base.where(F.col("event_type") == "click").drop("event_type")
+    signups = base.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_event_id"),
+        "user_id",
+        F.col("us").alias("start_us"),
+        (F.col("us") + F.lit(86_400_000_000)).alias("end_us"),
+    )
+    j = range_join(
+        clicks, signups, key="user_id", ts="us",
+        start="start_us", end="end_us", bin_seconds=86_400,
+    )
+    return j.select(
+        "event_id", "user_id", "signup_event_id",
+        (F.col("us") - F.col("start_us")).alias("offset_us"),
+    )
