@@ -1038,3 +1038,64 @@ def q67_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "signup_event_id",
         (F.col("us") - F.col("start_us")).alias("offset_us"),
     )
+
+
+@query(
+    "q68_hypertable_rollup",
+    oracle="""
+    WITH e AS (
+        SELECT event_type, epoch_ns(ts) // 1000 AS us,
+               CAST(ROUND(value * 100) AS BIGINT) AS v_c
+        FROM events
+    ),
+    lv AS (
+        SELECT r.res AS resolution_sec,
+               (e.us // (CAST(r.res AS BIGINT) * 1000000)) * (CAST(r.res AS BIGINT) * 1000000) AS bucket_us,
+               e.event_type, e.v_c
+        FROM e CROSS JOIN (VALUES (3600), (86400), (604800)) AS r(res)
+    )
+    SELECT CAST(resolution_sec AS INTEGER) AS resolution_sec,
+           CAST(bucket_us AS BIGINT) AS bucket_us,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v_c) AS BIGINT) AS value_c,
+           CAST(MIN(v_c) AS BIGINT) AS min_v,
+           CAST(MAX(v_c) AS BIGINT) AS max_v
+    FROM lv GROUP BY 1, 2, 3
+    """,
+)
+def q68_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable rollup: hour/day/week aggregates of events per type in
+    one cascaded pass — the facts aggregate once at hour resolution and
+    each coarser level reaggregates the previous (already tiny) level,
+    versus the oracle's one-scan-per-resolution form.  Mergeable
+    aggregates only; integer cents for hash exactness."""
+    from magi_etl_spark.operators.hypertable import hypertable_rollup
+    from magi_etl_spark.operators.rollup_refresh import MetricCol
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    out = hypertable_rollup(
+        e,
+        "us",
+        ["event_type"],
+        [
+            MetricCol("n", "count"),
+            MetricCol("value_c", "sum"),
+            MetricCol("min_v", "min"),
+            MetricCol("max_v", "max"),
+        ],
+        {
+            "n": F.lit(1),
+            "value_c": F.col("v_c"),
+            "min_v": F.col("v_c"),
+            "max_v": F.col("v_c"),
+        },
+    )
+    return out.select(
+        F.col("resolution_sec").cast("int").alias("resolution_sec"),
+        "bucket_us", "event_type", "n", "value_c", "min_v", "max_v",
+    )
