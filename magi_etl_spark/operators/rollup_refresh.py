@@ -31,19 +31,24 @@ _MERGES = {
     "count": F.sum,  # partial counts merge by summing
     "min": F.min,
     "max": F.max,
+    # distinct via a mergeable HLL state: sketch-of-union == union-of-
+    # sketches, so folding increments gives EXACTLY the estimate a full
+    # recompute would (same sketch, same estimate — not merely close)
+    "approx_distinct": None,  # handled specially (binary sketch column)
 }
 
 
 @dataclass(frozen=True)
 class MetricCol:
     name: str
-    kind: str  # sum | count | min | max
+    kind: str  # sum | count | min | max | approx_distinct
 
     def __post_init__(self):
         if self.kind not in _MERGES:
             raise ValueError(
                 f"{self.kind!r} is not a mergeable aggregate; "
-                "COUNT(DISTINCT) needs key-level state or a sketch"
+                "exact COUNT(DISTINCT) needs key-level state — use "
+                "'approx_distinct' for the mergeable HLL-sketch form"
             )
 
 
@@ -56,7 +61,12 @@ def aggregate_increment(
     aggs = []
     for m in metrics:
         src = exprs[m.name]
-        agg = F.count(src) if m.kind == "count" else getattr(F, m.kind)(src)
+        if m.kind == "count":
+            agg = F.count(src)
+        elif m.kind == "approx_distinct":
+            agg = F.hll_sketch_agg(src)  # binary sketch state, mergeable
+        else:
+            agg = getattr(F, m.kind)(src)
         aggs.append(agg.alias(m.name))
     return delta.groupBy(*group_cols).agg(*aggs)
 
@@ -82,7 +92,21 @@ def refresh(
             merge = F.coalesce(p, F.lit(0)) + F.coalesce(i, F.lit(0))
         elif m.kind == "min":
             merge = F.least(p, i)  # least/greatest skip NULLs in Spark
+        elif m.kind == "approx_distinct":
+            merge = F.when(p.isNull(), i).when(i.isNull(), p).otherwise(
+                F.hll_union(p, i)
+            )
         else:
             merge = F.greatest(p, i)
         out_cols.append(merge.alias(m.name))
     return merged.select(*out_cols)
+
+
+def estimate_distinct(rollup: DataFrame, sketch_cols: list[str]) -> DataFrame:
+    """Replace HLL sketch-state columns with their cardinality estimates
+    (read-side finalization; keep the sketches in storage so future
+    increments stay mergeable)."""
+    out = rollup
+    for c in sketch_cols:
+        out = out.withColumn(c, F.hll_sketch_estimate(F.col(c)))
+    return out

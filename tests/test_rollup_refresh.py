@@ -65,3 +65,41 @@ def test_new_and_missing_groups_pass_through(spark):
 def test_distinct_refused():
     with pytest.raises(ValueError, match="not a mergeable"):
         MetricCol("users", "count_distinct")
+
+
+def test_hll_distinct_incremental_equals_full(spark, sf_dir):
+    from magi_etl_spark.operators.rollup_refresh import estimate_distinct
+    from magi_etl_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    m = [MetricCol("n", "count"), MetricCol("users", "approx_distinct")]
+    ex = {"n": F.lit(1), "users": F.col("user_id")}
+    rollup = None
+    for k in range(3):
+        day = e.where(F.col("event_id") % 3 == k)
+        rollup = refresh(
+            rollup, aggregate_increment(day, ["event_type"], m, ex),
+            ["event_type"], m,
+        )
+    got = {
+        r.event_type: r.users
+        for r in estimate_distinct(rollup, ["users"]).collect()
+    }
+    full = {
+        r.event_type: r.users
+        for r in estimate_distinct(
+            aggregate_increment(e, ["event_type"], m, ex), ["users"]
+        ).collect()
+    }
+    # sketch-of-union == union-of-sketches: estimates are IDENTICAL
+    assert got == full
+    # and at this cardinality (150 users) the HLL estimate is exact
+    exact = {
+        r.event_type: r.u
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .collect()
+    }
+    assert got == exact
