@@ -44,6 +44,13 @@ HEADLINE = [
     "q55_decontaminate",
     "q56_dataset_mix",
     "q57_sequence_packing",
+    "q59_dedup_clusters",
+    "q63_vocab_coverage",
+    "q65_normalize_text",
+    # temporal joins + multi-resolution rollup
+    "q66_asof_join",
+    "q67_range_join",
+    "q68_hypertable_rollup",
 ]
 
 
