@@ -425,3 +425,74 @@ def q65_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("norm_md5"),
         F.length(norm).alias("n_norm_chars"),
     )
+
+
+@query(
+    "q69_repetition_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 3
+                      THEN list_transform(range(1, len(toks) - 1),
+                           i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+                      ELSE CAST([] AS VARCHAR[]) END AS sh
+          FROM t)
+    SELECT doc_id,
+           CAST(len(sh) AS INTEGER) AS n_shingles,
+           CAST(len(list_distinct(sh)) AS INTEGER) AS n_distinct,
+           ROUND(1.0 - len(list_distinct(sh)) * 1.0 / len(sh), 6) AS repetition
+    FROM s WHERE len(sh) > 0
+    """,
+)
+def q69_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document repetition: 1 - distinct/total word-3-grams — the
+    boilerplate/loop-generation quality signal corpus filters threshold
+    on (high repetition = templated or degenerate text).  Pure array
+    Columns over non-distinct shingles; zero shuffles."""
+    from magi_etl_spark.operators.dedup import with_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    s = with_shingles(d, "doc_id", "text", n=3, distinct=False).where(
+        F.size("shingles") > 0
+    )
+    return s.select(
+        "doc_id",
+        F.size("shingles").alias("n_shingles"),
+        F.size(F.array_distinct("shingles")).alias("n_distinct"),
+        F.round(
+            1.0 - F.size(F.array_distinct("shingles")) / F.size("shingles"), 6
+        ).alias("repetition"),
+    )
+
+
+@query(
+    "q70_pii_scan",
+    oracle=r"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text,
+               '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS INTEGER) AS n_ipish,
+           CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9]+')) AS INTEGER)
+               AS n_digit_runs
+    FROM documents
+    """,
+)
+def q70_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-pattern scan: per-document counts of email-shaped, IPv4-shaped
+    and long-digit-run substrings — the compliance pre-filter that
+    routes documents to redaction.  Identical explicit regexes run on
+    both engines (no \\d or bounded quantifiers, which differ between
+    Java regex and RE2); zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def n(pat):
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+
+    return d.select(
+        "doc_id",
+        n(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+").alias("n_emails"),
+        n(r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+").alias("n_ipish"),
+        n(r"[0-9][0-9][0-9]+").alias("n_digit_runs"),
+    )

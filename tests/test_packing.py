@@ -59,3 +59,42 @@ def test_packing_efficiency(chunks):
     # fills: 90, 90, 120, 100 -> padding 10+10-20+0
     assert row.padding_tokens == (100 - 90) + (100 - 90) + (100 - 120) + 0
     assert row.mean_fill == pytest.approx((0.9 + 0.9 + 1.2 + 1.0) / 4)
+
+
+def test_packing_invariants_property(spark):
+    """Property-based: for random chunk sets, packing (a) preserves every
+    chunk exactly once, (b) never exceeds the budget in multi-chunk
+    bins, (c) numbers seq_pos contiguously from 0 within each bin."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        sizes=st.lists(st.integers(min_value=1, max_value=200), min_size=1,
+                       max_size=60),
+        budget=st.integers(min_value=50, max_value=300),
+    )
+    def check(sizes, budget):
+        rows = [(i % 7, i, n) for i, n in enumerate(sizes)]
+        chunks = spark.createDataFrame(
+            rows, "doc_id long, chunk_idx int, n_chunk_tokens int"
+        )
+        packed = pack_chunks(chunks, budget=budget, n_buckets=4).collect()
+        assert sorted((r.doc_id, r.chunk_idx) for r in packed) == sorted(
+            (d, c) for d, c, _ in rows
+        )
+        bins = {}
+        for r in packed:
+            bins.setdefault((r.bucket, r.seq_id), []).append(r)
+        for rows_in_bin in bins.values():
+            total = sum(r.n_chunk_tokens for r in rows_in_bin)
+            if len(rows_in_bin) > 1:
+                assert total <= budget
+            assert sorted(r.seq_pos for r in rows_in_bin) == list(
+                range(len(rows_in_bin))
+            )
+
+    check()
