@@ -1099,3 +1099,88 @@ def q68_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("resolution_sec").cast("int").alias("resolution_sec"),
         "bucket_us", "event_type", "n", "value_c", "min_v", "max_v",
     )
+
+
+@query(
+    "q71_small_order_parts",
+    oracle="""
+    SELECT CAST(ROUND(SUM(l.l_extendedprice) / 7.0 * 100) AS BIGINT)
+               AS avg_yearly_c,
+           CAST(COUNT(*) AS BIGINT) AS n_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_size = 1
+      AND l.l_quantity < (
+          SELECT 0.2 * AVG(l2.l_quantity)
+          FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+    """,
+)
+def q71_small_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-class: lines ordering less than 20% of a part's average
+    quantity, for one part class — the scalar-correlated-AVG shape.
+
+    Decorrelated Spark-first: the per-part AVG becomes ONE aggregation
+    over lineitems restricted by a broadcast semi-join to the part
+    filter (never the full table), joined back broadcast; the fact
+    shuffles once for the avg and not at all for the probe."""
+    p = load_table(spark, sf_dir, "part")
+    l = load_table(spark, sf_dir, "lineitem")
+    small = p.where(F.col("p_size") == 1).select("p_partkey")
+    lines = l.join(
+        F.broadcast(small), l.l_partkey == F.col("p_partkey"), "left_semi"
+    ).select("l_partkey", "l_quantity", "l_extendedprice")
+    avg_q = lines.groupBy(F.col("l_partkey").alias("ak")).agg(
+        (F.avg("l_quantity") * 0.2).alias("cutoff")
+    )
+    probe = lines.join(
+        F.broadcast(avg_q), F.col("l_partkey") == F.col("ak")
+    ).where(F.col("l_quantity") < F.col("cutoff"))
+    return probe.agg(
+        F.round(F.sum("l_extendedprice") / 7.0 * 100).cast("long").alias(
+            "avg_yearly_c"
+        ),
+        F.count("*").alias("n_lines"),
+    )
+
+
+@query(
+    "q72_large_volume_customers",
+    oracle="""
+    WITH big AS (
+        SELECT l_orderkey, SUM(l_quantity) AS total_qty
+        FROM lineitem GROUP BY l_orderkey
+        HAVING SUM(l_quantity) > 250
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS VARCHAR) AS order_date,
+           CAST(ROUND(b.total_qty * 100) AS BIGINT) AS total_qty_c
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN big b ON b.l_orderkey = o.o_orderkey
+    """,
+)
+def q72_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-class: customers holding orders whose total line
+    quantity exceeds a threshold — grouped-HAVING feeding an IN.
+
+    Spark-first: one lineitem aggregation produces the (small) big-order
+    set, which then BROADCASTS through orders and customer — the two
+    dimension joins never shuffle, and the date is stringified so the
+    ns-precision column can't leak into the hash."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250)
+    )
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == F.col("l_orderkey"))
+        .join(c, o.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("string").alias("order_date"),
+            F.round(F.col("total_qty") * 100).cast("long").alias("total_qty_c"),
+        )
+    )
