@@ -1,0 +1,97 @@
+"""Table maintenance: small-file compaction and schema-drift union.
+
+Streaming sinks and incremental upserts accrete many small parquet
+files; at scale the file count itself becomes the bottleneck (driver
+file-listing, task-per-file scheduling, NameNode/object-store metadata
+pressure).  ``compact_parquet`` rewrites a directory into
+size-targeted files using the same crash-safe two-rename swap as the
+streaming sink.
+
+Sources drift: a connector adds a column, an upstream type widens.
+``evolve_union`` unions frames under the widened common schema instead
+of failing, with explicit numeric-widening rules (never silent
+narrowing).
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# widening lattice: a type may only move rightward
+_NUMERIC_ORDER = ["int", "bigint", "float", "double"]
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> int:
+    """Rewrite ``path`` (a parquet directory) into ``ceil(total_bytes /
+    target_file_bytes)`` files; returns the new file count.  The rewrite
+    stages next to the target and swaps with two metadata renames, so a
+    crash leaves either the old or the new copy (same recovery contract
+    as the streaming upsert sink).  On a real cluster prefer table-format
+    compaction (Delta OPTIMIZE / Iceberg rewrite) — this is the plain-
+    parquet fallback."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, f))
+    n = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    tmp, old = path + ".compacting", path + ".old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(old, ignore_errors=True)
+    # repartition (round-robin) spreads rows evenly across the target
+    # file count; coalesce could skew file sizes by collapsing neighbors
+    df.repartition(n).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n
+
+
+def _widen(a: str, b: str) -> str:
+    if a == b:
+        return a
+    if a in _NUMERIC_ORDER and b in _NUMERIC_ORDER:
+        return _NUMERIC_ORDER[max(_NUMERIC_ORDER.index(a), _NUMERIC_ORDER.index(b))]
+    if "date" in (a, b) and "timestamp" in (a, b):
+        return "timestamp"
+    raise ValueError(f"incompatible types for schema evolution: {a} vs {b}")
+
+
+def evolve_union(frames: list[DataFrame]) -> DataFrame:
+    """Union frames whose schemas drifted: missing columns become NULL,
+    numeric types widen (int -> bigint -> float -> double), date widens
+    to timestamp; anything else (e.g. string vs int) raises rather than
+    guessing."""
+    if not frames:
+        raise ValueError("evolve_union needs at least one frame")
+    types: dict[str, str] = {}
+    order: list[str] = []
+    for df in frames:
+        for name, dtype in df.dtypes:
+            if name not in types:
+                types[name] = dtype
+                order.append(name)
+            else:
+                types[name] = _widen(types[name], dtype)
+    out = None
+    for df in frames:
+        have = dict(df.dtypes)
+        cols = [
+            (F.col(c) if have[c] == types[c] else F.col(c).cast(types[c])).alias(c)
+            if c in have
+            else F.lit(None).cast(types[c]).alias(c)
+            for c in order
+        ]
+        part = df.select(*cols)
+        out = part if out is None else out.unionByName(part)
+    return out
