@@ -1184,3 +1184,52 @@ def q72_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("total_qty") * 100).cast("long").alias("total_qty_c"),
         )
     )
+
+
+@query(
+    "q73_table_diff",
+    oracle="""
+    WITH a AS (
+        SELECT event_id, user_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS v_c
+        FROM events WHERE event_id % 11 <> 0
+    ),
+    b AS (
+        SELECT event_id, user_id, event_type,
+               CASE WHEN event_id % 13 = 0
+                    THEN CAST(ROUND(value * 100) AS BIGINT) + 1
+                    ELSE CAST(ROUND(value * 100) AS BIGINT) END AS v_c
+        FROM events WHERE event_id % 7 <> 0
+    )
+    SELECT COALESCE(a.event_id, b.event_id) AS event_id,
+           CASE WHEN b.event_id IS NULL THEN 'only_a'
+                WHEN a.event_id IS NULL THEN 'only_b'
+                ELSE 'mismatch' END AS status
+    FROM a FULL OUTER JOIN b ON a.event_id = b.event_id
+    WHERE b.event_id IS NULL OR a.event_id IS NULL
+       OR a.user_id <> b.user_id OR a.event_type <> b.event_type
+       OR a.v_c <> b.v_c
+    """,
+)
+def q73_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-level reconciliation of two derived views of events (each
+    missing a different id slice; one with perturbed values): only_a /
+    only_b / mismatch per key.  The operator compares md5 row digests so
+    the full-outer shuffle carries (key, 32-byte hash) instead of full
+    rows; the oracle compares columns directly — agreement of the two
+    proves the digest faithfully represents row equality."""
+    from magi_etl_spark.operators.reconcile import table_diff
+
+    e = load_table(spark, sf_dir, "events")
+    base = e.select(
+        "event_id", "user_id", "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("v_c"),
+    )
+    a = base.where(F.col("event_id") % 11 != 0)
+    b = base.where(F.col("event_id") % 7 != 0).withColumn(
+        "v_c",
+        F.when(F.col("event_id") % 13 == 0, F.col("v_c") + 1).otherwise(
+            F.col("v_c")
+        ),
+    )
+    return table_diff(a, b, ["event_id"])

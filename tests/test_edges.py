@@ -177,3 +177,27 @@ def test_run_concurrent(spark, sf_dir):
     }
     out = run_concurrent(spark, jobs, materialize=lambda df: df.count())
     assert out["q01"] > 0 and out["q12"] > 0
+
+
+def test_table_diff_and_summary(spark):
+    from magi_etl_spark.operators.reconcile import diff_summary, table_diff
+
+    a = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "z", None), (4, "w", 40)],
+        "k long, s string, v int",
+    )
+    b = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 99), (3, "z", None), (5, "q", 50)],
+        "k long, s string, v int",
+    )
+    got = {r.k: r.status for r in table_diff(a, b, ["k"]).collect()}
+    # 1 matches (dropped), 3 matches incl. NULL handling, 2 mismatch
+    assert got == {2: "mismatch", 4: "only_a", 5: "only_b"}
+    counts = {r.status: r.n for r in diff_summary(table_diff(a, b, ["k"])).collect()}
+    assert counts == {"mismatch": 1, "only_a": 1, "only_b": 1}
+    # NULL must not collide with empty string or the literal tag
+    c = spark.createDataFrame([(3, "z", None)], "k long, s string, v int")
+    d = spark.createDataFrame([(3, "z", None)], "k long, s string, v int")
+    assert table_diff(c, d, ["k"]).count() == 0
+    e = spark.createDataFrame([(3, "", None)], "k long, s string, v int")
+    assert table_diff(c, e, ["k"]).count() == 1
