@@ -51,6 +51,9 @@ HEADLINE = [
     "q66_asof_join",
     "q67_range_join",
     "q68_hypertable_rollup",
+    "q71_small_order_parts",
+    "q72_large_volume_customers",
+    "q73_table_diff",
 ]
 
 
