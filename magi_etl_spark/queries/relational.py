@@ -1233,3 +1233,168 @@ def q73_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return table_diff(a, b, ["event_id"])
+
+
+@query(
+    "q74_daily_anomalies",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(epoch_ns(ts) // 1000000000 // 86400 AS BIGINT)
+                   AS day_no,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, day_no, n,
+               AVG(n) OVER w AS mu,
+               STDDEV_SAMP(n) OVER w AS sigma,
+               COUNT(*) OVER w AS n_window
+        FROM daily
+        WINDOW w AS (PARTITION BY event_type ORDER BY day_no
+                     ROWS BETWEEN 14 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, day_no, CAST(n AS BIGINT) AS n,
+           ROUND((n - mu) / sigma, 6) AS z
+    FROM scored
+    WHERE n_window >= 7 AND sigma > 0 AND ABS((n - mu) / sigma) > 2
+    """,
+)
+def q74_daily_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume anomaly detection: days whose event count deviates more
+    than 2 sigma from the trailing-14-day mean (excluding the current
+    day), requiring at least 7 days of history — the monitoring rollup
+    an analytics engine alerts from.  Day numbers are integer epoch-days
+    so the window frame is engine-portable; one shuffle for the daily
+    rollup, window runs per event_type."""
+    from pyspark.sql import Window as W
+
+    e = load_table(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            "event_type",
+            (F.unix_micros("ts") / F.lit(86_400_000_000)).cast("long").alias(
+                "day_no"
+            ),
+        )
+        .groupBy("event_type", "day_no")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy("event_type").orderBy("day_no").rowsBetween(-14, -1)
+    scored = daily.select(
+        "event_type",
+        "day_no",
+        "n",
+        F.avg("n").over(w).alias("mu"),
+        F.stddev_samp("n").over(w).alias("sigma"),
+        F.count("*").over(w).alias("n_window"),
+    )
+    z = (F.col("n") - F.col("mu")) / F.col("sigma")
+    return (
+        scored.where(
+            (F.col("n_window") >= 7) & (F.col("sigma") > 0) & (F.abs(z) > 2)
+        )
+        .select("event_type", "day_no", "n", F.round(z, 6).alias("z"))
+    )
+
+
+@query(
+    "q75_funnel",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup'
+                   THEN epoch_ns(ts) // 1000 END) AS s_us,
+               MIN(CASE WHEN event_type = 'click'
+                   THEN epoch_ns(ts) // 1000 END) AS c_us,
+               MIN(CASE WHEN event_type = 'purchase'
+                   THEN epoch_ns(ts) // 1000 END) AS p_us
+        FROM events GROUP BY user_id
+    ),
+    reached AS (
+        SELECT user_id,
+               CASE WHEN s_us IS NULL THEN 0
+                    WHEN c_us IS NULL OR c_us <= s_us THEN 1
+                    WHEN p_us IS NULL OR p_us <= c_us THEN 2
+                    ELSE 3 END AS stage
+        FROM stages
+    )
+    SELECT stage, CAST(COUNT(*) AS BIGINT) AS users
+    FROM reached GROUP BY stage
+    """,
+)
+def q75_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: how far each user progresses through
+    signup -> first later click -> first later purchase (stage 0-3),
+    using first-occurrence timestamps — the conversion report of the
+    reference's analytics domain.  ONE conditional-MIN aggregation per
+    user computes all stages (single shuffle), then a tiny stage
+    count; integer epoch-micros keep the ordering engine-exact."""
+    e = load_table(spark, sf_dir, "events")
+
+    def first_us(t):
+        return F.min(
+            F.when(F.col("event_type") == t, F.unix_micros("ts"))
+        )
+
+    stages = e.groupBy("user_id").agg(
+        first_us("signup").alias("s_us"),
+        first_us("click").alias("c_us"),
+        first_us("purchase").alias("p_us"),
+    )
+    stage = (
+        F.when(F.col("s_us").isNull(), 0)
+        .when(F.col("c_us").isNull() | (F.col("c_us") <= F.col("s_us")), 1)
+        .when(F.col("p_us").isNull() | (F.col("p_us") <= F.col("c_us")), 2)
+        .otherwise(3)
+    )
+    return (
+        stages.select(stage.alias("stage"))
+        .groupBy("stage")
+        .agg(F.count("*").alias("users"))
+    )
+
+
+@query(
+    "q76_retention_cohorts",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               MIN(epoch_ns(ts) // 1000000000 // 604800) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               f.cohort_week,
+               epoch_ns(e.ts) // 1000000000 // 604800 - f.cohort_week
+                   AS week_offset
+        FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+           CAST(week_offset AS BIGINT) AS week_offset,
+           CAST(COUNT(*) AS BIGINT) AS active_users
+    FROM activity GROUP BY 1, 2
+    """,
+)
+def q76_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retention cohort matrix: users grouped by first-seen week, counted
+    in every later week they were active — the engagement triangle.
+    Weeks are integer epoch-weeks (floor(epoch_sec/604800)): calendar-
+    free and engine-portable.  The first-seen aggregate (one row per
+    user) shuffles once on user_id and then BROADCASTS into the events
+    scan, so the fact side never shuffles for the self-join; the
+    remaining exchanges operate on the already-tiny cohort frames."""
+    e = load_table(spark, sf_dir, "events")
+    week = (F.unix_micros("ts") / F.lit(604_800_000_000)).cast("long")
+    weeks = e.select("user_id", week.alias("wk"))
+    first = weeks.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    activity = (
+        weeks.join(first, "user_id")
+        .select(
+            "cohort_week", (F.col("wk") - F.col("cohort_week")).alias("week_offset"),
+            "user_id",
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count("*").alias("active_users")
+    )
