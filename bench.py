@@ -54,6 +54,10 @@ HEADLINE = [
     "q71_small_order_parts",
     "q72_large_volume_customers",
     "q73_table_diff",
+    # product analytics
+    "q74_daily_anomalies",
+    "q75_funnel",
+    "q76_retention_cohorts",
 ]
 
 

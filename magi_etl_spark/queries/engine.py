@@ -204,3 +204,53 @@ def q54_helix_generic(spark: SparkSession, sf_dir: str) -> DataFrame:
         min_count=3,
     )
     return metric_query(spark, sf_dir, qcfg, dataset=ds)
+
+
+@query(
+    "q77_cached_metric_query",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, user_id, value
+        FROM events
+    )
+    SELECT CAST(day AS VARCHAR) AS day, event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(COUNT(*) AS BIGINT) AS events_cnt,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS value_c
+    FROM ev
+    GROUP BY day, event_type
+    HAVING COUNT(DISTINCT user_id) >= 5
+    """,
+)
+def q77_cached_metric_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The metric-query surface routed through the ResultCache
+    materialization path (S3/S13): first call computes + writes parquet
+    under a config-derived md5 key with single-flight locking, the
+    second call inside the same driver invocation must HIT (asserted) —
+    the driver therefore gates the cache read path, not just the
+    compute.  Result equals the plain q30-style rollup."""
+    import tempfile
+
+    from magi_etl_spark.cache import ResultCache
+    from magi_etl_spark.config import MetricQueryConfig
+    from magi_etl_spark.query import metric_query
+
+    cfg = MetricQueryConfig(
+        dataset="events",
+        dimensions=["day", "event_type"],
+        metrics=["users", "events_cnt", "value_c"],
+        min_metric="users",
+        min_count=5,
+    )
+    cache = ResultCache(root=tempfile.mkdtemp(prefix="magi_q77_"))
+    key = cfg.cache_key()
+    computed = {"n": 0}
+
+    def compute():
+        computed["n"] += 1
+        return metric_query(spark, sf_dir, cfg)
+
+    cache.get_or_compute(spark, key, compute)
+    out = cache.get_or_compute(spark, key, compute)  # must hit
+    assert computed["n"] == 1, "second call recomputed despite cache"
+    return out
