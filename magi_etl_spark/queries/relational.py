@@ -878,15 +878,26 @@ def q58_blame_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)).alias("late"),
         )
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_supp"),
+    # ONE pass over the fact join: reduce to (order, supplier) grain with
+    # a late flag, then derive the per-order stats as WINDOW aggregates
+    # over that reduced frame — no self-join diamond, so the fact table
+    # is scanned and shuffled exactly once; the window's repartition
+    # moves only the (order, supplier) aggregate
+    from pyspark.sql import Window as W
+
+    pairs = lo.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max(F.col("late").cast("int")).alias("was_late")
     )
-    candidates = lo.where(F.col("late")).select("l_orderkey", "l_suppkey").distinct()
-    blamed = candidates.join(
-        per_order.where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)),
-        "l_orderkey",
-        "left_semi",
+    w = W.partitionBy("l_orderkey")
+    blamed = (
+        pairs.withColumn("n_supp", F.count("*").over(w))
+        .withColumn("n_late_supp", F.sum("was_late").over(w))
+        .where(
+            (F.col("was_late") == 1)
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1)
+        )
+        .select("l_orderkey", "l_suppkey")
     )
     return (
         blamed.join(F.broadcast(s), blamed.l_suppkey == s.s_suppkey)
