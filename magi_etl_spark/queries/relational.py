@@ -724,10 +724,10 @@ def q52_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same region-restricted supplier set (second correlation level).
 
     Decorrelated Spark-first: the region-restricted supplier dim reduces
-    once and broadcasts into the fact scan; the correlated MIN becomes
-    one partkey agg over the same reduced frame; the join-back on
-    (partkey, price) hits only the winning rows.  The fact table shuffles
-    once (for the agg) — never for the dims."""
+    once and broadcasts into the fact scan; the correlated MIN becomes a
+    window MIN over the same reduced frame (partitioned by partkey), so
+    the fact is scanned AND shuffled exactly once — the aggregate-and-
+    join-back form would be a diamond that re-executes the scan."""
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
@@ -743,17 +743,15 @@ def q52_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         l.join(F.broadcast(eu), l.l_suppkey == F.col("s_suppkey"))
         .select("l_partkey", "s_name", "s_acctbal", "n_name", "l_extendedprice")
     )
-    minp = offers.groupBy(F.col("l_partkey").alias("mk")).agg(
-        F.min("l_extendedprice").alias("min_price")
-    )
+    from pyspark.sql import Window as W
+
     small = p.where(F.col("p_size") <= 10).select("p_partkey", "p_name")
+    best = offers.withColumn(
+        "min_price",
+        F.min("l_extendedprice").over(W.partitionBy("l_partkey")),
+    ).where(F.col("l_extendedprice") == F.col("min_price"))
     return (
-        offers.join(
-            minp,
-            (F.col("l_partkey") == F.col("mk"))
-            & (F.col("l_extendedprice") == F.col("min_price")),
-        )
-        .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
+        best.join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "p_partkey", "p_name", "s_name", "n_name",
             cents(F.col("s_acctbal")).alias("bal_c"),
@@ -792,10 +790,10 @@ def q53_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated EXISTS/IN/HAVING nest.
 
     Decorrelated Spark-first: one filtered scan of the year's lineitems
-    feeds BOTH aggregates (per supplier-part and per part); the dominance
-    predicate is a join of the two; the EXISTS levels collapse to
-    broadcast LEFT SEMI joins, so the supplier table is filtered without
-    duplication and the fact table shuffles once."""
+    aggregates to (part, supplier) grain; the per-part total is a window
+    SUM over that grain (no second fact pass); the EXISTS levels
+    collapse to broadcast LEFT SEMI joins, so the supplier table is
+    filtered without duplication and the fact scans and shuffles once."""
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation")
     p = load_table(spark, sf_dir, "part")
@@ -804,15 +802,19 @@ def q53_dominant_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("date"))
     ).select("l_partkey", "l_suppkey", "l_quantity")
+    from pyspark.sql import Window as W
+
+    # single fact pass: the per-part total is a window SUM over the
+    # (part, supplier) aggregate — not a second aggregation of `year`,
+    # which would re-execute the filtered scan
     per_ps = year.groupBy("l_partkey", "l_suppkey").agg(
         F.sum("l_quantity").alias("sq")
     )
-    per_p = year.groupBy(F.col("l_partkey").alias("pk")).agg(
-        F.sum("l_quantity").alias("tq")
-    )
     small = p.where(F.col("p_name").like("small%")).select("p_partkey")
     dominant = (
-        per_ps.join(per_p, F.col("l_partkey") == F.col("pk"))
+        per_ps.withColumn(
+            "tq", F.sum("sq").over(W.partitionBy("l_partkey"))
+        )
         .where(F.col("sq") > 0.3 * F.col("tq"))
         .join(F.broadcast(small), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
         .select("l_suppkey")
@@ -1130,21 +1132,23 @@ def q71_small_order_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q17-class: lines ordering less than 20% of a part's average
     quantity, for one part class — the scalar-correlated-AVG shape.
 
-    Decorrelated Spark-first: the per-part AVG becomes ONE aggregation
+    Decorrelated Spark-first: the per-part AVG becomes a window AVG
     over lineitems restricted by a broadcast semi-join to the part
-    filter (never the full table), joined back broadcast; the fact
-    shuffles once for the avg and not at all for the probe."""
+    filter (never the full table) — the restricted fact is scanned and
+    shuffled exactly once."""
     p = load_table(spark, sf_dir, "part")
     l = load_table(spark, sf_dir, "lineitem")
     small = p.where(F.col("p_size") == 1).select("p_partkey")
     lines = l.join(
         F.broadcast(small), l.l_partkey == F.col("p_partkey"), "left_semi"
     ).select("l_partkey", "l_quantity", "l_extendedprice")
-    avg_q = lines.groupBy(F.col("l_partkey").alias("ak")).agg(
-        (F.avg("l_quantity") * 0.2).alias("cutoff")
-    )
-    probe = lines.join(
-        F.broadcast(avg_q), F.col("l_partkey") == F.col("ak")
+    from pyspark.sql import Window as W
+
+    # single fact pass: the per-part average is a window AVG over the
+    # restricted lines — the aggregate-and-join-back diamond would scan
+    # the semi-joined fact twice
+    probe = lines.withColumn(
+        "cutoff", F.avg("l_quantity").over(W.partitionBy("l_partkey")) * 0.2
     ).where(F.col("l_quantity") < F.col("cutoff"))
     return probe.agg(
         F.round(F.sum("l_extendedprice") / 7.0 * 100).cast("long").alias(
