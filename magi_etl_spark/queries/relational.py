@@ -952,10 +952,13 @@ def q62_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_revenue_c")
         )
     )
-    mx = rev.agg(F.max("total_revenue_c").alias("_mx"))
-    top = rev.join(F.broadcast(mx)).where(
-        F.col("total_revenue_c") == F.col("_mx")
-    )
+    # global-window max over the (supplier-cardinality) revenue view —
+    # a scalar-agg join-back would be a diamond re-executing the fact
+    # aggregation; the single-partition window touches only the small
+    # aggregate, and the fact scans/shuffles once
+    top = rev.withColumn(
+        "_mx", F.max("total_revenue_c").over(W.partitionBy())
+    ).where(F.col("total_revenue_c") == F.col("_mx")).drop("_mx")
     return (
         s.join(F.broadcast(top), s.s_suppkey == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_c")
