@@ -279,3 +279,53 @@ def test_multimodal_real_wav_through_spark(spark):
     assert rows[1].features[0] == float(rate)
     assert rows[2].features is None  # undecodable -> NULL, job survives
     assert rows[3].features is None  # non-audio row passes through
+
+
+def test_video_container_end_to_end(spark):
+    """Full video path with REAL codecs: a length-prefixed container of
+    PNG frames -> sample_frames slices a frame per grid timestamp ->
+    real_image_decode features per frame.  Proves the plumbing carries
+    actual pixels, not just fakes."""
+    import struct
+
+    from magi_etl_spark.operators.multimodal import (
+        extract_features,
+        png_encode,
+        real_image_decode,
+        sample_frames,
+    )
+
+    # container: [u32 frame_len, png_bytes] * n, one frame per 100ms
+    frames = [
+        png_encode(2, 1, 3, bytes([c, 0, 0, 0, c, 0]))  # R then G ramp
+        for c in (10, 200, 90)
+    ]
+    payload = b"".join(struct.pack(">I", len(f)) + f for f in frames)
+
+    def extract(container: bytes, ts_ms: int) -> bytes:
+        idx, pos = ts_ms // 100, 0
+        for _ in range(idx):
+            (ln,) = struct.unpack(">I", container[pos : pos + 4])
+            pos += 4 + ln
+        (ln,) = struct.unpack(">I", container[pos : pos + 4])
+        return bytes(container[pos + 4 : pos + 4 + ln])
+
+    video = spark.createDataFrame(
+        [(7, "video", payload, ("pngv", 2, 1, 200))],
+        "media_id long, media_type string, payload binary,"
+        " meta struct<format:string,width:int,height:int,duration_ms:long>",
+    )
+    framed = sample_frames(video, every_ms=100, frame_extractor=extract)
+    rows = sorted(framed.collect(), key=lambda r: r.frame_ts_ms)
+    assert [r.frame_ts_ms for r in rows] == [0, 100, 200]
+    # decode each sampled frame with the real PNG codec
+    reds = [real_image_decode(bytes(r.frame))[4] for r in rows]
+    # mean over the two pixels: red channel is (c + 0) / 2
+    assert reds == pytest.approx([10 / 2 / 255, 200 / 2 / 255, 90 / 2 / 255])
+    # and the frames flow on through extract_features as image rows
+    as_media = framed.select(
+        F.col("media_id"), F.lit("image").alias("media_type"),
+        F.col("frame").alias("payload"),
+    )
+    feats = extract_features(as_media).collect()
+    assert all(r.features is not None and r.features[2] == 3.0 for r in feats)
