@@ -70,3 +70,35 @@ def salted_join(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
     )
     return s.join(rep, on + ["_salt"], how).drop("_salt")
+
+
+def key_skew_profile(
+    df: DataFrame, key_cols: list[str], top_k: int = 20
+) -> DataFrame:
+    """Heavy-hitter profile of a prospective join/group key: the top-k
+    keys by row count with each key's share of the table and its ratio
+    to the mean key size — the numbers that decide between a plain
+    shuffle join, AQE skew handling, or an explicit ``salted_join``
+    (ratio >> 10 on a key that must shuffle is the salting signal).
+    One map-side-combined aggregation plus a tiny top-k sort."""
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
+    stats = counts.agg(
+        F.sum("n").alias("_total"), F.avg("n").alias("_mean")
+    )
+    ranked = (
+        counts.join(F.broadcast(stats))
+        .withColumn(
+            "rank",
+            F.row_number().over(W.orderBy(F.desc("n"), *key_cols)),
+        )
+        .where(F.col("rank") <= top_k)
+    )
+    return ranked.select(
+        *key_cols,
+        "n",
+        F.round(F.col("n") / F.col("_total"), 6).alias("share"),
+        F.round(F.col("n") / F.col("_mean"), 6).alias("x_mean"),
+        "rank",
+    )

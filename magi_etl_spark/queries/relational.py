@@ -1416,3 +1416,33 @@ def q76_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count("*").alias("active_users")
     )
+
+
+@query(
+    "q78_key_skew_profile",
+    oracle="""
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+    ),
+    stats AS (SELECT SUM(n) AS total, AVG(n) AS mean_n FROM counts),
+    ranked AS (
+        SELECT c.user_id, c.n,
+               ROUND(c.n * 1.0 / s.total, 6) AS share,
+               ROUND(c.n / s.mean_n, 6) AS x_mean,
+               ROW_NUMBER() OVER (ORDER BY c.n DESC, c.user_id) AS rank
+        FROM counts c, stats s
+    )
+    SELECT user_id, CAST(n AS BIGINT) AS n, share, x_mean,
+           CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= 20
+    """,
+)
+def q78_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew profile of events.user_id: top-20 heavy hitters
+    with table share and ratio-to-mean — the diagnostic that decides
+    between a plain shuffle join, AQE skew split, and explicit
+    salting (operators/skew.salted_join)."""
+    from magi_etl_spark.operators.skew import key_skew_profile
+
+    e = load_table(spark, sf_dir, "events")
+    return key_skew_profile(e, ["user_id"], top_k=20)

@@ -143,3 +143,19 @@ def test_viral_wiki_salted_join_exact(spark, tmp_path):
     some_missing = daily.where(F.col("wiki_name") != "viral_wiki")
     left = salted_join(traffic, some_missing, ["wiki_name"], how="left")
     assert left.where(F.col("daily_users").isNull()).count() == 20_000
+
+
+def test_key_skew_profile_flags_hot_key(spark, tmp_path):
+    import pytest
+
+    from magi_etl_spark.operators.skew import key_skew_profile
+
+    traffic, _ = _viral_fixture(spark, tmp_path)
+    prof = key_skew_profile(traffic, ["wiki_name"], top_k=5).collect()
+    top = prof[0]
+    assert top.wiki_name == "viral_wiki" and top.rank == 1
+    assert top.n == 20_000
+    assert top.share == pytest.approx(20_000 / 60_000, abs=1e-6)
+    # viral wiki is ~67x the mean key size -> clear salting signal
+    assert top.x_mean > 50
+    assert len(prof) == 5 and [r.rank for r in prof] == [1, 2, 3, 4, 5]
