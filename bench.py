@@ -58,6 +58,7 @@ HEADLINE = [
     "q74_daily_anomalies",
     "q75_funnel",
     "q76_retention_cohorts",
+    "q78_key_skew_profile",
 ]
 
 
