@@ -3,3 +3,25 @@
 Pure ``Column``-expression helpers — everything stays JVM-side inside
 whole-stage codegen; no Python UDFs in any hot path.
 """
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def pinned_partition(anchor: Column | str) -> Column:
+    """A window partition key that is constant (every row lands in one
+    group) yet NOT foldable, so Catalyst cannot strip it from the window
+    spec and fall into the unpartitioned-window path (``WindowExec``
+    single-partition warning + no distribution requirement).
+
+    ``lit(0)`` and projected-constant columns are both constant-folded
+    out of ``windowspecdefinition``; ``anchor - anchor`` survives as a
+    projected ``_w0`` column.  Use ONLY on frames already bounded to a
+    few rows (post-``limit`` top-k, per-partition totals) — the single
+    group is the point, not a hazard, at that size.  ``anchor`` must be
+    a non-null numeric column.
+    """
+    c = F.col(anchor) if isinstance(anchor, str) else anchor
+    return c - c

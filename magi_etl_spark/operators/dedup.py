@@ -38,11 +38,17 @@ def _fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-heavy per-row
     work.  A small parquet file arrives as one split; without this, all
     tokenize/hash work runs on a single core.  No-op when the input is
-    already wide (checked via ``inputFiles()`` plan metadata, not
-    ``df.rdd``, which would force an RDD-path plan analysis per call)."""
+    already wide: file-backed frames are checked via ``inputFiles()``
+    plan metadata (cheap); non-file-backed frames (createDataFrame,
+    post-shuffle derivations) return no files, so they fall back to the
+    actual partition count — a join/aggregate output is already wide and
+    must not eat an extra round-robin shuffle."""
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if files and len(files) >= target:
+    if files:
+        if len(files) >= target:
+            return df
+    elif df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

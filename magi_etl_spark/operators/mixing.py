@@ -37,10 +37,15 @@ def uniform_hex(key: Column, seed: str) -> Column:
 
 
 def frac_threshold_hex(fraction: float) -> str:
-    """The 8-hex-digit threshold t such that P(u < t) == fraction."""
+    """The threshold t such that P(u < t) == fraction for an 8-hex-char
+    uniform draw.  fraction == 1.0 has no 8-hex representation (16^8 is
+    9 chars, which would sort BELOW the 8-char draws and keep ~nothing);
+    it returns "g", which every hex string sorts below, in any engine."""
     if not 0.0 <= fraction <= 1.0:
         raise ValueError(f"fraction must be in [0, 1], got {fraction}")
-    return format(min(_HEX_SPAN, int(fraction * _HEX_SPAN)), "08x")
+    if fraction >= 1.0:
+        return "g"
+    return format(int(fraction * _HEX_SPAN), "08x")
 
 
 def deterministic_sample(
@@ -48,7 +53,11 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, chosen by key hash — stable across
     runs/partitionings/retries, unlike ``DataFrame.sample`` whose draw
-    depends on partition layout."""
+    depends on partition layout.  fraction >= 1.0 keeps everything and
+    adds no filter to the plan."""
+    if fraction >= 1.0:
+        frac_threshold_hex(fraction)  # still validate the range
+        return df
     u = uniform_hex(F.col(key_col), seed)
     return df.where(u < F.lit(frac_threshold_hex(fraction)))
 

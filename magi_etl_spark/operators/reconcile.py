@@ -3,8 +3,9 @@ tool this project itself lives by — compare a migrated table against
 its source, or a rebuilt rollup against the original).
 
 Rows are compared by a canonical md5 over their non-key columns
-(null-tagged, pipe-joined, so NULL vs '' and column drift can't
-collide), which reduces the diff to ONE full-outer join on the keys
+(per-column digests concatenated, so NULL vs '' collisions, column
+drift, and separator injection are all impossible by construction),
+which reduces the diff to ONE full-outer join on the keys
 carrying two narrow hash columns — no wide-row shuffle, no per-column
 comparison explosion; at 100 TB the shuffle moves (key, 32-byte hash)
 pairs only.
@@ -18,16 +19,22 @@ from pyspark.sql import functions as F
 
 def row_digest(df: DataFrame, exclude: list[str]) -> Column:
     """md5 over all non-key columns in NAME order (schema-order drift
-    between the two sides must not flip the digest), with a null tag
-    per column so NULL never collides with a literal."""
+    between the two sides must not flip the digest).
+
+    Each column is hashed INDEPENDENTLY first and the fixed-length
+    per-column digests are concatenated for the outer md5 — a plain
+    pipe-join of raw values is separator-injectable (('a|b','c') and
+    ('a','b|c') would collide); 32-char blocks have no boundaries for a
+    value to shift across.  NULL gets a distinct fixed tag so it never
+    collides with any real value's digest."""
     cols = sorted(c for c in df.columns if c not in exclude)
     parts = []
     for c in cols:
         parts.append(
-            F.when(F.col(c).isNull(), F.lit("\x00null"))
-            .otherwise(F.col(c).cast("string"))
+            F.when(F.col(c).isNull(), F.lit("!" * 32))
+            .otherwise(F.md5(F.col(c).cast("string")))
         )
-    return F.md5(F.concat_ws("|", *parts))
+    return F.md5(F.concat(*parts))
 
 
 def table_diff(

@@ -18,12 +18,16 @@ def _fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow input (single parquet split) across all cores before
     per-row vector math; no-op when already wide.
 
-    Uses ``inputFiles()`` (plan metadata) rather than
-    ``df.rdd.getNumPartitions()``, which would force plan analysis through
-    the RDD conversion path on every call."""
+    File-backed frames are checked via ``inputFiles()`` plan metadata
+    (cheap); frames with no file provenance (createDataFrame, post-shuffle
+    derivations) fall back to the actual partition count so an
+    already-wide join/aggregate output never eats an extra shuffle."""
     target = df.sparkSession.sparkContext.defaultParallelism
     files = df.inputFiles()
-    if files and len(files) >= target:
+    if files:
+        if len(files) >= target:
+            return df
+    elif df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

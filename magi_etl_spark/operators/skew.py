@@ -80,20 +80,29 @@ def key_skew_profile(
     to the mean key size — the numbers that decide between a plain
     shuffle join, AQE skew handling, or an explicit ``salted_join``
     (ratio >> 10 on a key that must shuffle is the salting signal).
-    One map-side-combined aggregation plus a tiny top-k sort."""
+    One map-side-combined aggregation plus a distributed top-k.
+
+    Scale: the top-k is ``orderBy(...).limit(k)`` — Spark plans it as
+    TakeOrderedAndProject (per-partition heaps merged on the driver), so
+    the full distinct-key frame never funnels into one task.  Rank is
+    then computed on the ≤ top_k surviving rows only; the window carries
+    a constant partition key so no unpartitioned-window path is hit."""
     from pyspark.sql import Window as W
+
+    from magi_etl_spark.functions import pinned_partition
 
     counts = df.groupBy(*key_cols).agg(F.count("*").alias("n"))
     stats = counts.agg(
         F.sum("n").alias("_total"), F.avg("n").alias("_mean")
     )
-    ranked = (
-        counts.join(F.broadcast(stats))
-        .withColumn(
-            "rank",
-            F.row_number().over(W.orderBy(F.desc("n"), *key_cols)),
-        )
-        .where(F.col("rank") <= top_k)
+    top = counts.orderBy(F.desc("n"), *key_cols).limit(top_k)
+    ranked = top.join(F.broadcast(stats)).withColumn(
+        "rank",
+        F.row_number().over(
+            W.partitionBy(pinned_partition("n")).orderBy(
+                F.desc("n"), *key_cols
+            )
+        ),
     )
     return ranked.select(
         *key_cols,

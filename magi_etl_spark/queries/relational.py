@@ -938,10 +938,15 @@ def q62_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     in integer cents, making the max tie-exact across engines."""
     s = load_table(spark, sf_dir, "supplier")
     l = load_table(spark, sf_dir, "lineitem")
+    # the explicit isnotnull matches the null-rejecting predicate the
+    # supplier join pushes into its branch — without it the two rev
+    # subtrees differ by that one filter and the Exchange can't be
+    # reused (suppkey is the inner-join key, so the filter is vacuous)
     rev = (
         l.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01").cast("date"))
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("date"))
+            & F.col("l_suppkey").isNotNull()
         )
         .groupBy("l_suppkey")
         .agg(
@@ -952,13 +957,17 @@ def q62_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("total_revenue_c")
         )
     )
-    # global-window max over the (supplier-cardinality) revenue view —
-    # a scalar-agg join-back would be a diamond re-executing the fact
-    # aggregation; the single-partition window touches only the small
-    # aggregate, and the fact scans/shuffles once
-    top = rev.withColumn(
-        "_mx", F.max("total_revenue_c").over(W.partitionBy())
-    ).where(F.col("total_revenue_c") == F.col("_mx")).drop("_mx")
+    # scalar max via agg + broadcast join-back: both consumers of the
+    # revenue view hang off the same hashpartitioning(l_suppkey)
+    # Exchange, which Catalyst deduplicates (ReusedExchange) — the fact
+    # scans and shuffles once, and no partition ever holds the whole
+    # supplier-grain view (the old global-window form did exactly that)
+    mx = rev.agg(F.max("total_revenue_c").alias("_mx"))
+    top = (
+        rev.join(F.broadcast(mx))
+        .where(F.col("total_revenue_c") == F.col("_mx"))
+        .drop("_mx")
+    )
     return (
         s.join(F.broadcast(top), s.s_suppkey == F.col("l_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue_c")

@@ -324,10 +324,17 @@ def q63_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     still under the cutoff, so the first token crossing 99% is included
     and the tail is dropped.
 
-    Scale: token counts are one map-side-combined shuffle; the ranked
-    cumulative sum runs on the distinct-vocabulary frame (orders of
-    magnitude smaller than the corpus), and its single-partition window
-    is bounded by vocabulary size, not corpus size."""
+    Scale: token counts are one map-side-combined shuffle; the global
+    cumulative sum is a TWO-PASS range-partitioned prefix sum — never a
+    single-partition window.  Pass 1 range-partitions the vocabulary on
+    (n desc, token) and computes per-partition local rank/cumsum with a
+    window PARTITIONED BY the physical partition id (parallel).  Pass 2
+    aggregates one (rows, sum) pair per partition — a P-row frame — takes
+    its exclusive prefix sums, and broadcasts the offsets back.  Global
+    rank/cum = local + offset.  (n, token) is unique per row, so range
+    boundaries can never split a tie and the output is partitioning-
+    independent.  All three consumers of the counts frame hang off the
+    same range Exchange, which Catalyst deduplicates (ReusedExchange)."""
     from magi_etl_spark.functions.text import tokens
     from pyspark.sql import Window as W
 
@@ -337,13 +344,40 @@ def q63_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    total = counts.agg(F.sum("n").alias("_total"))
-    w = W.orderBy(F.desc("n"), "token")
-    ranked = counts.select(
+    parts = counts.repartitionByRange(
+        32, F.col("n").desc(), F.col("token")
+    ).withColumn("_pid", F.spark_partition_id())
+    local_w = W.partitionBy("_pid").orderBy(F.desc("n"), "token")
+    local = parts.select(
         "token",
         "n",
-        F.row_number().over(w).alias("rank"),
-        F.sum("n").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("cum"),
+        "_pid",
+        F.row_number().over(local_w).alias("_lrank"),
+        F.sum("n")
+        .over(local_w.rowsBetween(W.unboundedPreceding, 0))
+        .alias("_lcum"),
+    )
+    ptotals = parts.groupBy("_pid").agg(
+        F.count("*").alias("_rows"), F.sum("n").alias("_sum")
+    )
+    from magi_etl_spark.functions import pinned_partition
+
+    off_w = (
+        W.partitionBy(pinned_partition("_pid"))
+        .orderBy("_pid")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    offsets = ptotals.select(
+        "_pid",
+        F.coalesce(F.sum("_rows").over(off_w), F.lit(0)).alias("_rank_off"),
+        F.coalesce(F.sum("_sum").over(off_w), F.lit(0)).alias("_cum_off"),
+    )
+    total = ptotals.agg(F.sum("_sum").alias("_total"))
+    ranked = local.join(F.broadcast(offsets), "_pid").select(
+        "token",
+        "n",
+        (F.col("_lrank") + F.col("_rank_off")).alias("rank"),
+        (F.col("_lcum") + F.col("_cum_off")).alias("cum"),
     )
     return (
         ranked.join(F.broadcast(total))

@@ -65,10 +65,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     Spark's micro precision with *integer* division (`div`) — floating
     division would lose precision on epoch-scale int64s.
     """
-    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"), name)
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir.rstrip("/"), name)
     cached = _SCAN_CACHE.get(key)
     if cached is not None:
         return cached
+    # evict plans belonging to dead sessions — a long-lived process that
+    # restarts Spark would otherwise accumulate unreachable DataFrames
+    for stale in [k for k in _SCAN_CACHE if k[0] != app_id]:
+        del _SCAN_CACHE[stale]
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     # Parquet timestamps here are timezone-naive; date/second extraction
     # must match a naive-timestamp oracle even when the caller's session

@@ -201,3 +201,7 @@ def test_table_diff_and_summary(spark):
     assert table_diff(c, d, ["k"]).count() == 0
     e = spark.createDataFrame([(3, "", None)], "k long, s string, v int")
     assert table_diff(c, e, ["k"]).count() == 1
+    # separator injection: ('a|b','c') vs ('a','b|c') must NOT collide
+    f = spark.createDataFrame([(3, "a|b", "c")], "k long, s string, t string")
+    g = spark.createDataFrame([(3, "a", "b|c")], "k long, s string, t string")
+    assert table_diff(f, g, ["k"]).count() == 1

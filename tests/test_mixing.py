@@ -24,9 +24,18 @@ def docs(spark):
 def test_threshold_hex_edges():
     assert frac_threshold_hex(0.0) == "00000000"
     assert frac_threshold_hex(0.5) == "80000000"
-    assert frac_threshold_hex(1.0) == "100000000"  # everything sorts below
+    # 1.0 has no 8-hex form; "g" sorts above every hex string
+    assert frac_threshold_hex(1.0) == "g"
+    assert "ffffffff" < frac_threshold_hex(1.0)
     with pytest.raises(ValueError):
         frac_threshold_hex(1.5)
+
+
+def test_sample_fraction_one_keeps_everything(docs):
+    # the behavioral contract: fraction 1.0 keeps every row
+    assert deterministic_sample(docs, "doc_id", 1.0).count() == docs.count()
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, "doc_id", 1.5)
 
 
 def test_deterministic_sample_stable_and_unbiased(docs):
