@@ -254,3 +254,62 @@ def q77_cached_metric_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = cache.get_or_compute(spark, key, compute)  # must hit
     assert computed["n"] == 1, "second call recomputed despite cache"
     return out
+
+
+@query(
+    "q79_concurrent_fanout",
+    oracle="""
+    SELECT 'purchase' AS job, CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(COUNT(*) AS BIGINT) AS events_cnt
+    FROM events WHERE lower(event_type) = lower('purchase')
+    GROUP BY day
+    UNION ALL
+    SELECT 'view' AS job, CAST(ts AS DATE) AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(COUNT(*) AS BIGINT) AS events_cnt
+    FROM events WHERE lower(event_type) = lower('view')
+    GROUP BY day
+    """,
+)
+def q79_concurrent_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S2 multi-query fan-out surface driver-gated: two MetricQuery
+    jobs submitted through ``concurrency.run_concurrent`` — each on its
+    own driver thread inside the FAIR scheduler pool, materialized
+    eagerly (``localCheckpoint``) so the cluster genuinely runs them
+    concurrently — then unioned under a job label (reference
+    ``run_multiple_queries``, ``connectors.py:302-365``: N Athena
+    submissions + poll loop; on Spark the scheduler multiplexes the
+    jobs and the actions block, so no polling exists).
+
+    The checkpoint also proves the returned frame reads materialized
+    blocks, not a lazily re-planned union — exactly what the reference's
+    results-dict contract (query_id -> fetched rows) means."""
+    from pyspark.sql import functions as F
+
+    from magi_etl_spark.concurrency import run_concurrent
+
+    def make(segment: str):
+        def build() -> DataFrame:
+            cfg = MetricQueryConfig(
+                dataset="events",
+                dimensions=["day"],
+                metrics=["users", "events_cnt"],
+                filter_groups=[
+                    FilterGroup(attribute="event_type", values=[segment])
+                ],
+            )
+            return metric_query(spark, sf_dir, cfg)
+
+        return build
+
+    results = run_concurrent(
+        spark,
+        {"purchase": make("purchase"), "view": make("view")},
+        materialize=lambda df: df.localCheckpoint(eager=True),
+    )
+    out = [
+        results[name].select(F.lit(name).alias("job"), "day", "users", "events_cnt")
+        for name in ("purchase", "view")
+    ]
+    return out[0].unionByName(out[1])

@@ -1455,3 +1455,70 @@ def q78_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return key_skew_profile(e, ["user_id"], top_k=20)
+
+
+# bucketed-table writes are idempotent per (session, sf_dir) — the
+# correctness gate and the bench both call the query repeatedly in one
+# session, and re-bucketing the fact table each call would time the
+# write, not the join
+_BUCKETED_READY: set[tuple[str, str]] = set()
+
+
+@query(
+    "q80_bucketed_colocated_join",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderstatus
+    """,
+)
+def q80_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shuffle-free co-located join strategy on the bench tables:
+    lineitem and orders are written once as hash-bucketed tables on the
+    join key (``sinks.write_bucketed``, 32 buckets, sorted within
+    buckets), then sort-merge joined — bucketing satisfies the join's
+    distribution requirement on BOTH sides, so the plan carries no
+    Exchange at all (asserted in tests/test_bucketing.py for this exact
+    query).  The ``merge`` hint pins SMJ so the demonstration can't
+    silently degrade to a broadcast join on small inputs.
+
+    This is the 100 TB answer to the repeated lineitem⋈orders joins in
+    the q03/q05 family: pay one bucketed write, then every subsequent
+    join of tables bucketed on the same key with the same bucket count
+    is shuffle-free and sort-free."""
+    import re
+    import tempfile
+
+    from magi_etl_spark.sinks import write_bucketed
+    from magi_etl_spark.tables import load_table
+
+    suffix = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    lt, ot = f"magi_b80_lineitem_{suffix}", f"magi_b80_orders_{suffix}"
+    memo = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if memo not in _BUCKETED_READY:
+        root = tempfile.mkdtemp(prefix="magi_q80_")
+        l = load_table(spark, sf_dir, "lineitem").select(
+            F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+        )
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderstatus"
+        )
+        write_bucketed(l, lt, "o_orderkey", 32, sort_col="o_orderkey",
+                       path=f"{root}/{lt}")
+        write_bucketed(o, ot, "o_orderkey", 32, sort_col="o_orderkey",
+                       path=f"{root}/{ot}")
+        _BUCKETED_READY.add(memo)
+    bl, bo = spark.table(lt), spark.table(ot)
+    return (
+        bl.join(bo.hint("merge"), "o_orderkey")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("long"))
+            .cast("long")
+            .alias("price_c"),
+        )
+    )

@@ -42,6 +42,10 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.scheduler.mode", "FAIR")  # concurrent fan-out pools
+        .config(
+            "spark.scheduler.allocation.file",
+            os.path.join(os.path.dirname(__file__), "fairscheduler.xml"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")

@@ -35,8 +35,12 @@ def write_bucketed(
     n_buckets: int = 32,
     sort_col: str | None = None,
     mode: str = "overwrite",
+    path: str | None = None,
 ) -> None:
-    """Bucketed managed table (hash-bucketed by ``bucket_col``).
+    """Bucketed table (hash-bucketed by ``bucket_col``); managed by
+    default, external when ``path`` is given (callers that must control
+    the storage location, e.g. a scratch dir instead of the session
+    warehouse — the bucket spec lives in the catalog either way).
 
     The 100 TB join strategy: two tables bucketed on the same key with the
     same bucket count join WITHOUT a shuffle — the exchange disappears
@@ -45,6 +49,8 @@ def write_bucketed(
     writer = df.write.mode(mode).bucketBy(n_buckets, bucket_col)
     if sort_col:
         writer = writer.sortBy(sort_col)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)
 
 

@@ -58,3 +58,14 @@ def test_slack_blocks_grouped(spark):
     assert kinds == ["header", "context", "section", "context", "section"]
     assert blocks[1]["elements"][0]["text"] == "*Games*"
     assert blocks[2]["fields"][0]["text"] == "*wiki*: w1"  # top-1 by users
+
+
+def test_q80_registered_query_is_shuffle_free(spark, sf_dir):
+    """The driver-gated q80 must demonstrate the co-located join: SMJ
+    with zero Exchange below the join (both sides pre-bucketed+sorted)."""
+    from magi_etl_spark.queries import QUERIES
+
+    df = QUERIES["q80_bucketed_colocated_join"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert plan.split("SortMergeJoin")[-1].count("Exchange") == 0
