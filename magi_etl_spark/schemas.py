@@ -36,13 +36,14 @@ LINEITEM = _struct(
     ("l_quantity", T.DoubleType()), ("l_extendedprice", T.DoubleType()),
     ("l_discount", T.DoubleType()), ("l_tax", T.DoubleType()),
     ("l_returnflag", T.StringType()), ("l_linestatus", T.StringType()),
-    # parquet ms-timestamps with isAdjustedToUTC=false arrive as NTZ in
-    # Spark 4 — naive wall-clock, which is what the DuckDB oracles see too
-    ("l_shipdate", T.TimestampNTZType()),
+    # one timestamp contract engine-wide: load_table normalizes naive
+    # (NTZ) parquet timestamps to TIMESTAMP under the UTC session, so
+    # values equal the naive wall-clock the DuckDB oracles see
+    ("l_shipdate", T.TimestampType()),
 )
 EVENTS = _struct(
-    # ts is TIMESTAMP (ltz): it comes off the epoch-nanos long conversion,
-    # with the session pinned to UTC by load_table
+    # ts is TIMESTAMP regardless of source unit: epoch-nanos longs go
+    # through timestamp_micros, micro/milli NTZ is cast under UTC
     ("event_id", T.LongType()), ("ts", T.TimestampType()),
     ("user_id", T.LongType()), ("event_type", T.StringType()),
     ("value", T.DoubleType()), ("props", T.StringType()),

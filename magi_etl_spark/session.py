@@ -47,6 +47,8 @@ def get_spark(
             os.path.join(os.path.dirname(__file__), "fairscheduler.xml"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # let Python DataSources (sources/pyds.py) receive pushed filters
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", driver_memory or os.environ.get("SPARK_GRAFT_DRIVER_MEMORY", "24g"))

@@ -6,13 +6,20 @@ daily/hourly rollups with watermarks for late data, and
 ``session_window`` sessionization (the streaming form of the batch
 gap-join in ``pipelines/trending.py``).
 
-Nanosecond caveat: the streaming parquet source can't apply the
-nanos-as-long conversion lazily per file the way ``tables.load_table``
-does, so the schema declares ``ts`` as LONG epoch-nanos and converts —
-works for both ns-written and normal files generated by our sinks.
+Timestamp-unit caveat: the streaming parquet source needs a declared
+schema up front, so — unlike ``tables.load_table``, which adapts lazily —
+the ``ts`` physical type is sniffed from the first footer already present
+under ``path``: epoch-nanos sources (int64 or TIMESTAMP(NANOS), the
+pre-r3 testdata layout) are declared LONG and truncated to micros with
+integer division; micro/milli timestamp sources are read natively (declared as
+TIMESTAMP, not NTZ — watermarks/session windows require an event-time
+column with a timezone; the session runs UTC, so values match the
+naive-parquet batch reads).
 """
 
 from __future__ import annotations
+
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -22,18 +29,53 @@ EVENTS_NS_SCHEMA = (
     " value double, props string"
 )
 
+EVENTS_TS_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string,"
+    " value double, props string"
+)
+
+
+def _ts_is_epoch_nanos(path: str) -> bool:
+    """True when the first parquet footer under ``path`` (a file or a
+    directory of files) stores ``ts`` as epoch-nanos — either a raw int64
+    (our ns-long sink contract) or parquet TIMESTAMP(NANOS), which Spark
+    can't read natively.  Missing/empty sources default to native
+    timestamps (the current testdata layout)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    candidate = path
+    if os.path.isdir(path):
+        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
+        if not parts:
+            return False
+        candidate = os.path.join(path, parts[0])
+    try:
+        field = pq.read_schema(candidate).field("ts")
+    except Exception:
+        return False
+    if pa.types.is_integer(field.type):
+        return True
+    return pa.types.is_timestamp(field.type) and field.type.unit == "ns"
+
 
 def stream_events(
     spark: SparkSession, path: str, max_files_per_trigger: int = 16
 ) -> DataFrame:
     """File-based event stream with micro-batch file throttling."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(EVENTS_NS_SCHEMA)
+    if _ts_is_epoch_nanos(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        raw = (
+            spark.readStream.schema(EVENTS_NS_SCHEMA)
+            .option("maxFilesPerTrigger", str(max_files_per_trigger))
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return (
+        spark.readStream.schema(EVENTS_TS_SCHEMA)
         .option("maxFilesPerTrigger", str(max_files_per_trigger))
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def windowed_event_counts(

@@ -58,3 +58,110 @@ def running_user_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# --- timeout-evicting sessionization (EventTimeTimeout) -------------------
+
+SESSION_OUTPUT_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp,"
+    " n_events long, total_value double"
+)
+SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long, total double"
+
+_UNIT_MS = {
+    "millisecond": 1, "milliseconds": 1,
+    "second": 1_000, "seconds": 1_000,
+    "minute": 60_000, "minutes": 60_000,
+    "hour": 3_600_000, "hours": 3_600_000,
+    "day": 86_400_000, "days": 86_400_000,
+}
+
+
+def _duration_ms(spec: str) -> int:
+    n, unit = spec.strip().split()
+    return int(n) * _UNIT_MS[unit.lower()]
+
+
+def _epoch_ms(s: pd.Series) -> pd.Series:
+    if getattr(s.dtype, "tz", None) is not None:
+        s = s.dt.tz_convert("UTC").dt.tz_localize(None)
+    return s.astype("datetime64[ms]").astype("int64")
+
+
+def gap_sessions_event_timeout(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "0 seconds"
+) -> DataFrame:
+    """Gap-based sessionization with **state TTL eviction**: a user's
+    session closes (and its state is dropped) either when a later event of
+    the same user exceeds the gap, or — the part built-in aggregations
+    can't express as explicit state — when the event-time watermark passes
+    ``session_end + gap`` with no further activity (``EventTimeTimeout``).
+    Emits one row per CLOSED session (append mode); open sessions hold
+    exactly one state tuple until their timeout fires, so state size
+    tracks concurrently-active users, never stream lifetime.
+
+    The batch equivalent is the lag/cumsum gap sessionizer
+    (``pipelines/trending.py`` A7/J4 family); tests assert the closed set
+    matches it exactly.
+    """
+    gap_ms = _duration_ms(gap)
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        (user_id,) = key
+        closed: list[tuple[int, int, int, float]] = []
+        if state.hasTimedOut:
+            closed.append(tuple(state.get))
+            state.remove()
+        else:
+            cur: list | None = list(state.get) if state.exists else None
+            rows: list[tuple[int, float]] = []
+            for pdf in batches:
+                rows.extend(
+                    zip(_epoch_ms(pdf["ts"]).tolist(), pdf["value"].tolist())
+                )
+            rows.sort()
+            for ms, v in rows:
+                if cur is not None and ms - cur[1] > gap_ms:
+                    closed.append(tuple(cur))
+                    cur = None
+                if cur is None:
+                    cur = [ms, ms, 0, 0.0]
+                cur[1] = max(cur[1], ms)
+                cur[2] += 1
+                cur[3] += float(v)
+            if cur is not None:
+                state.update((int(cur[0]), int(cur[1]), int(cur[2]), float(cur[3])))
+                # must be strictly beyond the current watermark or Spark
+                # rejects it; an already-expired session closes on the
+                # next batch either way
+                state.setTimeoutTimestamp(
+                    max(cur[1] + gap_ms, state.getCurrentWatermarkMs() + 1)
+                )
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": pd.to_datetime(
+                        [c[0] for c in closed], unit="ms"
+                    ),
+                    "session_end": pd.to_datetime(
+                        [c[1] for c in closed], unit="ms"
+                    ),
+                    "n_events": [c[2] for c in closed],
+                    "total_value": [c[3] for c in closed],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            stateStructType=SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -85,6 +85,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(path)
     for c in ns_cols:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    # Micro/milli parquet timestamps arrive as TIMESTAMP_NTZ; normalize to
+    # TIMESTAMP (the session runs UTC, so values are unchanged) so the
+    # engine exposes ONE timestamp contract regardless of how the source
+    # file was written — ns sources land on TIMESTAMP via timestamp_micros
+    # above, and watermarks/session windows require a zoned event time.
+    from pyspark.sql.types import TimestampNTZType
+
+    for f in df.schema.fields:
+        if isinstance(f.dataType, TimestampNTZType):
+            df = df.withColumn(f.name, F.col(f.name).cast("timestamp"))
     _SCAN_CACHE[key] = df
     return df
 

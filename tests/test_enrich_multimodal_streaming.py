@@ -199,9 +199,10 @@ def test_streaming_windowed_counts(spark, sf_dir, tmp_path):
     assert stream.isStreaming
     run_to_memory(windowed_event_counts(stream, "1 day", "1 day"), "daily_counts")
     daily = spark.sql("select * from daily_counts")
+    from magi_etl_spark.tables import load_table
+
     batch = (
-        spark.read.parquet(src)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        load_table(spark, sf_dir, "events")
         .groupBy(F.date_trunc("day", "ts").alias("d"), "event_type")
         .count()
     )
