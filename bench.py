@@ -62,6 +62,7 @@ HEADLINE = [
     # concurrency + physical-layout strategies (round 3)
     "q79_concurrent_fanout",
     "q80_bucketed_colocated_join",
+    "q81_bloom_pruned_join",
 ]
 
 

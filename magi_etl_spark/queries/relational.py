@@ -1522,3 +1522,55 @@ def q80_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("price_c"),
         )
     )
+
+
+@query(
+    "q81_bloom_pruned_join",
+    oracle="""
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l.l_extendedprice * (1 - l.l_discount) * 100)
+                    AS BIGINT)) AS BIGINT) AS revenue_c
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_totalprice > 400000
+    GROUP BY o.o_orderpriority
+    """,
+)
+def q81_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join reduction via Catalyst's runtime Bloom filter: lineitem
+    joined to the selective big-ticket orders slice (~20% of orders) as a
+    shuffle join, with ``InjectRuntimeFilter`` planting the dim-side
+    bloom under the fact scan so pruned fact rows never reach the
+    exchange — the 100 TB shape when the dim side is selective but past
+    the broadcast threshold (``operators/bloom.py``; plan-asserted in
+    tests/test_bloom.py).  The bloom has no false negatives and the join
+    re-checks exactly, so results equal the plain join's — which is what
+    the oracle verifies."""
+    from magi_etl_spark.operators.bloom import (
+        bloom_pruned_join,
+        enable_runtime_bloom,
+    )
+
+    enable_runtime_bloom(spark)
+    l = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > 400000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    return (
+        bloom_pruned_join(l, o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum(
+                F.round(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                ).cast("long")
+            )
+            .cast("long")
+            .alias("revenue_c"),
+        )
+    )
