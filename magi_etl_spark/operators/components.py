@@ -57,33 +57,32 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     for _ in range(max_iterations):
-        # one-hop propagation: v <- min(label[n]) over neighbors n
-        neigh = (
-            sym.join(labels.withColumnRenamed("v", "n"), "n")
+        # One-hop propagation AND pointer jumping in a single join: the
+        # pointer edge (v, label[v]) rides along with the neighbor edges,
+        # so min(n_label) over the union yields
+        #   least( min over neighbors n of label[n],   # propagation
+        #          label[label[v]] )                   # pointer jump
+        # in ONE shuffle join + ONE aggregation per round.  Pointer
+        # jumping halves the remaining distance to the component minimum
+        # each round — convergence in O(log diameter), not O(diameter).
+        contrib = sym.union(labels.select("v", F.col("label").alias("n")))
+        new = (
+            contrib.join(
+                labels.select(
+                    F.col("v").alias("n"), F.col("label").alias("n_label")
+                ),
+                "n",
+            )
             .groupBy("v")
-            .agg(F.min("label").alias("neigh_label"))
+            .agg(F.min("n_label").alias("min_label"))
         )
-        # pointer jumping: v <- label[label[v]] — halves the remaining
-        # distance to the component minimum each round, so convergence is
-        # O(log diameter) instead of O(diameter)
-        jump = labels.select(
-            F.col("v").alias("j_from"), F.col("label").alias("j_via")
-        ).join(
-            labels.select(
-                F.col("v").alias("j_via"), F.col("label").alias("j_label")
-            ),
-            "j_via",
-        ).select(F.col("j_from").alias("v"), "j_label")
         step = (
-            labels.join(neigh, "v", "left")
-            .join(jump, "v", "left")
+            labels.join(new, "v", "left")
             .select(
                 "v",
                 "label",
                 F.least(
-                    F.col("label"),
-                    F.coalesce("neigh_label", "label"),
-                    F.coalesce("j_label", "label"),
+                    F.col("label"), F.coalesce("min_label", "label")
                 ).alias("new_label"),
             )
             .localCheckpoint(eager=True)
