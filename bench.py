@@ -63,6 +63,7 @@ HEADLINE = [
     "q79_concurrent_fanout",
     "q80_bucketed_colocated_join",
     "q81_bloom_pruned_join",
+    "q82_grouping_sets",
 ]
 
 

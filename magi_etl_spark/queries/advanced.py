@@ -251,6 +251,53 @@ def q37_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q82_grouping_sets",
+    oracle="""
+    SELECT event_type,
+           CAST(isodow(ts) - 1 AS BIGINT) AS dow,
+           CAST(GROUPING(event_type) * 2 + GROUPING(isodow(ts) - 1) AS BIGINT)
+               AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users
+    FROM events
+    GROUP BY GROUPING SETS ((event_type, isodow(ts) - 1), (event_type),
+                            (isodow(ts) - 1), ())
+    """,
+)
+def q82_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: the detail grain plus both one-dimension margins
+    plus the grand total in ONE pass over the fact table (A12 capability
+    extension alongside q36 ROLLUP / q37 pivot).  ``GROUPING()`` bits
+    disambiguate "aggregated-away" NULLs from data NULLs — required for
+    a correct hash-compare because ``dow`` is genuinely nullable here.
+    Spark expands the sets into a single Expand + aggregate, so the fact
+    scans once regardless of how many margins are requested."""
+    e = load_table(spark, sf_dir, "events")
+    # weekday(): Monday=0..Sunday=6, matching DuckDB's isodow()-1 (Spark
+    # dayofweek() counts Sunday=1..7 — an engine-portability trap)
+    return spark.sql(
+        """
+        SELECT event_type,
+               CAST(weekday(ts) AS BIGINT) AS dow,
+               CAST(GROUPING(event_type) * 2 + GROUPING(weekday(ts))
+                    AS BIGINT) AS gid,
+               COUNT(*) AS n,
+               COUNT(DISTINCT user_id) AS users
+        FROM {e}
+        GROUP BY GROUPING SETS ((event_type, weekday(ts)), (event_type),
+                                (weekday(ts)), ())
+        """,
+        e=e,
+    ).select(
+        "event_type",
+        "dow",
+        "gid",
+        F.col("n").cast("long").alias("n"),
+        F.col("users").cast("long").alias("users"),
+    )
+
+
 def _srp_planes(n_planes: int = 4, dim: int = 64, seed: int = 7) -> list[list[float]]:
     rng = random.Random(seed)
     return [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_planes)]
