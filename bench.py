@@ -64,6 +64,7 @@ HEADLINE = [
     "q80_bucketed_colocated_join",
     "q81_bloom_pruned_join",
     "q82_grouping_sets",
+    "q83_event_gaps",
 ]
 
 

@@ -86,11 +86,12 @@ _PRIORITY: list[str] = [
     "q75_funnel",
     "q76_retention_cohorts",
     "q78_key_skew_profile",
-    # new this round (4)
+    # new this round (5)
     "q79_concurrent_fanout",
     "q80_bucketed_colocated_join",
     "q81_bloom_pruned_join",
     "q82_grouping_sets",
+    "q83_event_gaps",
     # green in round 1 only — re-verify at the driver (8)
     "q20_token_stats",
     "q21_quality_scores",
@@ -102,8 +103,8 @@ _PRIORITY: list[str] = [
     "q49_chunking",
     # reworked plan this round — re-verify at the driver (1)
     "q62_top_supplier",
-    # load-bearing engine + core relational surface (19; q66/q17 rotated
-    # to the tail — both r2-green — to make room for q81/q82)
+    # load-bearing engine + core relational surface (18; q66/q17/q16
+    # rotated to the tail — all r2-green — making room for q81-q83)
     "q30_metric_query_events",
     "q31_metric_query_unnest",
     "q54_helix_generic",
@@ -121,7 +122,6 @@ _PRIORITY: list[str] = [
     "q13_distinct_derived_key",
     "q14_json_extract",
     "q15_having_threshold",
-    "q16_set_ops",
     "q18_week_buckets",
 ]
 

@@ -1525,6 +1525,50 @@ def q80_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q83_event_gaps",
+    oracle="""
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS gap_us,
+               lead(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) = event_type AS same_next
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us,
+           CAST(SUM(gap_us) AS BIGINT) AS total_gap_us,
+           CAST(COUNT(CASE WHEN same_next THEN 1 END) AS BIGINT) AS n_repeats
+    FROM g GROUP BY user_id
+    """,
+)
+def q83_event_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead analytic windows (the W-family member the rest of the
+    inventory doesn't exercise): per-user inter-event gaps and
+    same-type repeat transitions.  The window partitions on user_id —
+    distributed by construction, no global ordering anywhere — with
+    (ts, event_id) as a total order so ties can't flip the hash.
+    Gaps stay integer epoch-micros end to end."""
+    e = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    g = e.select(
+        "user_id",
+        (us - F.lag(us).over(w)).alias("gap_us"),
+        (F.lead("event_type").over(w) == F.col("event_type")).alias("same_next"),
+    )
+    return g.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.max("gap_us").alias("max_gap_us"),
+        F.sum("gap_us").alias("total_gap_us"),
+        F.count(F.when(F.col("same_next"), 1)).alias("n_repeats"),
+    )
+
+
+@query(
     "q81_bloom_pruned_join",
     oracle="""
     SELECT o.o_orderpriority,
