@@ -6,8 +6,27 @@ whole-stage codegen; no Python UDFs in any hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def fan_out(df: DataFrame) -> DataFrame:
+    """Spread a narrow input across the cluster before CPU-heavy per-row
+    work.  A small parquet file arrives as one split; without this, all
+    tokenize/hash/vector work runs on a single core.  No-op when the
+    input is already wide: file-backed frames are checked via
+    ``inputFiles()`` plan metadata (cheap); non-file-backed frames
+    (createDataFrame, post-shuffle derivations) return no files, so they
+    fall back to the actual partition count — a join/aggregate output is
+    already wide and must not eat an extra round-robin shuffle."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    files = df.inputFiles()
+    if files:
+        if len(files) >= target:
+            return df
+    elif df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
 
 
 def pinned_partition(anchor: Column | str) -> Column:

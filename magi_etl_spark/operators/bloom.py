@@ -19,7 +19,15 @@ plain join's — the driver oracle proves it.
 
 from __future__ import annotations
 
+import threading
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, SparkSession
+
+# serializes the conf-scoped plan freezes below: without it, two threads
+# interleaving set/restore of the session-global broadcast threshold could
+# leave "-1" behind permanently (captured-prev race)
+_FREEZE_LOCK = threading.Lock()
 
 
 def enable_runtime_bloom(
@@ -37,6 +45,30 @@ def enable_runtime_bloom(
     )
 
 
+def freeze_bloom_plan(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFrame:
+    """Build a COMPLETE query under a broadcast-disabled conf scope and
+    force its physical plan, so the runtime Bloom filter Catalyst injects
+    survives into the frame the caller actually executes.
+
+    The plan cache lives on the returned Dataset — deriving further
+    frames from it (another groupBy, a count) re-plans under the restored
+    conf and silently DROPS the bloom, so ``build`` must return the final
+    frame.  The freeze is lock-serialized: set/restore of the
+    session-global threshold from two threads could otherwise capture
+    each other's "-1" and leave broadcasting off for the session."""
+    with _FREEZE_LOCK:
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            df = build()
+            # force logical optimization + physical planning NOW; both
+            # cache on the Dataset, so actions reuse the bloom-bearing plan
+            df._jdf.queryExecution().executedPlan()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return df
+
+
 def bloom_pruned_join(
     fact: DataFrame,
     dim: DataFrame,
@@ -49,20 +81,13 @@ def bloom_pruned_join(
     broadcast (a broadcast hash relation already filters; the bloom pays
     off exactly when the dim side is selective but PAST the broadcast
     threshold — the realistic 100 TB shape).  On test-scale data every
-    dim fits the broadcast threshold, so the plan is frozen once with
-    broadcasting disabled: the optimized plan — bloom included — is
-    materialized under the scoped conf and cached on the Dataset, then
-    the session conf is restored so concurrent queries keep their
-    broadcast joins.  On a real deployment with an oversized dim the
-    scoping is a no-op (the rule fires on its own)."""
-    spark = fact.sparkSession
-    joined = fact.join(dim.hint("shuffle_merge"), on, how)
-    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try:
-        # force logical optimization + physical planning NOW; both cache
-        # on the Dataset, so later actions reuse the bloom-bearing plan
-        joined._jdf.queryExecution().executedPlan()
-    finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    return joined
+    dim fits the broadcast threshold, so the plan is frozen via
+    ``freeze_bloom_plan``.  NOTE: the frozen plan is cached on the
+    RETURNED frame only — callers composing further operators on top
+    must wrap the whole composition in ``freeze_bloom_plan`` instead
+    (as q81 does), or the derived frame re-plans without the bloom.
+    On a real deployment with an oversized dim none of this is needed —
+    the rule fires on its own."""
+    return freeze_bloom_plan(
+        fact.sparkSession, lambda: fact.join(dim.hint("shuffle_merge"), on, how)
+    )

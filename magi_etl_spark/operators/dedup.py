@@ -34,23 +34,8 @@ def exact_duplicate_groups(df: DataFrame, keys: list[str], id_col: str) -> DataF
     )
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a narrow input across the cluster before CPU-heavy per-row
-    work.  A small parquet file arrives as one split; without this, all
-    tokenize/hash work runs on a single core.  No-op when the input is
-    already wide: file-backed frames are checked via ``inputFiles()``
-    plan metadata (cheap); non-file-backed frames (createDataFrame,
-    post-shuffle derivations) return no files, so they fall back to the
-    actual partition count — a join/aggregate output is already wide and
-    must not eat an extra round-robin shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if files:
-        if len(files) >= target:
-            return df
-    elif df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+# shared with operators/similarity.py — one definition, one behavior
+from magi_etl_spark.functions import fan_out as _fan_out  # noqa: E402
 
 
 def dedup_keep_best(

@@ -14,22 +14,8 @@ from pyspark.sql import functions as F
 from magi_etl_spark.functions.vectors import as_double, cosine, dot, l2_norm
 
 
-def _fan_out(df: DataFrame) -> DataFrame:
-    """Spread a narrow input (single parquet split) across all cores before
-    per-row vector math; no-op when already wide.
-
-    File-backed frames are checked via ``inputFiles()`` plan metadata
-    (cheap); frames with no file provenance (createDataFrame, post-shuffle
-    derivations) fall back to the actual partition count so an
-    already-wide join/aggregate output never eats an extra shuffle."""
-    target = df.sparkSession.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if files:
-        if len(files) >= target:
-            return df
-    elif df.rdd.getNumPartitions() >= target:
-        return df
-    return df.repartition(target)
+# shared with operators/dedup.py — one definition, one behavior
+from magi_etl_spark.functions import fan_out as _fan_out  # noqa: E402
 
 
 def cosine_topk(

@@ -44,13 +44,22 @@ def zorder_key(
     n_buckets = 1 << bits
     ranks: list[Column] = []
     for c in cols:
+        if stats[f"mn_{c}"] is None or stats[f"mx_{c}"] is None:
+            raise ValueError(
+                f"cannot z-order on {c!r}: no non-NULL values "
+                "(empty input or all-NULL column)"
+            )
         mn, mx = float(stats[f"mn_{c}"]), float(stats[f"mx_{c}"])
         span = (mx - mn) or 1.0
         scaled = (F.col(c).cast("double") - F.lit(mn)) / F.lit(span)
-        rank = F.least(
-            F.floor(scaled * n_buckets).cast("long"), F.lit(n_buckets - 1)
+        rank = F.greatest(
+            F.least(F.floor(scaled * n_buckets).cast("long"), F.lit(n_buckets - 1)),
+            F.lit(0),
         )
-        ranks.append(F.greatest(rank, F.lit(0)))
+        # NULL cells sort to bucket 0 EXPLICITLY — least/greatest skip
+        # NULLs, which would otherwise quietly park NULL rows in the top
+        # bucket next to the maximum values
+        ranks.append(F.when(F.col(c).isNull(), F.lit(0)).otherwise(rank))
     # bit i of column j lands at position i * n_cols + j: shift/or chain,
     # fully inside codegen
     terms = [

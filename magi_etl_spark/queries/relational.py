@@ -1489,13 +1489,17 @@ def q80_bucketed_colocated_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the q03/q05 family: pay one bucketed write, then every subsequent
     join of tables bucketed on the same key with the same bucket count
     is shuffle-free and sort-free."""
-    import re
+    import hashlib
     import tempfile
 
     from magi_etl_spark.sinks import write_bucketed
     from magi_etl_spark.tables import load_table
 
-    suffix = re.sub(r"[^0-9a-zA-Z]", "_", sf_dir.rstrip("/").rsplit("/", 1)[-1])
+    # suffix from the FULL path: a basename-only suffix would let two
+    # sf_dirs named alike (e.g. /a/sf0.1 and /b/sf0.1) share catalog
+    # table names while the memo below is keyed by full path — the
+    # second dir would silently read the first dir's bucketed data
+    suffix = hashlib.md5(sf_dir.rstrip("/").encode()).hexdigest()[:10]
     lt, ot = f"magi_b80_lineitem_{suffix}", f"magi_b80_orders_{suffix}"
     memo = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     if memo not in _BUCKETED_READY:
@@ -1591,8 +1595,8 @@ def q81_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-checks exactly, so results equal the plain join's — which is what
     the oracle verifies."""
     from magi_etl_spark.operators.bloom import (
-        bloom_pruned_join,
         enable_runtime_bloom,
+        freeze_bloom_plan,
     )
 
     enable_runtime_bloom(spark)
@@ -1604,17 +1608,23 @@ def q81_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("o_totalprice") > 400000)
         .select("o_orderkey", "o_orderpriority")
     )
-    return (
-        bloom_pruned_join(l, o, l.l_orderkey == o.o_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count("*").alias("n_items"),
-            F.sum(
-                F.round(
-                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
-                ).cast("long")
+
+    def build() -> DataFrame:
+        # the WHOLE query is composed and plan-frozen inside the scope:
+        # a frame derived later would re-plan without the bloom
+        return (
+            l.join(o.hint("shuffle_merge"), l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count("*").alias("n_items"),
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+                    ).cast("long")
+                )
+                .cast("long")
+                .alias("revenue_c"),
             )
-            .cast("long")
-            .alias("revenue_c"),
         )
-    )
+
+    return freeze_bloom_plan(spark, build)

@@ -60,10 +60,23 @@ def _ts_is_epoch_nanos(path: str) -> bool:
 
 
 def stream_events(
-    spark: SparkSession, path: str, max_files_per_trigger: int = 16
+    spark: SparkSession,
+    path: str,
+    max_files_per_trigger: int = 16,
+    ts_unit: str | None = None,
 ) -> DataFrame:
-    """File-based event stream with micro-batch file throttling."""
-    if _ts_is_epoch_nanos(path):
+    """File-based event stream with micro-batch file throttling.
+
+    ``ts_unit`` pins the source layout (``"ns_long"`` for epoch-nanos
+    int64 / TIMESTAMP(NANOS) writers, ``"timestamp"`` for native
+    micro/milli) — REQUIRED when the landing directory is empty at
+    stream-definition time and the eventual writer produces nanos,
+    because the footer sniff below can only see files already present
+    and defaults to native timestamps."""
+    if ts_unit not in (None, "ns_long", "timestamp"):
+        raise ValueError(f"ts_unit must be 'ns_long' or 'timestamp', got {ts_unit!r}")
+    is_nanos = ts_unit == "ns_long" if ts_unit else _ts_is_epoch_nanos(path)
+    if is_nanos:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         raw = (
             spark.readStream.schema(EVENTS_NS_SCHEMA)

@@ -66,7 +66,7 @@ SESSION_OUTPUT_SCHEMA = (
     "user_id long, session_start timestamp, session_end timestamp,"
     " n_events long, total_value double"
 )
-SESSION_STATE_SCHEMA = "start_ms long, last_ms long, n long, total double"
+SESSION_STATE_SCHEMA = "start_us long, last_us long, n long, total double"
 
 _UNIT_MS = {
     "millisecond": 1, "milliseconds": 1,
@@ -82,10 +82,14 @@ def _duration_ms(spec: str) -> int:
     return int(n) * _UNIT_MS[unit.lower()]
 
 
-def _epoch_ms(s: pd.Series) -> pd.Series:
+def _epoch_us(s: pd.Series) -> pd.Series:
+    """Event times as epoch MICROseconds — Spark's native timestamp
+    resolution.  Flooring to ms here would make gap decisions (and the
+    emitted session bounds) diverge from the batch sessionizer on
+    sub-millisecond data."""
     if getattr(s.dtype, "tz", None) is not None:
         s = s.dt.tz_convert("UTC").dt.tz_localize(None)
-    return s.astype("datetime64[ms]").astype("int64")
+    return s.astype("datetime64[us]").astype("int64")
 
 
 def gap_sessions_event_timeout(
@@ -104,7 +108,7 @@ def gap_sessions_event_timeout(
     (``pipelines/trending.py`` A7/J4 family); tests assert the closed set
     matches it exactly.
     """
-    gap_ms = _duration_ms(gap)
+    gap_us = _duration_ms(gap) * 1000
 
     def update(
         key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
@@ -119,35 +123,37 @@ def gap_sessions_event_timeout(
             rows: list[tuple[int, float]] = []
             for pdf in batches:
                 rows.extend(
-                    zip(_epoch_ms(pdf["ts"]).tolist(), pdf["value"].tolist())
+                    zip(_epoch_us(pdf["ts"]).tolist(), pdf["value"].tolist())
                 )
             rows.sort()
-            for ms, v in rows:
-                if cur is not None and ms - cur[1] > gap_ms:
+            for us, v in rows:
+                if cur is not None and us - cur[1] > gap_us:
                     closed.append(tuple(cur))
                     cur = None
                 if cur is None:
-                    cur = [ms, ms, 0, 0.0]
-                cur[1] = max(cur[1], ms)
+                    cur = [us, us, 0, 0.0]
+                cur[1] = max(cur[1], us)
                 cur[2] += 1
                 cur[3] += float(v)
             if cur is not None:
                 state.update((int(cur[0]), int(cur[1]), int(cur[2]), float(cur[3])))
-                # must be strictly beyond the current watermark or Spark
-                # rejects it; an already-expired session closes on the
-                # next batch either way
+                # the timeout API is millisecond-resolution: CEIL so the
+                # timer can never fire before the microsecond expiry, and
+                # it must be strictly beyond the current watermark or
+                # Spark rejects it
+                timeout_ms = -((cur[1] + gap_us) // -1000)
                 state.setTimeoutTimestamp(
-                    max(cur[1] + gap_ms, state.getCurrentWatermarkMs() + 1)
+                    max(timeout_ms, state.getCurrentWatermarkMs() + 1)
                 )
         if closed:
             yield pd.DataFrame(
                 {
                     "user_id": [user_id] * len(closed),
                     "session_start": pd.to_datetime(
-                        [c[0] for c in closed], unit="ms"
+                        [c[0] for c in closed], unit="us"
                     ),
                     "session_end": pd.to_datetime(
-                        [c[1] for c in closed], unit="ms"
+                        [c[1] for c in closed], unit="us"
                     ),
                     "n_events": [c[2] for c in closed],
                     "total_value": [c[3] for c in closed],

@@ -34,6 +34,10 @@ def test_q81_registered_with_oracle(spark, sf_dir):
     assert "q81_bloom_pruned_join" in QUERIES
     assert "q81_bloom_pruned_join" in ORACLE
     df = QUERIES["q81_bloom_pruned_join"](spark, sf_dir)
+    # the COMPOSED query (join + agg) must carry the bloom, not just the
+    # raw operator — deriving frames from a frozen plan re-plans without it
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "might_contain" in plan
     rows = df.collect()
     assert len(rows) > 0
     assert set(df.columns) == {"o_orderpriority", "n_items", "revenue_c"}
