@@ -124,6 +124,26 @@ def test_streaming_dedup_matches_batch(spark, sf_dir, tmp_path):
     assert got.groupBy("event_id").count().where(F.col("count") > 1).count() == 0
 
 
+def test_stream_events_ts_unit_override(spark, sf_dir, tmp_path):
+    """An empty landing directory can't be sniffed: the explicit ts_unit
+    pin declares the eventual writer's layout up front."""
+    import pytest
+
+    from magi_etl_spark.streaming.events_stream import stream_events
+
+    empty = tmp_path / "landing"
+    empty.mkdir()
+    ns_stream = stream_events(spark, str(empty), ts_unit="ns_long")
+    assert ns_stream.isStreaming
+    assert dict(ns_stream.dtypes)["ts"] == "timestamp"  # converted ns-long
+
+    native = stream_events(spark, str(empty), ts_unit="timestamp")
+    assert dict(native.dtypes)["ts"] == "timestamp"
+
+    with pytest.raises(ValueError, match="ts_unit"):
+        stream_events(spark, str(empty), ts_unit="seconds")
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     """Watermarked interval join across two file streams equals the batch
     join with the same predicate."""
