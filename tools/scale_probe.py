@@ -53,11 +53,14 @@ def main() -> None:
 
     docs1 = load_table(spark, sf, "documents")
     events1 = load_table(spark, sf, "events")
+    emb1 = load_table(spark, sf, "embeddings")
     docsN = replicate(docs1, ["doc_id"], n, 10_000_000).persist()
     eventsN = replicate(events1, ["event_id", "user_id"], n, 10_000_000).persist()
+    embN = replicate(emb1, ["vec_id"], n, 10_000_000).persist()
     print(
         f"# docs {docs1.count()} -> {docsN.count()}, "
-        f"events {events1.count()} -> {eventsN.count()}",
+        f"events {events1.count()} -> {eventsN.count()}, "
+        f"embeddings {emb1.count()} -> {embN.count()}",
         file=sys.stderr,
     )
 
@@ -106,12 +109,30 @@ def main() -> None:
     def skew(e):
         return lambda: key_skew_profile(e, ["user_id"], top_k=20)
 
+    def emb_neardup(em):
+        from magi_etl_spark.operators.similarity import (
+            blocked_neardup_pairs,
+            srp_lsh_buckets,
+        )
+        from magi_etl_spark.queries.similarity import _dedup_planes
+
+        # replicated copies are exact duplicates of each other, so the
+        # blocked pair space grows quadratically in n WITHIN each bucket —
+        # the probe shows salting+blocking keeps even that contained
+        def run():
+            buckets = srp_lsh_buckets(em, seed_planes=_dedup_planes())
+            blocked = em.join(buckets, "vec_id")
+            return blocked_neardup_pairs(blocked, "bucket", threshold=0.95)
+
+        return run
+
     timings: dict[str, float] = {}
     for label, d1, dn in (
         ("lsh_dedup", lsh(docs1), lsh(docsN)),
         ("dedup_clusters", clusters(docs1), clusters(docsN)),
         ("funnel", funnel(events1), funnel(eventsN)),
         ("skew_profile", skew(events1), skew(eventsN)),
+        ("embedding_neardup", emb_neardup(emb1), emb_neardup(embN)),
     ):
         timed(f"{label}_x1", d1, timings)
         timed(f"{label}_x{n}", dn, timings)
