@@ -65,6 +65,7 @@ HEADLINE = [
     "q81_bloom_pruned_join",
     "q82_grouping_sets",
     "q83_event_gaps",
+    "q84_dataset_split",
 ]
 
 

@@ -62,6 +62,53 @@ def deterministic_sample(
     return df.where(u < F.lit(frac_threshold_hex(fraction)))
 
 
+def split_assign(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    seed: str = "split",
+    split_col: str = "split",
+) -> DataFrame:
+    """Deterministic disjoint train/val/test assignment: each row gets
+    exactly ONE label from ``splits`` (label -> fraction, must sum to 1),
+    decided by which sub-interval of [0, 1) its hash draw lands in.
+
+    Same guarantees as ``deterministic_sample``: assignment is a pure
+    function of (seed, key), so it is stable across runs, engines,
+    partitionings, and task retries — and rows sharing a key always land
+    in the SAME split (use a group key like a document family id to keep
+    near-duplicates out of eval sets).  Project-only: no shuffle."""
+    if not splits:
+        raise ValueError("splits must not be empty")
+    total = sum(splits.values())
+    if any(w < 0 for w in splits.values()) or abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions must be >= 0 and sum to 1, got {splits}")
+    u = uniform_hex(F.col(key_col), seed)
+    names = list(splits)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += splits[name]
+        cond = u < F.lit(frac_threshold_hex(min(cum, 1.0)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1])
+    assigned = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, assigned)
+
+
+def split_dataset(
+    df: DataFrame,
+    key_col: str,
+    splits: dict[str, float],
+    seed: str = "split",
+) -> dict[str, DataFrame]:
+    """``split_assign`` materialized as one frame per label (each a
+    filter over the same assignment — disjoint and exhaustive by
+    construction)."""
+    assigned = split_assign(df, key_col, splits, seed)
+    return {name: assigned.where(F.col("split") == name) for name in splits}
+
+
 def weighted_mix(
     df: DataFrame,
     weights: dict[str, float],

@@ -86,12 +86,13 @@ _PRIORITY: list[str] = [
     "q75_funnel",
     "q76_retention_cohorts",
     "q78_key_skew_profile",
-    # new this round (5)
+    # new this round (6)
     "q79_concurrent_fanout",
     "q80_bucketed_colocated_join",
     "q81_bloom_pruned_join",
     "q82_grouping_sets",
     "q83_event_gaps",
+    "q84_dataset_split",
     # green in round 1 only — re-verify at the driver (8)
     "q20_token_stats",
     "q21_quality_scores",
@@ -103,8 +104,8 @@ _PRIORITY: list[str] = [
     "q49_chunking",
     # reworked plan this round — re-verify at the driver (1)
     "q62_top_supplier",
-    # load-bearing engine + core relational surface (18; q66/q17/q16
-    # rotated to the tail — all r2-green — making room for q81-q83)
+    # load-bearing engine + core relational surface (17; q66/q17/q16/q15
+    # rotated to the tail — all r2-green — making room for q81-q84)
     "q30_metric_query_events",
     "q31_metric_query_unnest",
     "q54_helix_generic",
@@ -121,7 +122,6 @@ _PRIORITY: list[str] = [
     "q12_conditional_agg",
     "q13_distinct_derived_key",
     "q14_json_extract",
-    "q15_having_threshold",
     "q18_week_buckets",
 ]
 

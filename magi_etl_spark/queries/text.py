@@ -194,6 +194,43 @@ def q56_dataset_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q84_dataset_split",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id, lang,
+               substr(md5(concat('split|', CAST(doc_id AS VARCHAR))), 1, 8) AS u
+        FROM documents
+    )
+    SELECT CASE WHEN u < 'cccccccc' THEN 'train'
+                WHEN u < 'e6666666' THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM u GROUP BY 1
+    """,
+)
+def q84_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment of the corpus:
+    each doc's md5 draw picks exactly one sub-interval of [0,1), so the
+    splits are disjoint, exhaustive, and stable across runs, engines,
+    partitionings, and task retries (``operators/mixing.split_assign``).
+    The oracle recomputes the same draw and thresholds in DuckDB —
+    0.8 * 16^8 = 0xcccccccc, 0.9 * 16^8 = 0xe6666666 — so the ASSIGNMENT
+    is verified, not just the split sizes.  Project + aggregate: the
+    assignment itself adds no shuffle."""
+    from magi_etl_spark.operators.mixing import split_assign
+
+    d = load_table(spark, sf_dir, "documents")
+    assigned = split_assign(
+        d, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}, seed="split"
+    )
+    return assigned.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@query(
     "q57_sequence_packing",
     oracle=f"""
     WITH RECURSIVE t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),

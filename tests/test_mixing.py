@@ -93,3 +93,40 @@ def test_weighted_mix_no_shuffle(docs):
     )
     plan = mixed._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # project+filter+explode only
+
+
+def test_split_assign_partition_and_disjointness(spark, sf_dir):
+    from magi_etl_spark.operators.mixing import split_assign, split_dataset
+    from magi_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    splits = {"train": 0.8, "val": 0.1, "test": 0.1}
+    a = split_assign(d, "doc_id", splits)
+    # exhaustive and disjoint: every row gets exactly one label
+    assert a.count() == d.count()
+    counts = {r["split"]: r["n"] for r in a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == d.count()
+    assert 0.6 < counts["train"] / d.count() < 0.95  # ~0.8 with hash noise
+    # stability: assignment is independent of partition layout
+    b = split_assign(d.repartition(7), "doc_id", splits)
+    pa = {r.doc_id: r["split"] for r in a.select("doc_id", "split").collect()}
+    pb = {r.doc_id: r["split"] for r in b.select("doc_id", "split").collect()}
+    assert pa == pb
+    # split_dataset frames tile the input
+    frames = split_dataset(d, "doc_id", splits)
+    assert sum(f.count() for f in frames.values()) == d.count()
+
+
+def test_split_assign_validation(spark, sf_dir):
+    import pytest
+
+    from magi_etl_spark.operators.mixing import split_assign
+    from magi_etl_spark.tables import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(d, "doc_id", {"a": 0.5, "b": 0.3})
+    with pytest.raises(ValueError, match="sum to 1"):
+        split_assign(d, "doc_id", {"a": 1.5, "b": -0.5})
+    with pytest.raises(ValueError, match="empty"):
+        split_assign(d, "doc_id", {})
