@@ -14,17 +14,16 @@ def fan_out(df: DataFrame) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-heavy per-row
     work.  A small parquet file arrives as one split; without this, all
     tokenize/hash/vector work runs on a single core.  No-op when the
-    input is already wide: file-backed frames are checked via
-    ``inputFiles()`` plan metadata (cheap); non-file-backed frames
-    (createDataFrame, post-shuffle derivations) return no files, so they
-    fall back to the actual partition count — a join/aggregate output is
-    already wide and must not eat an extra round-robin shuffle."""
+    input is already wide.
+
+    Width is judged by the ACTUAL physical partition count — never by
+    ``inputFiles()``, which reports the leaf scan files of the whole
+    plan: a post-shuffle derivation (join/aggregate output, already
+    wide) still lists its underlying tables' few files, and a file-count
+    check would repartition it DOWN, adding a shuffle exactly where one
+    must not be."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    files = df.inputFiles()
-    if files:
-        if len(files) >= target:
-            return df
-    elif df.rdd.getNumPartitions() >= target:
+    if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)
 

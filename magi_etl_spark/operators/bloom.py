@@ -34,10 +34,12 @@ def enable_runtime_bloom(
     spark: SparkSession, application_side_min_bytes: int = 0
 ) -> None:
     """Turn on Catalyst's runtime Bloom-filter injection for shuffle
-    joins.  ``applicationSideScanSizeThreshold`` defaults to 10 GiB —
-    right for a real cluster, where building a bloom only pays off when
-    the fact scan is large; test/bench deployments lower it so the rule
-    is exercised.  Idempotent session confs, safe to call per query."""
+    joins — a DEPLOYMENT-level opt-in that mutates the session: every
+    later query plans under it.  ``applicationSideScanSizeThreshold``
+    defaults to 10 GiB on a real cluster, where building a bloom only
+    pays off when the fact scan is large.  For a per-query demonstration
+    that leaves the session untouched, use ``freeze_bloom_plan`` (which
+    scopes these confs itself) instead of calling this."""
     spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
     spark.conf.set(
         "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
@@ -45,27 +47,47 @@ def enable_runtime_bloom(
     )
 
 
+_FREEZE_CONFS = {
+    # the rule itself + the test-scale thresholds that let it fire, plus
+    # broadcast off so the join is a shuffle join the rule will consider
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
 def freeze_bloom_plan(spark: SparkSession, build: Callable[[], DataFrame]) -> DataFrame:
-    """Build a COMPLETE query under a broadcast-disabled conf scope and
-    force its physical plan, so the runtime Bloom filter Catalyst injects
-    survives into the frame the caller actually executes.
+    """Build a COMPLETE query under a scoped conf window (bloom injection
+    on with demonstration thresholds, broadcasting off) and force its
+    physical plan, so the runtime Bloom filter Catalyst injects survives
+    into the frame the caller actually executes — while the SESSION keeps
+    its defaults: every conf is restored before returning, so queries
+    planned after this one are unaffected (they'd otherwise inherit the
+    aggressive zero application-side threshold order-dependently).
 
     The plan cache lives on the returned Dataset — deriving further
     frames from it (another groupBy, a count) re-plans under the restored
-    conf and silently DROPS the bloom, so ``build`` must return the final
-    frame.  The freeze is lock-serialized: set/restore of the
-    session-global threshold from two threads could otherwise capture
-    each other's "-1" and leave broadcasting off for the session."""
+    confs and silently DROPS the bloom, so ``build`` must return the
+    final frame.  The freeze is lock-serialized: interleaved set/restore
+    from two threads could otherwise capture each other's scoped values
+    and leave them behind permanently.  (A query planned by ANOTHER
+    thread during the window still sees the scoped confs — keep freezes
+    out of concurrent fan-outs, or accept a shuffle-join plan there.)"""
     with _FREEZE_LOCK:
-        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        prev = {k: spark.conf.get(k, None) for k in _FREEZE_CONFS}
+        for k, v in _FREEZE_CONFS.items():
+            spark.conf.set(k, v)
         try:
             df = build()
             # force logical optimization + physical planning NOW; both
             # cache on the Dataset, so actions reuse the bloom-bearing plan
             df._jdf.queryExecution().executedPlan()
         finally:
-            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
     return df
 
 

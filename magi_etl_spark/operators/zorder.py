@@ -37,6 +37,18 @@ def zorder_key(
     ``bits * len(cols)`` and must fit a long."""
     if bits * len(cols) > 63:
         raise ValueError("z-key wider than 63 bits; lower bits or cols")
+    from pyspark.sql.types import NumericType
+
+    dtypes = {f.name: f.dataType for f in df.schema.fields}
+    for c in cols:
+        if c not in dtypes:
+            raise ValueError(f"unknown z-order column {c!r}")
+        if not isinstance(dtypes[c], NumericType):
+            raise ValueError(
+                f"z-order column {c!r} has non-numeric type "
+                f"{dtypes[c].simpleString()}; cast it first (dates: "
+                "datediff from an epoch, strings: a hash or dictionary rank)"
+            )
     stats = df.agg(
         *[F.min(c).alias(f"mn_{c}") for c in cols],
         *[F.max(c).alias(f"mx_{c}") for c in cols],

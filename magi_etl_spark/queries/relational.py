@@ -1594,12 +1594,11 @@ def q81_bloom_pruned_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_bloom.py).  The bloom has no false negatives and the join
     re-checks exactly, so results equal the plain join's — which is what
     the oracle verifies."""
-    from magi_etl_spark.operators.bloom import (
-        enable_runtime_bloom,
-        freeze_bloom_plan,
-    )
+    from magi_etl_spark.operators.bloom import freeze_bloom_plan
 
-    enable_runtime_bloom(spark)
+    # all bloom/broadcast confs are scoped INSIDE the freeze — the
+    # session keeps its defaults, so queries gated after this one don't
+    # inherit the demonstration thresholds
     l = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )

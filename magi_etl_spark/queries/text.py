@@ -381,9 +381,18 @@ def q63_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    parts = counts.repartitionByRange(
-        32, F.col("n").desc(), F.col("token")
-    ).withColumn("_pid", F.spark_partition_id())
+    # The range exchange is materialized ONCE (eager checkpoint) so the
+    # ranked rows, the per-partition totals, and the offsets all read the
+    # SAME partition assignment.  Without this, consistency would hinge on
+    # ReusedExchange de-duplicating the sampled range shuffle across the
+    # three consumers — an optimizer performance feature, not a
+    # correctness guarantee (range boundaries come from sampling, so two
+    # independent materializations may disagree on a row's partition).
+    parts = (
+        counts.repartitionByRange(32, F.col("n").desc(), F.col("token"))
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
     local_w = W.partitionBy("_pid").orderBy(F.desc("n"), "token")
     local = parts.select(
         "token",

@@ -46,10 +46,18 @@ def _ts_is_epoch_nanos(path: str) -> bool:
 
     candidate = path
     if os.path.isdir(path):
-        parts = sorted(f for f in os.listdir(path) if f.endswith(".parquet"))
-        if not parts:
+        # recurse: partitioned layouts (path/date=…/part-*.parquet) keep
+        # their files below the top level
+        found = None
+        for root, dirs, files in os.walk(path):
+            dirs.sort()
+            hits = sorted(f for f in files if f.endswith(".parquet"))
+            if hits:
+                found = os.path.join(root, hits[0])
+                break
+        if found is None:
             return False
-        candidate = os.path.join(path, parts[0])
+        candidate = found
     try:
         field = pq.read_schema(candidate).field("ts")
     except Exception:

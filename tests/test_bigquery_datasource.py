@@ -52,9 +52,34 @@ def test_filter_pushdown_into_scan(registered, sf_dir):
         .count()
     )
     assert filtered.count() == expected
-    # the pushed filters reach the python scan (visible in the plan)
-    plan = filtered._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters" in plan or filtered.count() == expected
+
+
+def test_reader_applies_pushed_filters_in_scan(sf_dir):
+    """Reader-level proof that pushed filters actually cut the rows the
+    Python scan yields (pushdown is semantically transparent end-to-end,
+    so only the reader's own output can show it happened)."""
+    from pyspark.sql.datasource import EqualNullSafe, GreaterThan, LessThanOrEqual
+
+    from magi_etl_spark.sources.pyds import LocalWarehouseReader
+
+    reader = LocalWarehouseReader(f"{sf_dir}/customer.parquet")
+    leftover = list(
+        reader.pushFilters(
+            [
+                GreaterThan(("c_custkey",), 50),
+                LessThanOrEqual(("c_custkey",), 60),
+                EqualNullSafe(("c_name",), "x"),  # unsupported kind
+            ]
+        )
+    )
+    # the unsupported filter is handed back to Spark; the comparisons stay
+    assert [type(f) for f in leftover] == [EqualNullSafe]
+    assert len(reader._pushed) == 2
+
+    [part] = reader.partitions()[:1]
+    rows = [r for batch in reader.read(part) for r in batch.to_pylist()]
+    assert rows, "scan yielded nothing"
+    assert all(50 < r["c_custkey"] <= 60 for r in rows)
 
 
 def test_missing_table_option_errors(registered):

@@ -6,12 +6,16 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from magi_etl_spark.operators.bloom import bloom_pruned_join, enable_runtime_bloom
+from magi_etl_spark.operators.bloom import bloom_pruned_join
 from magi_etl_spark.tables import load_table
 
 
 def test_bloom_probe_in_plan_and_exact_results(spark, sf_dir):
-    enable_runtime_bloom(spark)
+    conf_keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+    )
+    before = {k: spark.conf.get(k) for k in conf_keys}
     l = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     o = (
         load_table(spark, sf_dir, "orders")
@@ -26,6 +30,11 @@ def test_bloom_probe_in_plan_and_exact_results(spark, sf_dir):
     plain = l.join(o, l.l_orderkey == o.o_orderkey)
     key = lambda r: (r.l_orderkey, r.l_extendedprice, r.o_orderpriority)  # noqa: E731
     assert sorted(map(key, pruned.collect())) == sorted(map(key, plain.collect()))
+
+    # the conf scope is fully restored: later queries in this session
+    # plan under the SAME confs as before the freeze
+    after = {k: spark.conf.get(k) for k in before}
+    assert after == before
 
 
 def test_q81_registered_with_oracle(spark, sf_dir):

@@ -34,12 +34,8 @@ def orders_lineitem(spark, sf_dir):
 def test_bloom_join_equals_plain_join_any_selectivity(
     spark, orders_lineitem, threshold
 ):
-    from magi_etl_spark.operators.bloom import (
-        bloom_pruned_join,
-        enable_runtime_bloom,
-    )
+    from magi_etl_spark.operators.bloom import bloom_pruned_join
 
-    enable_runtime_bloom(spark)
     l, o = orders_lineitem
     dim = o.where(F.col("o_totalprice") > threshold)
     pruned = bloom_pruned_join(l, dim, l.l_orderkey == dim.o_orderkey)
