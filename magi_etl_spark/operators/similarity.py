@@ -127,29 +127,83 @@ def ivf_index(
     return assigned.persist(), centroids
 
 
+def _farthest_point_select(cands: list, n: int) -> list:
+    """Greedy k-center over an already-collected candidate list: start
+    from the first candidate (smallest hash), then repeatedly take the
+    candidate whose minimum squared distance to the chosen set is largest
+    (ties → earliest candidate order, so the result is deterministic)."""
+    if len(cands) <= n:
+        return list(cands)
+    chosen = [cands[0]]
+    chosen_idx = {0}
+    # min squared distance from each candidate to the chosen set so far
+    def d2(a, b):
+        return sum((x - y) * (x - y) for x, y in zip(a["_v"], b["_v"]))
+
+    best = [d2(c, cands[0]) for c in cands]
+    while len(chosen) < n:
+        pick, pick_d = None, -1.0
+        for i, c in enumerate(cands):
+            if i in chosen_idx:
+                continue
+            if best[i] > pick_d:
+                pick, pick_d = i, best[i]
+        chosen.append(cands[pick])
+        chosen_idx.add(pick)
+        for i, c in enumerate(cands):
+            if i not in chosen_idx:
+                best[i] = min(best[i], d2(c, cands[pick]))
+    return chosen
+
+
 def ivf_index_sampled(
     df: DataFrame,
     n_lists: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    init: str = "first",
+    seed: int = 7,
+    oversample: int = 4,
 ) -> tuple[DataFrame, list[list[float]]]:
-    """Deterministic IVF coarse quantizer: the centroids are the
-    ``n_lists`` corpus vectors with the smallest ids (a sampled-centroid
-    quantizer — the standard KMeans-free IVF variant; FAISS supports any
+    """Deterministic IVF coarse quantizer: sampled corpus vectors are the
+    centroids (the standard KMeans-free IVF variant; FAISS supports any
     coarse quantizer).  Unlike :func:`ivf_index` (KMeans) this build is
-    fully order-deterministic and expressible in ANSI SQL, so the whole
-    IVF probe path can be oracle-checked end to end.  Assignment is a
-    broadcast of the tiny centroid table against the corpus — one narrow
-    pass, no shuffle of the big side; at cluster scale the assigned set
-    is written partitioned by ``list_id`` so probes become partition
-    pruning."""
+    fully order-deterministic, so the whole IVF probe path can be
+    oracle-checked end to end.  Assignment is a broadcast of the tiny
+    centroid table against the corpus — one narrow pass, no shuffle of
+    the big side; at cluster scale the assigned set is written
+    partitioned by ``list_id`` so probes become partition pruning.
+
+    ``init`` selects the sampling strategy (all deterministic):
+
+    - ``"first"``: the ``n_lists`` smallest ids.  SQL-expressible, but
+      degenerate when the id space is clustered (adjacent ids = similar
+      vectors ⇒ centroids crowd one region).
+    - ``"hash"``: the ``n_lists`` smallest ``md5(seed || id)`` — a seeded
+      uniform draw over the corpus regardless of id locality.  Still
+      SQL-expressible (the q86 oracle).
+    - ``"spread"``: k-means||-style — hash-oversample ``oversample *
+      n_lists`` candidates distributed, then greedy farthest-point
+      selection among the (tiny, collected) candidate set.  Best recall;
+      the selection step is driver-side over ≤ ``oversample*n_lists``
+      vectors so it stays O(candidates² · dim) on constants.
+    """
     base = _fan_out(
         df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     )
-    centroids = [
-        [float(x) for x in r["_v"]]
-        for r in base.orderBy(F.col(id_col)).limit(n_lists).collect()
-    ]
+    hash_key = F.md5(F.concat(F.lit(f"s{seed}"), F.col(id_col).cast("string")))
+    if init == "first":
+        rows = base.orderBy(F.col(id_col)).limit(n_lists).collect()
+    elif init == "hash":
+        rows = base.orderBy(hash_key.asc(), F.col(id_col).asc()).limit(n_lists).collect()
+    elif init == "spread":
+        cands = base.orderBy(hash_key.asc(), F.col(id_col).asc()).limit(
+            oversample * n_lists
+        ).collect()
+        rows = _farthest_point_select(cands, n_lists)
+    else:
+        raise ValueError(f"unknown IVF init {init!r}")
+    centroids = [[float(x) for x in r["_v"]] for r in rows]
     def _d2_to(c: list[float]):
         lit = F.array(*[F.lit(x) for x in c])
         return F.aggregate(

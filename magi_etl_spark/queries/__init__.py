@@ -67,45 +67,58 @@ _load_all()
 GATE_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # never driver-verified before this round (18)
+    # Round-4 window: the full 32-query r3 tail, front-loaded exactly as
+    # pre-committed in COVERAGE.md ("Planned r4 window").  All 32 were
+    # green in the r2 gate and stayed local-oracle-green through r3; this
+    # gives them a current-cycle external driver row.
+    "q32_simhash",
+    "q43_simhash_neardup",
+    "q33_kv_parse",
+    "q34_date_functions",
+    "q35_vector_stats",
+    "q36_rollup",
+    "q37_pivot",
+    "q38_srp_lsh_buckets",
+    "q39_token_cosine_pairs",
+    "q51_exact_token_cosine_pairs",
+    "q42_window_benchmark",
+    "q40_corpus_pipeline",
+    "q60_quantize_embeddings",
+    "q23_dedup_exact",
+    "q47_dedup_keep_best",
+    "q24_minhash_signatures",
+    "q25_minhash_lsh_neardup",
+    "q29_ngram_jaccard_pairs",
+    "q50_exact_ngram_jaccard_pairs",
+    "q55_decontaminate",
+    "q59_dedup_clusters",
+    "q02_filter_project",
+    "q45_nation_pair_volume",
+    "q48_market_share",
+    "q46_above_avg_customers",
+    "q52_min_cost_supplier",
+    "q53_dominant_supplier",
+    "q58_blame_supplier",
+    "q66_asof_join",
+    "q17_minmax_normalize",
+    "q16_set_ops",
+    "q15_having_threshold",
+    # new this round
+    "q85_zorder_pruned_scan",
+    "q86_ivf_kmeans_topk",
+    # dependency re-entries: tail queries whose transitive sources
+    # (operators/similarity.py, functions/__init__.py) changed this
+    # round — flagged by tests/test_gate_window.py's dependency map
+    # (VERDICT r3 item 2), so their r3 rows no longer certify HEAD
     "q41_ivf_topk",
-    "q56_dataset_mix",
-    "q57_sequence_packing",
-    "q61_corpus_percentiles",
-    "q63_vocab_coverage",
-    "q64_stratified_sample",
-    "q65_normalize_text",
-    "q67_range_join",
-    "q68_hypertable_rollup",
-    "q69_repetition_score",
-    "q70_pii_scan",
-    "q71_small_order_parts",
-    "q72_large_volume_customers",
-    "q73_table_diff",
-    "q74_daily_anomalies",
-    "q75_funnel",
-    "q76_retention_cohorts",
-    "q78_key_skew_profile",
-    # new this round (6)
-    "q79_concurrent_fanout",
-    "q80_bucketed_colocated_join",
-    "q81_bloom_pruned_join",
-    "q82_grouping_sets",
-    "q83_event_gaps",
-    "q84_dataset_split",
-    # green in round 1 only — re-verify at the driver (8)
-    "q20_token_stats",
-    "q21_quality_scores",
-    "q22_language_id",
-    "q26_fingerprints",
     "q27_embedding_topk",
     "q28_embedding_neardup",
     "q44_lsh_blocked_embedding_dedup",
-    "q49_chunking",
-    # reworked plan this round — re-verify at the driver (1)
-    "q62_top_supplier",
-    # load-bearing engine + core relational surface (17; q66/q17/q16/q15
-    # rotated to the tail — all r2-green — making room for q81-q84)
+    "q78_key_skew_profile",
+    "q63_vocab_coverage",
+    "q69_repetition_score",
+    # load-bearing engine + core relational surface (9; the rest of the
+    # r3 window — all green in CORRECTNESS_r03 — rotates to the tail)
     "q30_metric_query_events",
     "q31_metric_query_unnest",
     "q54_helix_generic",
@@ -113,16 +126,8 @@ _PRIORITY: list[str] = [
     "q01_pricing_summary",
     "q03_top_orders",
     "q05_region_revenue",
-    "q06_semi_join",
-    "q07_anti_join",
-    "q08_full_outer_cast_keys",
-    "q09_top1_per_group",
-    "q10_topk_per_group",
     "q11_sessionize",
     "q12_conditional_agg",
-    "q13_distinct_derived_key",
-    "q14_json_extract",
-    "q18_week_buckets",
 ]
 
 

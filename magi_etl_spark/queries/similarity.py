@@ -165,6 +165,71 @@ def q41_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "q86_ivf_kmeans_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY md5('s7' || CAST(vec_id AS VARCHAR)), vec_id)
+                    - 1 AS INTEGER) AS list_id,
+               v AS c
+        FROM (SELECT vec_id, v FROM e
+              ORDER BY md5('s7' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 8)
+    ),
+    assigned AS (
+        SELECT vec_id, v, list_id FROM (
+            SELECT e.vec_id, e.v, cent.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       {_D2.format(v="e.v", c="cent.c")} ASC, cent.list_id ASC) AS rn
+            FROM e, cent
+        ) WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id >= 3 AND vec_id < 6),
+    probes AS (
+        SELECT query_id, qv, list_id FROM (
+            SELECT q.query_id, q.qv, cent.list_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       {_D2.format(v="q.qv", c="cent.c")} ASC, cent.list_id ASC) AS pr
+            FROM q, cent
+        ) WHERE pr <= 3
+    ),
+    scored AS (
+        SELECT p.query_id, a.vec_id, a.v AS av, p.qv AS bv
+        FROM assigned a JOIN probes p
+          ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+    ),
+    ranked AS (
+        SELECT query_id, vec_id, {_COSINE} AS s,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY {_COSINE} DESC, vec_id) AS INTEGER) AS rn
+        FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(s, 6) AS score, rn
+    FROM ranked WHERE rn <= 10
+    """,
+)
+def q86_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k with the seeded hash-sampled coarse quantizer
+    (``init="hash"``): centroids are a uniform deterministic draw over
+    the corpus (smallest ``md5(seed||id)``), fixing the crowded-centroid
+    degeneracy of the smallest-id sampler when the id space is clustered
+    — while staying fully SQL-expressible so the driver hash-checks the
+    whole probe path.  The k-means||-style ``init="spread"`` variant
+    (hash-oversample + greedy farthest-point) has its recall-vs-exact
+    bound tested at 8x probe scale in tests/test_ivf.py."""
+    from magi_etl_spark.operators.similarity import ivf_index_sampled, ivf_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    assigned, centroids = ivf_index_sampled(e, n_lists=8, init="hash", seed=7)
+    return ivf_topk(
+        assigned,
+        centroids,
+        e.where((F.col("vec_id") >= 3) & (F.col("vec_id") < 6)),
+        k=10,
+        n_probe=3,
+    )
+
+
+@query(
     "q28_embedding_neardup",
     oracle=f"""
     WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
