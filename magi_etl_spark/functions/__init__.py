@@ -6,24 +6,84 @@ whole-stage codegen; no Python UDFs in any hot path.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# Logical nodes that cannot narrow a frame below the shuffle width: any
+# plan containing one is "already wide" (its output partitioning comes
+# from an exchange, not from the input file layout).
+_NARROW_NODES = frozenset(
+    {"Project", "Filter", "SubqueryAlias", "View", "Relation", "LogicalRelation"}
+)
+_NODE_NAME = re.compile(r"^[\s:+\-']*([A-Za-z]+)")
 
-def fan_out(df: DataFrame) -> DataFrame:
+
+def _is_scan_only(df: DataFrame) -> bool:
+    """True when the analyzed plan is a bare projection/filter over a
+    relation — the only shape whose output width is the file split
+    count.  Any other node (join, aggregate, window, repartition, …)
+    means the frame's distribution comes from an exchange."""
+    for line in df._jdf.queryExecution().analyzed().treeString().splitlines():
+        m = _NODE_NAME.match(line)
+        if m and m.group(1) not in _NARROW_NODES:
+            return False
+    return True
+
+
+def _scan_width(df: DataFrame) -> int | None:
+    """Estimated split count of a scan-only plan from local file sizes,
+    or ``None`` when the files aren't locally inspectable.  Mirrors
+    Spark's split rule conservatively: one split per file plus one per
+    ``maxPartitionBytes`` of size — an over-estimate never triggers a
+    repartition the real layout wouldn't need."""
+    import os
+    from urllib.parse import unquote, urlparse
+
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    max_bytes = int(
+        str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b")
+    )
+    splits = 0
+    for uri in files:
+        parsed = urlparse(uri)
+        if parsed.scheme not in ("file", ""):
+            return None  # remote store — fall back to the RDD probe
+        size = os.path.getsize(unquote(parsed.path))
+        splits += max(1, -(-size // max_bytes))
+    return splits
+
+
+def fan_out(df: DataFrame, width: int | None = None) -> DataFrame:
     """Spread a narrow input across the cluster before CPU-heavy per-row
     work.  A small parquet file arrives as one split; without this, all
     tokenize/hash/vector work runs on a single core.  No-op when the
     input is already wide.
 
-    Width is judged by the ACTUAL physical partition count — never by
-    ``inputFiles()``, which reports the leaf scan files of the whole
-    plan: a post-shuffle derivation (join/aggregate output, already
-    wide) still lists its underlying tables' few files, and a file-count
-    check would repartition it DOWN, adding a shuffle exactly where one
-    must not be."""
+    Width never comes from ``inputFiles()`` alone — that reports the leaf
+    scan files of the whole plan, so a post-shuffle derivation
+    (join/aggregate output, already wide) would be repartitioned DOWN,
+    adding a shuffle exactly where one must not be.  Resolution order:
+
+    1. an explicit ``width`` hint from a caller that knows its input;
+    2. plans containing any shuffle-inducing node are wide by
+       construction — no-op without touching the RDD path;
+    3. bare file scans estimate splits from local file sizes;
+    4. only the exotic remainder (scan-only over a non-local store) pays
+       the ``df.rdd.getNumPartitions()`` probe, which under AQE can
+       materialize upstream stages — kept off the hot path."""
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= target:
+    if width is None:
+        if not _is_scan_only(df):
+            return df
+        width = _scan_width(df)
+        if width is None:
+            width = df.rdd.getNumPartitions()
+    if width >= target:
         return df
     return df.repartition(target)
 

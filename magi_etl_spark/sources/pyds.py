@@ -87,7 +87,11 @@ class LocalWarehouseReader(DataSourceReader):
             IsNotNull,
         )
         for f in filters:
-            if isinstance(f, supported):
+            # multi-part attributes (nested fields) would be silently
+            # truncated by attribute[0] in _arrow_filter — hand them
+            # back even though _spark_type currently rejects nested
+            # schemas, so widening schema support can't corrupt results
+            if isinstance(f, supported) and len(f.attribute) == 1:
                 self._pushed.append(f)
             else:
                 yield f  # unsupported -> Spark keeps evaluating it

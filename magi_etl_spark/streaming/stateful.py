@@ -132,6 +132,11 @@ def gap_sessions_event_timeout(
                     cur = None
                 if cur is None:
                     cur = [us, us, 0, 0.0]
+                # a cross-batch out-of-order event (watermark > 0s) can
+                # land BEFORE the session's recorded start; lower it so
+                # the emitted bounds match the batch lag/cumsum
+                # sessionizer, which sees the full ordered history
+                cur[0] = min(cur[0], us)
                 cur[1] = max(cur[1], us)
                 cur[2] += 1
                 cur[3] += float(v)

@@ -77,8 +77,23 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
     # Parquet timestamps here are timezone-naive; date/second extraction
     # must match a naive-timestamp oracle even when the caller's session
-    # (e.g. the driver's) was built with a non-UTC local timezone.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # (e.g. the external driver's) was built with a non-UTC local
+    # timezone.  The pin CANNOT live only in get_spark(): the driver
+    # constructs its own plain session that never passes through our
+    # factory, and this loader is the one engine entry point it does
+    # use.  get_spark() pins UTC too, so engine-built sessions never
+    # reach the override; a foreign session that was deliberately
+    # non-UTC gets a warning instead of a silent flip.
+    if spark.conf.get("spark.sql.session.timeZone", None) != "UTC":
+        import warnings
+
+        warnings.warn(
+            "load_table pins spark.sql.session.timeZone=UTC: the parquet "
+            "catalog stores naive timestamps and every oracle assumes UTC "
+            "calendar extraction",
+            stacklevel=2,
+        )
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     ns_cols = _nanos_timestamp_columns(path)
     if ns_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
