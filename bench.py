@@ -66,7 +66,33 @@ HEADLINE = [
     "q82_grouping_sets",
     "q83_event_gaps",
     "q84_dataset_split",
+    # physical layout + ANN init strategies (round 4)
+    "q85_zorder_pruned_scan",
+    "q86_ivf_kmeans_topk",
 ]
+
+_RUNS = 2  # best-of-N: local-mode timings are noisy
+
+
+def _plan_fingerprint(df) -> str:
+    """Stable hash of the canonicalized initial physical plan, so
+    plan-identical queries are machine-verifiably plan-identical across
+    rounds and host-level timing noise can never masquerade as a plan
+    regression (VERDICT r3 item 3).  Canonicalization strips everything
+    run-specific: expression/plan ids, scratch paths, size/statistics
+    annotations."""
+    import hashlib
+    import re
+
+    s = df._jdf.queryExecution().executedPlan().toString()
+    s = re.sub(r"#\d+[L]?", "#", s)  # expression ids
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"\[id=#\]", "", s)
+    s = re.sub(r"(file:)?/[\w./\-]+", "<path>", s)  # scratch + data dirs
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
+    s = re.sub(r"\d+\.\d+ [KMGT]?i?B", "<size>", s)
+    s = re.sub(r"\s+", " ", s).strip()
+    return hashlib.md5(s.encode()).hexdigest()[:12]
 
 
 def _materialize(df) -> None:
@@ -82,19 +108,22 @@ def main() -> None:
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="magi-etl-bench")
 
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
+    plans: dict[str, str] = {}
     names = [n for n in HEADLINE if n in QUERIES]
     # warm the JVM + parquet footers once so timings measure the queries
     _materialize(QUERIES[names[0]](spark, sf_dir))
     for name in names:
         best = None
-        for _ in range(2):  # best-of-2: local-mode timings are noisy
+        for _ in range(_RUNS):
             t0 = time.perf_counter()
             _materialize(QUERIES[name](spark, sf_dir))
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]:.3f}s", file=sys.stderr)
+        plans[name] = _plan_fingerprint(QUERIES[name](spark, sf_dir))
+        print(f"# {name}: {timings[name]:.3f}s plan={plans[name]}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(
@@ -105,6 +134,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "runs_per_query": _RUNS,
+                "load_avg_before": [round(x, 2) for x in load_before],
+                "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+                "plan_fingerprints": plans,
             }
         )
     )
