@@ -69,6 +69,15 @@ HEADLINE = [
     # physical layout + ANN init strategies (round 4)
     "q85_zorder_pruned_scan",
     "q86_ivf_kmeans_topk",
+    # warehouse ETL + retrieval (round 4)
+    "q87_scd2_intervals",
+    "q88_bm25_topk",
+    "q89_rolling_7d",
+    "q90_profile_table",
+    "q91_gapfill_interpolate",
+    "q92_cdc_apply",
+    "q93_scd2_snapshot",
+    "q94_token_budget_select",
 ]
 
 _RUNS = 2  # best-of-N: local-mode timings are noisy

@@ -1,0 +1,80 @@
+"""Lexical relevance ranking: BM25 scoring without an inverted index.
+
+The reference's similar-content scorer is cosine over token count
+vectors (reference ``dash_app/tasks.py`` recommend family — our M4/q39);
+BM25 is the retrieval-grade upgrade a training-data pipeline uses for
+query-based corpus slicing and hard-negative mining.
+
+Shape: for a FIXED (small) query-term set the per-document term
+frequencies are pure array expressions over the token array — no explode
+and no (doc x term) shuffle.  Corpus statistics (N, avgdl, per-term
+document frequencies) reduce to ONE scalar row, cross-joined back as a
+broadcast literal.  Total cost: one narrow scan + one 1-row aggregate —
+at 100 TB the scoring pass is embarrassingly parallel and the only
+synchronization is the tiny stats row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _tf(toks: Column, term: str) -> Column:
+    return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+
+def bm25_scores(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Per-document BM25 score for ``query_terms`` (case-folded,
+    whitespace tokens).  Output: ``id_col, dl, score`` for documents
+    matching at least one term.
+
+    idf uses the standard smoothed form ``ln(1 + (N - df + 0.5) /
+    (df + 0.5))`` — always positive, so a term in most documents still
+    contributes monotonically.
+    """
+    toks = F.filter(
+        F.split(F.trim(F.lower(F.col(text_col))), r"\s+"), lambda x: x != ""
+    )
+    base = docs.select(
+        F.col(id_col),
+        F.size(toks).alias("dl"),
+        *[_tf(toks, t).alias(f"tf_{i}") for i, t in enumerate(query_terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{i}") > 0, 1)).alias(f"df_{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = base.join(F.broadcast(stats))
+    idf = lambda i: F.log(  # noqa: E731
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+    )
+    part = lambda i: idf(i) * (  # noqa: E731
+        F.col(f"tf_{i}")
+        * (k1 + 1)
+        / (
+            F.col(f"tf_{i}")
+            + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+        )
+    )
+    score = sum(
+        (part(i) for i in range(len(query_terms))), start=F.lit(0.0)
+    )
+    matched = sum(
+        (F.col(f"tf_{i}") for i in range(len(query_terms))), start=F.lit(0)
+    )
+    return scored.where(matched > 0).select(
+        id_col, "dl", score.alias("score")
+    )

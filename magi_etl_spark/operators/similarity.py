@@ -73,10 +73,17 @@ def blocked_neardup_pairs(
       replicated S times, so a block with millions of vectors spreads over
       S*blocks partitions instead of pinning one core per block.
     """
+    # Explicit width hint: the input is typically a bucket-join OUTPUT,
+    # which AQE coalesces to very few partitions (small row count) even
+    # though the plan contains shuffles — and the downstream work is
+    # O(pairs-per-bucket), far heavier than the row count suggests.
+    # Without the hint fan_out's "shuffle plans are already wide" rule
+    # would no-op and pin the whole pair scan on one or two cores.
     side = _fan_out(
         df.select(
             F.col(id_col), F.col(block_col).alias("block"), as_double(F.col(vec_col)).alias("_v")
-        )
+        ),
+        width=1,
     ).withColumn("_norm", l2_norm(F.col("_v"))).persist()
     a = side.withColumn("_salt", F.pmod(F.col(id_col), F.lit(salt_buckets)))
     b = side.withColumn(

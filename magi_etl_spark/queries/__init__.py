@@ -45,6 +45,7 @@ def _load_all() -> None:
         advanced,
         dedup,
         engine,
+        etl,
         relational,
         similarity,
         text,
@@ -106,6 +107,14 @@ _PRIORITY: list[str] = [
     # new this round
     "q85_zorder_pruned_scan",
     "q86_ivf_kmeans_topk",
+    "q87_scd2_intervals",
+    "q88_bm25_topk",
+    "q89_rolling_7d",
+    "q90_profile_table",
+    "q91_gapfill_interpolate",
+    "q92_cdc_apply",
+    "q93_scd2_snapshot",
+    "q94_token_budget_select",
     # dependency re-entries: tail queries whose transitive sources
     # (operators/similarity.py, functions/__init__.py) changed this
     # round — flagged by tests/test_gate_window.py's dependency map
@@ -117,17 +126,12 @@ _PRIORITY: list[str] = [
     "q78_key_skew_profile",
     "q63_vocab_coverage",
     "q69_repetition_score",
-    # load-bearing engine + core relational surface (9; the rest of the
-    # r3 window — all green in CORRECTNESS_r03 — rotates to the tail)
-    "q30_metric_query_events",
-    "q31_metric_query_unnest",
+    # load-bearing engine surface (1; q30/q31/q77/q01/q03/q05/q11/q12 —
+    # all green in CORRECTNESS_r03 with code unchanged — rotate to the
+    # tail to make room for the eight new never-verified ETL queries
+    # above, per rotation rule 1; q54 keeps its slot as the single
+    # deepest engine-path probe)
     "q54_helix_generic",
-    "q77_cached_metric_query",
-    "q01_pricing_summary",
-    "q03_top_orders",
-    "q05_region_revenue",
-    "q11_sessionize",
-    "q12_conditional_agg",
 ]
 
 

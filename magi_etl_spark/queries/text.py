@@ -362,18 +362,12 @@ def q63_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the tail is dropped.
 
     Scale: token counts are one map-side-combined shuffle; the global
-    cumulative sum is a TWO-PASS range-partitioned prefix sum — never a
-    single-partition window.  Pass 1 range-partitions the vocabulary on
-    (n desc, token) and computes per-partition local rank/cumsum with a
-    window PARTITIONED BY the physical partition id (parallel).  Pass 2
-    aggregates one (rows, sum) pair per partition — a P-row frame — takes
-    its exclusive prefix sums, and broadcasts the offsets back.  Global
-    rank/cum = local + offset.  (n, token) is unique per row, so range
-    boundaries can never split a tie and the output is partitioning-
-    independent.  All three consumers of the counts frame hang off the
-    same range Exchange, which Catalyst deduplicates (ReusedExchange)."""
+    cumulative sum is the two-pass range-partitioned prefix sum of
+    ``operators/prefix.ranked_prefix_sum`` — never a single-partition
+    window.  (n, token) is unique per row, so range boundaries can never
+    split a tie and the output is partitioning-independent."""
     from magi_etl_spark.functions.text import tokens
-    from pyspark.sql import Window as W
+    from magi_etl_spark.operators.prefix import ranked_prefix_sum
 
     d = load_table(spark, sf_dir, "documents")
     counts = (
@@ -381,58 +375,16 @@ def q63_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count("*").alias("n"))
     )
-    # The range exchange is materialized ONCE (eager checkpoint) so the
-    # ranked rows, the per-partition totals, and the offsets all read the
-    # SAME partition assignment.  Without this, consistency would hinge on
-    # ReusedExchange de-duplicating the sampled range shuffle across the
-    # three consumers — an optimizer performance feature, not a
-    # correctness guarantee (range boundaries come from sampling, so two
-    # independent materializations may disagree on a row's partition).
-    parts = (
-        counts.repartitionByRange(32, F.col("n").desc(), F.col("token"))
-        .withColumn("_pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
-    )
-    local_w = W.partitionBy("_pid").orderBy(F.desc("n"), "token")
-    local = parts.select(
-        "token",
-        "n",
-        "_pid",
-        F.row_number().over(local_w).alias("_lrank"),
-        F.sum("n")
-        .over(local_w.rowsBetween(W.unboundedPreceding, 0))
-        .alias("_lcum"),
-    )
-    ptotals = parts.groupBy("_pid").agg(
-        F.count("*").alias("_rows"), F.sum("n").alias("_sum")
-    )
-    from magi_etl_spark.functions import pinned_partition
-
-    off_w = (
-        W.partitionBy(pinned_partition("_pid"))
-        .orderBy("_pid")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
-    offsets = ptotals.select(
-        "_pid",
-        F.coalesce(F.sum("_rows").over(off_w), F.lit(0)).alias("_rank_off"),
-        F.coalesce(F.sum("_sum").over(off_w), F.lit(0)).alias("_cum_off"),
-    )
-    total = ptotals.agg(F.sum("_sum").alias("_total"))
-    ranked = local.join(F.broadcast(offsets), "_pid").select(
-        "token",
-        "n",
-        (F.col("_lrank") + F.col("_rank_off")).alias("rank"),
-        (F.col("_lcum") + F.col("_cum_off")).alias("cum"),
+    ranked = ranked_prefix_sum(
+        counts, [F.col("n").desc(), F.col("token")], "n", include_total=True
     )
     return (
-        ranked.join(F.broadcast(total))
-        .where((F.col("cum") - F.col("n")) / F.col("_total") < 0.99)
+        ranked.where((F.col("cum") - F.col("n")) / F.col("total") < 0.99)
         .select(
             "token",
             "n",
             F.col("rank").cast("long").alias("rank"),
-            F.round(F.col("cum") / F.col("_total"), 6).alias("cum_share"),
+            F.round(F.col("cum") / F.col("total"), 6).alias("cum_share"),
         )
     )
 

@@ -37,3 +37,48 @@ def test_ivf_deterministic(embeddings):
     assert {(r.vec_id, r.list_id) for r in a1.collect()} == {
         (r.vec_id, r.list_id) for r in a2.collect()
     }
+
+
+def test_ivf_spread_init_recall_at_8x(spark, embeddings):
+    """r3 VERDICT item 8: the k-means||-style ``init="spread"`` sampled
+    quantizer must hold recall when the corpus grows 8x.  Replicated
+    copies get a tiny deterministic per-element jitter (geometry
+    preserved, exact duplication broken — cosine is scale-invariant per
+    vector, so the jitter must vary by element, not by vector)."""
+    from magi_etl_spark.operators.similarity import ivf_index_sampled
+
+    n = 8
+    jitter = F.transform(
+        "embedding",
+        lambda x, i: x
+        * (
+            F.lit(1.0)
+            + ((F.col("_k") * 37 + i) % 11 - 5).cast("double") * F.lit(1e-3)
+        ),
+    )
+    emb8 = (
+        embeddings.select(
+            "*", F.explode(F.array(*[F.lit(k) for k in range(n)])).alias("_k")
+        )
+        .withColumn("embedding", jitter)
+        .withColumn(
+            "vec_id", F.col("vec_id") + F.col("_k").cast("long") * 10_000_000
+        )
+        .drop("_k")
+        .persist()
+    )
+    queries = emb8.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb8, queries, k=10).collect()
+    }
+    assigned, cents = ivf_index_sampled(emb8, n_lists=16, init="spread", seed=7)
+    approx = ivf_topk(assigned, cents, queries, k=10, n_probe=6)
+    got = {(r.query_id, r.vec_id) for r in approx.collect()}
+    recall = len(exact & got) / len(exact)
+    # no "init=first is worse" control here: the synthetic corpus draws
+    # vec_ids uniformly, so the first-ids init is NOT degenerate on it
+    # (id-clustered corpora are where "spread" earns its keep) — the
+    # absolute bar at 8x is the scale evidence
+    assert recall >= 0.7, f"spread-init recall@10 at 8x too low: {recall}"
+    emb8.unpersist()

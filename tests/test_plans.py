@@ -51,3 +51,26 @@ def test_topk_uses_window_group_limit(spark, sf_dir):
     # Spark 4 pushes rank()<=k into WindowGroupLimit before the full sort
     p = plan_of(spark, sf_dir, "q10_topk_per_group")
     assert "WindowGroupLimit" in p
+
+
+def test_blocked_neardup_spreads_join_input(spark, sf_dir):
+    """Regression lock for the r4 fan_out fix: blocked_neardup_pairs
+    feeds a bucket-JOIN output whose row count AQE coalesces to a few
+    partitions, while the downstream cost is O(pairs-per-bucket).  The
+    explicit width hint must force a round-robin spread to
+    defaultParallelism — without it the pair scan pins to one core and
+    the whole embedding-dedup family runs ~8x slower (observed at
+    sf0.1 when the hint was missing)."""
+    from magi_etl_spark.operators.similarity import (
+        blocked_neardup_pairs,
+        srp_lsh_buckets,
+    )
+    from magi_etl_spark.queries.similarity import _dedup_planes
+    from magi_etl_spark.tables import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    buckets = srp_lsh_buckets(em, seed_planes=_dedup_planes())
+    blocked = em.join(buckets, "vec_id")
+    out = blocked_neardup_pairs(blocked, "bucket", threshold=0.95)
+    p = out._jdf.queryExecution().executedPlan().toString()
+    assert "RoundRobinPartitioning" in p, p[:2000]

@@ -10,8 +10,11 @@ themselves with shifted ids, which preserves value distributions (and for
 documents keeps duplicate families duplicated, so dedup has real work at
 every scale).
 
-Usage: python tools/scale_probe.py [N]   (default 8)
+Usage: python tools/scale_probe.py [N] [--only fam1,fam2]   (default 8)
 Writes one JSON line: {"probe": ..., "scale": N, "timings": {...}}
+``--only`` restricts to the named families (embedding_neardup at 32x is
+a deliberately quadratic worst-case stressor — hours of runtime — so the
+32x sweep normally excludes it).
 """
 
 from __future__ import annotations
@@ -47,7 +50,14 @@ def timed(label: str, fn, timings: dict) -> None:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    only: set[str] | None = None
+    for a in sys.argv[1:]:
+        if a.startswith("--only"):
+            only = set(a.split("=", 1)[1].split(",")) if "=" in a else set(
+                sys.argv[sys.argv.index(a) + 1].split(",")
+            )
+    n = int(args[0]) if args else 8
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="magi-scale-probe")
 
@@ -134,11 +144,97 @@ def main() -> None:
         ("skew_profile", skew(events1), skew(eventsN)),
         ("embedding_neardup", emb_neardup(emb1), emb_neardup(embN)),
     ):
+        if only is not None and label not in only:
+            continue
         timed(f"{label}_x1", d1, timings)
         timed(f"{label}_x{n}", dn, timings)
         ratio = timings[f"{label}_x{n}"] / max(timings[f"{label}_x1"], 1e-9)
         timings[f"{label}_ratio"] = round(ratio, 2)
         print(f"# {label}: x{n} / x1 = {ratio:.2f}", file=sys.stderr)
+
+    # --- engine + text families, via the REGISTERED query surface --------
+    # Replicated tables are written to a temp parquet catalog and the
+    # query functions run unchanged against it, so the probe times the
+    # exact code path the driver gates (scan included) — not a paraphrase.
+    import tempfile
+
+    from magi_etl_spark.queries import QUERIES
+
+    part1 = load_table(spark, sf, "part")
+    root = tempfile.mkdtemp(prefix="magi_probe_")
+
+    def write_catalog(tag: str, k: int) -> str:
+        path = os.path.join(root, tag)
+        for name, df, ids in (
+            ("events", events1, ["event_id", "user_id"]),
+            ("part", part1, ["p_partkey"]),
+            ("documents", docs1, ["doc_id"]),
+        ):
+            replicate(df, ids, k, 10_000_000).write.mode("overwrite").parquet(
+                f"{path}/{name}.parquet"
+            )
+        return path
+
+    dir1 = write_catalog("x1", 1)
+    dirN = write_catalog(f"x{n}", n)
+    for label, qname in (
+        ("metric_query", "q30_metric_query_events"),
+        ("helix", "q54_helix_generic"),
+        ("vocab_coverage", "q63_vocab_coverage"),
+    ):
+        if only is not None and label not in only:
+            continue
+        timed(f"{label}_x1", lambda q=qname: QUERIES[q](spark, dir1), timings)
+        timed(f"{label}_x{n}", lambda q=qname: QUERIES[q](spark, dirN), timings)
+        ratio = timings[f"{label}_x{n}"] / max(timings[f"{label}_x1"], 1e-9)
+        timings[f"{label}_ratio"] = round(ratio, 2)
+        print(f"# {label}: x{n} / x1 = {ratio:.2f}", file=sys.stderr)
+
+    # --- IVF recall at scale ---------------------------------------------
+    # Pure replication makes every copy an exact duplicate (cosine ties
+    # everywhere), so copies get a tiny per-element deterministic jitter —
+    # geometry preserved, exact duplication broken.  Recall@10 of the
+    # spread-init (k-means||-style) IVF vs the exact scan is the evidence
+    # that sampled centroids hold up when the corpus grows.
+    if only is not None and "ivf_spread" not in only:
+        print(json.dumps({"probe": "scale", "scale": n, "timings": timings}))
+        spark.stop()
+        return
+
+    from magi_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index_sampled,
+        ivf_topk,
+    )
+
+    jitter = F.transform(
+        "embedding",
+        lambda x, i: x
+        * (
+            F.lit(1.0)
+            + ((F.col("_k") * 37 + i) % 11 - 5).cast("double") * F.lit(1e-3)
+        ),
+    )
+    copies = F.explode(F.array(*[F.lit(k) for k in range(n)])).alias("_k")
+    embJ = (
+        emb1.select("*", copies)
+        .withColumn("embedding", jitter)
+        .withColumn("vec_id", F.col("vec_id") + F.col("_k").cast("long") * 10_000_000)
+        .drop("_k")
+        .persist()
+    )
+    queries_df = embJ.where(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.vec_id) for r in cosine_topk(embJ, queries_df, k=10).collect()
+    }
+    t0 = time.perf_counter()
+    assigned, cents = ivf_index_sampled(embJ, n_lists=16, init="spread", seed=7)
+    approx = ivf_topk(assigned, cents, queries_df, k=10, n_probe=4)
+    got = {(r.query_id, r.vec_id) for r in approx.collect()}
+    timings[f"ivf_spread_x{n}"] = round(time.perf_counter() - t0, 3)
+    recall = len(exact & got) / max(len(exact), 1)
+    timings[f"ivf_spread_recall_x{n}"] = round(recall, 3)
+    print(f"# ivf spread recall@10 at x{n}: {recall:.3f}", file=sys.stderr)
 
     print(json.dumps({"probe": "scale", "scale": n, "timings": timings}))
     spark.stop()
