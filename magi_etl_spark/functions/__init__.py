@@ -71,7 +71,13 @@ def fan_out(df: DataFrame, width: int | None = None) -> DataFrame:
 
     1. an explicit ``width`` hint from a caller that knows its input;
     2. plans containing any shuffle-inducing node are wide by
-       construction — no-op without touching the RDD path;
+       construction — no-op without touching the RDD path.  CAVEAT:
+       AQE coalesces small shuffle outputs to very few partitions, so
+       "wide by construction" is about row-count economics, not task
+       count — a caller whose downstream cost is super-linear in the
+       rows (pair joins, per-row heavy expressions) must pass
+       ``width=1`` explicitly (see ``blocked_neardup_pairs``, which
+       regressed 8x when it relied on this rule);
     3. bare file scans estimate splits from local file sizes;
     4. only the exotic remainder (scan-only over a non-local store) pays
        the ``df.rdd.getNumPartitions()`` probe, which under AQE can

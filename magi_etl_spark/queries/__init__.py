@@ -126,12 +126,14 @@ _PRIORITY: list[str] = [
     "q78_key_skew_profile",
     "q63_vocab_coverage",
     "q69_repetition_score",
-    # load-bearing engine surface (1; q30/q31/q77/q01/q03/q05/q11/q12 —
-    # all green in CORRECTNESS_r03 with code unchanged — rotate to the
-    # tail to make room for the eight new never-verified ETL queries
-    # above, per rotation rule 1; q54 keeps its slot as the single
-    # deepest engine-path probe)
-    "q54_helix_generic",
+    # q80 re-enters because sinks.py (write_bucketed's module) gained
+    # write_partitioned this round — behavior unchanged, but the
+    # dependency map works at file granularity and the honest response
+    # to a flagged dependency is an external re-verify, not an exemption.
+    # It takes the slot q54 held (q54: r3-green, sources unchanged —
+    # rotates to the tail with the rest of the engine surface; the
+    # window has no discretionary slots left this round).
+    "q80_bucketed_colocated_join",
 ]
 
 

@@ -28,6 +28,34 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", single_file: bo
     out.write.mode(mode).option("header", True).csv(path)
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    dynamic: bool = True,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned parquet with DYNAMIC partition overwrite:
+    an incremental backfill replaces only the partitions present in
+    ``df`` and leaves every other partition untouched — the idempotent
+    re-run primitive for date-partitioned warehouse tables (static
+    overwrite mode would drop the whole table first; at 100 TB that is
+    the difference between rewriting one day and rewriting three years).
+    The conf is scoped to this write and restored afterwards, so a
+    session-level static setting is not silently flipped."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    try:
+        spark.conf.set(key, "dynamic" if dynamic else "static")
+        df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def write_bucketed(
     df: DataFrame,
     table: str,

@@ -205,3 +205,41 @@ def test_table_diff_and_summary(spark):
     f = spark.createDataFrame([(3, "a|b", "c")], "k long, s string, t string")
     g = spark.createDataFrame([(3, "a", "b|c")], "k long, s string, t string")
     assert table_diff(f, g, ["k"]).count() == 1
+
+
+def test_write_partitioned_dynamic_overwrite(spark, tmp_path):
+    """Dynamic partition overwrite replaces ONLY the partitions present
+    in the incoming frame (the idempotent backfill contract); static
+    mode would drop the sibling partitions."""
+    from pyspark.sql import functions as F
+
+    from magi_etl_spark.sinks import write_partitioned
+
+    path = str(tmp_path / "pt")
+    base = spark.createDataFrame(
+        [("2024-01-01", 1, 10), ("2024-01-02", 2, 20), ("2024-01-03", 3, 30)],
+        "day string, k long, v long",
+    )
+    write_partitioned(base, path, ["day"])
+    refill = spark.createDataFrame(
+        [("2024-01-02", 2, 99)], "day string, k long, v long"
+    )
+    write_partitioned(refill, path, ["day"])
+    got = {
+        (str(r.day), r.k): r.v for r in spark.read.parquet(path).collect()
+    }
+    assert got == {
+        ("2024-01-01", 1): 10,
+        ("2024-01-02", 2): 99,  # replaced
+        ("2024-01-03", 3): 30,  # untouched
+    }
+    # conf is restored (scoped override, not a session-wide flip)
+    assert (
+        spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC").lower()
+        == "static"
+    )
+    # re-running the same backfill is a no-op on content
+    write_partitioned(refill.withColumn("v", F.lit(99).cast("long")), path, ["day"])
+    assert {
+        (str(r.day), r.k): r.v for r in spark.read.parquet(path).collect()
+    } == got
