@@ -142,6 +142,41 @@ def sessionized_stream(
     )
 
 
+def _atomic_swap_write(merged: DataFrame, target_path: str) -> None:
+    """Replace ``target_path`` with ``merged``, crash-safely.
+
+    parquet has no atomic overwrite-while-reading: write the merge to a
+    staging dir (fully materializing the read of the old target), then
+    swap via two metadata renames — a crash at any point leaves either
+    the old or the new copy recoverable, never a half-written target.
+    (On an object store use Delta/manifest commit instead;
+    rename-as-commit is a filesystem-semantics pattern.)"""
+    import os
+    import shutil
+
+    tmp = target_path + ".staging"
+    old = target_path + ".old"
+    merged.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(target_path):
+        os.rename(target_path, old)
+    os.rename(tmp, target_path)
+    shutil.rmtree(old, ignore_errors=True)
+
+
+def _recover_staging(target_path: str) -> None:
+    """Crash recovery: a missing target with a staging copy means we died
+    between the two renames in :func:`_atomic_swap_write` — promote the
+    good copy; otherwise clear stale staging/old dirs."""
+    import os
+    import shutil
+
+    tmp = target_path + ".staging"
+    if not os.path.exists(target_path) and os.path.exists(tmp):
+        os.rename(tmp, target_path)
+    shutil.rmtree(target_path + ".old", ignore_errors=True)
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_foreach_batch_upsert(
     stream_df: DataFrame,
     target_path: str,
@@ -157,33 +192,14 @@ def run_foreach_batch_upsert(
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         import os
-        import shutil
 
-        tmp = target_path + ".staging"
-        old = target_path + ".old"
-        # Crash recovery: a missing target with a staging copy means we
-        # died between the two renames below — promote the good copy.
-        if not os.path.exists(target_path) and os.path.exists(tmp):
-            os.rename(tmp, target_path)
-        shutil.rmtree(old, ignore_errors=True)
-        shutil.rmtree(tmp, ignore_errors=True)  # stale staging from a crash
-
+        _recover_staging(target_path)
         if os.path.exists(target_path):
             prior = spark.read.parquet(target_path)
             merged = upsert(batch_df, prior, keys)
         else:
             merged = batch_df
-        # parquet has no atomic overwrite-while-reading: write the merge to
-        # a staging dir (fully materializing the read of the old target),
-        # then swap via two metadata renames — a crash at any point leaves
-        # either the old or the new copy recoverable, never a half-written
-        # target.  (On an object store use Delta/manifest commit instead;
-        # rename-as-commit is a filesystem-semantics pattern.)
-        merged.write.mode("overwrite").parquet(tmp)
-        if os.path.exists(target_path):
-            os.rename(target_path, old)
-        os.rename(tmp, target_path)
-        shutil.rmtree(old, ignore_errors=True)
+        _atomic_swap_write(merged, target_path)
 
     q = (
         stream_df.writeStream.foreachBatch(write_batch)
@@ -192,6 +208,61 @@ def run_foreach_batch_upsert(
         .start()
     )
     q.awaitTermination()
+
+
+def run_foreach_batch_cdc(
+    stream_df: DataFrame,
+    target_path: str,
+    checkpoint_path: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+    tiebreak_cols: list[str] | None = None,
+) -> None:
+    """Checkpointed CDC merge sink: each micro-batch of change events
+    (upserts + delete tombstones) is compacted into the parquet
+    dimension state via :func:`operators.upsert.apply_cdc`.
+
+    The stored state is the TOMBSTONE-INCLUSIVE compacted log
+    (:func:`operators.upsert.latest_changes`): each key's winning
+    ``ts``/tiebreak row, deletes included, so recency comparison spans
+    batches and a late-arriving upsert OLDER than a delete cannot
+    resurrect the key.  Read the live dimension with
+    :func:`read_cdc_state` (filters tombstones).  Because compaction is
+    idempotent over any replay of the log, batch-level reprocessing
+    after a crash converges to the same state — the streaming leg of
+    the batch q92 gate's operator."""
+    from magi_etl_spark.operators.upsert import latest_changes
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        import os
+
+        _recover_staging(target_path)
+        changes = batch_df
+        if os.path.exists(target_path):
+            # stored rows re-enter carrying their ORIGINAL ts/tiebreak,
+            # so recency comparison spans batches
+            prior = spark.read.parquet(target_path)
+            changes = prior.unionByName(batch_df)
+        merged = latest_changes(changes, keys, ts_col, tiebreak_cols)
+        _atomic_swap_write(merged, target_path)
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cdc_state(
+    spark: SparkSession, target_path: str, op_col: str = "op", delete_op: str = "D"
+) -> DataFrame:
+    """The live dimension behind a :func:`run_foreach_batch_cdc` target:
+    the stored compacted log minus delete tombstones."""
+    return spark.read.parquet(target_path).where(F.col(op_col) != F.lit(delete_op))
 
 
 def run_to_memory(stream_df: DataFrame, table_name: str) -> None:

@@ -230,3 +230,36 @@ def test_ranked_prefix_sum_matches_single_window(spark):
     assert len(got) == 1000
     assert {k: v[:2] for k, v in got.items()} == ref
     assert all(v[2] == total for v in got.values())
+
+
+def test_etl_operators_handle_empty_inputs(spark):
+    """Empty frames flow through every new operator without errors:
+    empty outputs everywhere except the profiler, which still emits one
+    stats row per column (n_rows=0, NULL min/max)."""
+    from magi_etl_spark.operators.prefix import ranked_prefix_sum
+    from magi_etl_spark.operators.profile import profile_table
+    from magi_etl_spark.operators.ranking import bm25_scores
+    from magi_etl_spark.operators.scd2 import scd2_intervals
+    from magi_etl_spark.operators.timeseries import gapfill_interpolate
+    from magi_etl_spark.operators.upsert import apply_cdc
+
+    log = spark.createDataFrame([], "k long, attr string, ts timestamp, seq long")
+    assert scd2_intervals(log, ["k"], "attr", "ts", ["seq"]).count() == 0
+    vals = spark.createDataFrame([], "id long, v long")
+    assert (
+        ranked_prefix_sum(
+            vals, [F.col("v").desc(), F.col("id")], "v", include_total=True
+        ).count()
+        == 0
+    )
+    pts = spark.createDataFrame([], "grp string, day date, value long")
+    assert gapfill_interpolate(pts, ["grp"], "day", "value").count() == 0
+    cdc = spark.createDataFrame([], "k long, ts long, op string")
+    assert apply_cdc(cdc, ["k"], "ts", "op").count() == 0
+    docs = spark.createDataFrame([], "doc_id long, text string")
+    assert bm25_scores(docs, ["a"]).count() == 0
+    prof = {r.col: r for r in profile_table(
+        spark.createDataFrame([], "x long, s string")
+    ).collect()}
+    assert set(prof) == {"x", "s"}
+    assert prof["x"].n_rows == 0 and prof["x"].min_s is None

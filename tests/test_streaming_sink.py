@@ -196,3 +196,79 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     run_to_memory_append(joined, "ss_join_out")
     got = sorted(r.user_id for r in spark.table("ss_join_out").collect())
     assert got == [10, 30]
+
+
+def test_foreach_batch_cdc_merge(spark, tmp_path):
+    """CDC merge sink: tombstones survive compaction in the STORED state
+    (a late-arriving upsert older than a delete cannot resurrect the
+    key), the live view filters them, and replays converge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from magi_etl_spark.streaming.events_stream import (
+        read_cdc_state,
+        run_foreach_batch_cdc,
+    )
+
+    src = tmp_path / "cdc_src"
+    src.mkdir()
+    target = str(tmp_path / "cdc_target")
+    ckpt = str(tmp_path / "cdc_ckpt")
+
+    def write(path, rows):
+        k, ts, seq, op, payload = zip(*rows)
+        pq.write_table(
+            pa.table(
+                {
+                    "k": pa.array(k, pa.int64()),
+                    "ts": pa.array(ts, pa.int64()),
+                    "seq": pa.array(seq, pa.int64()),
+                    "op": pa.array(op, pa.string()),
+                    "payload": pa.array(payload, pa.string()),
+                }
+            ),
+            path,
+        )
+
+    def consume():
+        stream = (
+            spark.readStream.schema(
+                "k long, ts long, seq long, op string, payload string"
+            )
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        run_foreach_batch_cdc(
+            stream, target, ckpt, keys=["k"], ts_col="ts", op_col="op",
+            tiebreak_cols=["seq"],
+        )
+
+    # batch 1: k1 upserted twice (latest wins), k2 upserted then DELETED
+    write(src / "00.parquet", [
+        (1, 10, 1, "U", "a"),
+        (1, 20, 2, "U", "b"),
+        (2, 10, 3, "U", "x"),
+        (2, 30, 4, "D", None),
+    ])
+    consume()
+    live = {r.k: r.payload for r in read_cdc_state(spark, target).collect()}
+    assert live == {1: "b"}
+    stored = {r.k: r.op for r in spark.read.parquet(target).collect()}
+    assert stored == {1: "U", 2: "D"}  # tombstone retained
+
+    # batch 2: a LATE upsert for k2 older than its delete must lose;
+    # a newer upsert for k1 wins; k3 appears
+    write(src / "01.parquet", [
+        (2, 20, 5, "U", "ghost"),   # ts 20 < delete ts 30 -> stays dead
+        (1, 25, 6, "U", "c"),
+        (3, 5, 7, "U", "n"),
+    ])
+    consume()
+    live = {r.k: r.payload for r in read_cdc_state(spark, target).collect()}
+    assert live == {1: "c", 3: "n"}
+
+    # replay with no new input: checkpoint makes it a no-op
+    consume()
+    assert {
+        r.k: r.payload for r in read_cdc_state(spark, target).collect()
+    } == live
