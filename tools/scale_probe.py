@@ -161,6 +161,7 @@ def main() -> None:
     from magi_etl_spark.queries import QUERIES
 
     part1 = load_table(spark, sf, "part")
+    orders1 = load_table(spark, sf, "orders")
     root = tempfile.mkdtemp(prefix="magi_probe_")
 
     def write_catalog(tag: str, k: int) -> str:
@@ -169,6 +170,7 @@ def main() -> None:
             ("events", events1, ["event_id", "user_id"]),
             ("part", part1, ["p_partkey"]),
             ("documents", docs1, ["doc_id"]),
+            ("orders", orders1, ["o_orderkey", "o_custkey"]),
         ):
             replicate(df, ids, k, 10_000_000).write.mode("overwrite").parquet(
                 f"{path}/{name}.parquet"
@@ -181,6 +183,16 @@ def main() -> None:
         ("metric_query", "q30_metric_query_events"),
         ("helix", "q54_helix_generic"),
         ("vocab_coverage", "q63_vocab_coverage"),
+        # r4 warehouse-ETL family: user_id shifts per copy, so the
+        # per-user frames (SCD2 versions, rolling windows, CDC keys)
+        # grow in GROUP COUNT, not per-group size — the honest linear
+        # scaling axis for keyed operators
+        ("scd2", "q87_scd2_intervals"),
+        ("rolling", "q89_rolling_7d"),
+        ("gapfill", "q91_gapfill_interpolate"),
+        ("cdc", "q92_cdc_apply"),
+        ("profile", "q90_profile_table"),
+        ("budget_select", "q94_token_budget_select"),
     ):
         if only is not None and label not in only:
             continue
