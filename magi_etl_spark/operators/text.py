@@ -24,16 +24,32 @@ def _hits(toks: Column, markers: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda x: x.isin(*markers)))
 
 
-def token_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Token count + average token length (integer-exact ratios)."""
-    t = tokens(F.col(text_col))
+def token_stats(
+    df: DataFrame, id_col: str, text_col: str, scope=None
+) -> DataFrame:
+    """Token count + average token length (integer-exact ratios).
+
+    The token array is projected + persisted once (interpreted HOFs skip
+    CSE, so the three stats would otherwise re-split every document —
+    see ``quality_scores``)."""
+    from magi_etl_spark.caching import persist_in
+
+    base = persist_in(
+        df.select(
+            F.col(id_col),
+            F.length(F.col(text_col)).alias("_len"),
+            tokens(F.col(text_col)).alias("_t"),
+        ),
+        scope,
+    )
+    t = F.col("_t")
     toklen_sum = F.aggregate(
         F.transform(t, lambda x: F.length(x)), F.lit(0), lambda acc, x: acc + x
     )
-    return df.select(
+    return base.select(
         F.col(id_col),
         F.size(t).alias("n_tokens"),
-        F.length(F.col(text_col)).alias("n_chars_measured"),
+        F.col("_len").alias("n_chars_measured"),
         F.round(toklen_sum / F.size(t), 6).alias("avg_token_len"),
     )
 
@@ -77,30 +93,46 @@ def quality_scores(
     )
 
 
-def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def language_id(
+    df: DataFrame, id_col: str, text_col: str, scope=None
+) -> DataFrame:
     """Stopword-vote language ID with deterministic tie-break (declaration
     order).  A real model would be a broadcast n-gram table; the operator
-    shape — per-row scoring against broadcast constants — is the same."""
-    t = tokens(F.col(text_col))
+    shape — per-row scoring against broadcast constants — is the same.
+
+    The token array is projected + persisted once: the vote expression
+    references the hit count of every language, which would otherwise
+    re-tokenize each document once per language (interpreted HOFs skip
+    CSE — see ``quality_scores``)."""
+    from magi_etl_spark.caching import persist_in
+
+    base = persist_in(
+        df.select(F.col(id_col), tokens(F.col(text_col)).alias("_t")), scope
+    )
+    t = F.col("_t")
     hit_cols = {lang: _hits(t, m) for lang, m in LANG_MARKERS.items()}
     best = F.greatest(*hit_cols.values())
     pred = F.lit("und")
     for lang in reversed(list(LANG_MARKERS)):  # earlier languages win ties
         pred = F.when(hit_cols[lang] == best, F.lit(lang)).otherwise(pred)
     pred = F.when(best > 0, pred).otherwise(F.lit("und"))
-    return df.select(F.col(id_col), pred.alias("pred_lang"))
+    return base.select(F.col(id_col), pred.alias("pred_lang"))
 
 
 def fingerprints(df: DataFrame, id_col: str, text_col: str, k: int = 8) -> DataFrame:
     """Winnowing-style fingerprint: min md5 over character k-grams, plus an
     exact-content digest.  Both portable (md5 string min)."""
     sh = char_shingles(F.col(text_col), k)
+    # array_min of an empty array is NULL, so coalesce expresses the
+    # short-document fallback with ONE evaluation of the shingle array
+    # (the old when(size(sh) > 0, ...) shape evaluated it twice —
+    # interpreted HOFs skip CSE)
     return df.select(
         F.col(id_col),
         F.md5(F.col(text_col)).alias("content_md5"),
-        F.when(F.size(sh) > 0, F.array_min(F.transform(sh, F.md5)))
-        .otherwise(F.md5(F.col(text_col)))
-        .alias("kgram_fingerprint"),
+        F.coalesce(
+            F.array_min(F.transform(sh, F.md5)), F.md5(F.col(text_col))
+        ).alias("kgram_fingerprint"),
     )
 
 
