@@ -95,3 +95,46 @@ def evolve_union(frames: list[DataFrame]) -> DataFrame:
         part = df.select(*cols)
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def incremental_read(
+    read,
+    wm_col: str,
+    state_path: str,
+):
+    """High-watermark incremental extract: return only rows with
+    ``wm_col`` strictly greater than the stored watermark, plus a
+    ``commit()`` that advances the stored watermark to this batch's max.
+
+    The watermark is read/written as one tiny JSON file; the filter is a
+    plain Column predicate, so at rest it prunes partitions/row groups
+    like any other pushdown.  Commit AFTER the downstream write succeeds
+    — a crash in between re-extracts the same window, which is safe for
+    idempotent sinks (upsert/apply_cdc/dynamic partition overwrite).
+
+    Returns ``(df, commit)``.
+    """
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    prev = None
+    if os.path.exists(state_path):
+        with open(state_path) as fh:
+            prev = json.load(fh).get("watermark")
+    df = read()
+    if prev is not None:
+        df = df.where(F.col(wm_col) > F.lit(prev))
+
+    def commit() -> None:
+        hi = df.agg(F.max(F.col(wm_col)).cast("string")).first()[0]
+        if hi is None:
+            return  # empty batch: watermark unchanged
+        os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"watermark": hi}, fh)
+        os.replace(tmp, state_path)
+
+    return df, commit

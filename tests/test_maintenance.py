@@ -43,3 +43,90 @@ def test_evolve_union_rejects_incompatible(spark):
     b = spark.createDataFrame([("s",)], "x string")
     with pytest.raises(ValueError, match="incompatible"):
         evolve_union([a, b])
+
+
+def test_expectations_suite(spark):
+    from pyspark.sql import functions as F
+
+    from magi_etl_spark.operators.expectations import (
+        check_suite,
+        expect_accepted_values,
+        expect_condition,
+        expect_in_range,
+        expect_not_null,
+        expect_referential,
+        expect_unique,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", 10.0),
+            (2, "b", -5.0),     # range violation
+            (2, "c", 20.0),     # duplicate key with previous
+            (None, "z", 30.0),  # null key + unaccepted status
+            (5, None, 40.0),    # null status
+        ],
+        "k long, status string, amount double",
+    )
+    parent = spark.createDataFrame([(1,), (2,)], "k long")
+
+    assert {r.status for r in expect_not_null(df, ["k", "status"]).collect()} == {"z", None}
+    assert {r.status for r in expect_unique(df, ["k"]).collect()} == {"b", "c"}
+    assert {r.status for r in expect_in_range(df, "amount", lo=0, hi=35).collect()} == {"b", None}
+    assert {r.amount for r in expect_referential(df, parent, ["k"]).collect()} == {30.0, 40.0}
+    assert {r.amount for r in expect_accepted_values(df, "status", ["a", "b", "c"]).collect()} == {30.0, 40.0}
+    assert expect_condition(df, F.col("amount") > 0).count() == 1
+
+    summary = {
+        r.check: (r.violations, r.passed)
+        for r in check_suite(
+            {
+                "k_not_null": lambda: expect_not_null(df, ["k"]),
+                "k_unique": lambda: expect_unique(df, ["k"]),
+                "amount_positive": lambda: expect_condition(df, F.col("amount") > 0),
+                "clean": lambda: expect_in_range(df, "amount", lo=-100),
+            }
+        ).collect()
+    }
+    assert summary == {
+        "k_not_null": (1, False),
+        "k_unique": (2, False),
+        "amount_positive": (1, False),
+        "clean": (0, True),
+    }
+
+
+def test_incremental_read_watermark(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from magi_etl_spark.operators.maintenance import incremental_read
+
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    state = str(tmp_path / "wm.json")
+
+    def write(name, ids):
+        pq.write_table(
+            pa.table({"id": pa.array(ids, pa.int64())}), src / name
+        )
+
+    def read():
+        return spark.read.parquet(str(src))
+
+    write("a.parquet", [1, 2, 3])
+    df1, commit1 = incremental_read(read, "id", state)
+    assert sorted(r.id for r in df1.collect()) == [1, 2, 3]
+    commit1()
+
+    # same call again before new data: empty batch, watermark survives
+    df2, commit2 = incremental_read(read, "id", state)
+    assert df2.count() == 0
+    commit2()  # no-op on empty
+
+    write("b.parquet", [2, 4, 5])  # id 2 is OLD data re-delivered
+    df3, commit3 = incremental_read(read, "id", state)
+    assert sorted(r.id for r in df3.collect()) == [4, 5]
+    commit3()
+    df4, _ = incremental_read(read, "id", state)
+    assert df4.count() == 0
