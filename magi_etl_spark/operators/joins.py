@@ -88,3 +88,70 @@ def fuzzy_join(
         .where((F.col("edit_distance") >= 0) & (F.col("edit_distance") <= max_distance))
         .drop("_blk")
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    sort_key: Column,
+    window: int = 4,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood candidate generation (Hernández & Stolfo):
+    sort the corpus once on a domain key (normalized name, date+zip,
+    …), then emit every pair within ``window`` positions of each other.
+    Output: ``id_a, id_b, rank_a, rank_b, key_a, key_b`` with
+    ``rank_a < rank_b`` — feed the pairs to an exact comparator
+    (``levenshtein``, jaccard) like ``fuzzy_join`` does blocks.
+
+    Complements prefix/LSH blocking: a good sort key puts near-matches
+    adjacent even when their PREFIXES differ ('J. Smith' / 'Smith, J.'
+    under a lastname-first normalizer), and the candidate count is
+    exactly linear — N*window pairs, never a quadratic hot block.
+
+    Scale shape: the global rank comes from the range-partitioned
+    two-pass operator (no single-partition window anywhere); pairing is
+    a self-join on ``floor(rank / window)`` with the left side exploded
+    to its own and the NEXT bucket — any two ranks within ``window`` of
+    each other land in the same or adjacent buckets, and each unordered
+    pair matches on exactly one bucket key (its right row's bucket), so
+    coverage is exact with no post-dedup.  One sort shuffle + one pair
+    shuffle, both on uniform keys."""
+    from magi_etl_spark.operators.prefix import ranked_prefix_sum
+
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    ranked = ranked_prefix_sum(
+        df.select(F.col(id_col).alias("_id"), sort_key.alias("_sk")).withColumn(
+            "_zero", F.lit(0)
+        ),
+        # id tie-break keeps the global order (hence the pair set)
+        # unique and partitioning-independent
+        [F.col("_sk"), F.col("_id")],
+        "_zero",
+        num_partitions=num_partitions,
+    ).select("_id", "_sk", "rank")
+    bkt = F.floor((F.col("rank") - 1) / window)
+    left = (
+        ranked.withColumn("_b", F.explode(F.array(bkt, bkt + 1)))
+        .select(
+            F.col("_id").alias("id_a"),
+            F.col("_sk").alias("key_a"),
+            F.col("rank").alias("rank_a"),
+            "_b",
+        )
+    )
+    right = ranked.select(
+        F.col("_id").alias("id_b"),
+        F.col("_sk").alias("key_b"),
+        F.col("rank").alias("rank_b"),
+        bkt.alias("_b"),
+    )
+    return (
+        left.join(right, "_b")
+        .where(
+            (F.col("rank_a") < F.col("rank_b"))
+            & (F.col("rank_b") - F.col("rank_a") <= window)
+        )
+        .drop("_b")
+    )

@@ -16,7 +16,7 @@ synchronization is the tiny stats row.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -77,4 +77,60 @@ def bm25_scores(
     )
     return scored.where(matched > 0).select(
         id_col, "dl", score.alias("score")
+    )
+
+
+def rrf_fuse(
+    lists: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    score_col: str = "score",
+    k: int = 60,
+    ranked: bool = False,
+) -> DataFrame:
+    """Reciprocal-rank fusion of several retriever outputs (hybrid
+    search: BM25 + embedding cosine is the canonical pair).  Each list
+    contributes ``1 / (k + rank)`` per document; scores are never
+    compared across lists — only ranks — so heterogeneous score scales
+    fuse without calibration (Cormack et al.'s RRF, the standard
+    hybrid-retrieval baseline).
+
+    Output: ``id_col, rrf_score, n_lists, best_rank``.
+
+    Inputs are retriever TOP-K CANDIDATE LISTS — bounded frames (tens to
+    thousands of rows), which is what makes the per-list global rank
+    window safe here: the single group is over k rows, not the corpus
+    (``pinned_partition`` keeps the spec explicit).  To fuse
+    corpus-scale rankings instead, pre-rank each side with the
+    range-partitioned ``operators.prefix.ranked_prefix_sum`` and pass
+    ``ranked=True`` with a ``rank`` column already attached.  The fuse
+    itself is one union + one hash aggregate on the id — linear, one
+    shuffle, no driver work.
+
+    Ranks tie-break on ``id_col`` so fusion is deterministic across
+    partitionings and engines.
+    """
+    from magi_etl_spark.functions import pinned_partition
+
+    if not lists:
+        raise ValueError("rrf_fuse needs at least one ranked list")
+    parts = []
+    for name, df in lists.items():
+        if ranked:
+            part = df.select(id_col, F.col("rank").cast("long").alias("rank"))
+        else:
+            # non-foldable constant anchor (lit-based anchors are
+            # constant-folded out of the window spec)
+            anchor = F.crc32(F.col(id_col).cast("string"))
+            w = W.partitionBy(pinned_partition(anchor)).orderBy(
+                F.col(score_col).desc(), F.col(id_col)
+            )
+            part = df.select(id_col, F.row_number().over(w).alias("rank"))
+        parts.append(part.withColumn("_list", F.lit(name)))
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    return u.groupBy(id_col).agg(
+        F.sum(F.lit(1.0) / (F.lit(float(k)) + F.col("rank"))).alias("rrf_score"),
+        F.count("*").alias("n_lists"),
+        F.min("rank").alias("best_rank"),
     )

@@ -1,0 +1,64 @@
+"""Temperature-scaled domain sampling on top of the deterministic
+mixing machinery (LLM-data-pipeline extension; no counterpart in the
+tabular-only reference).
+
+Multi-domain / multilingual pretraining rarely trains on the natural
+source distribution: small domains drown.  The standard remedy samples
+source d with probability ``p_d ∝ n_d ** alpha`` (alpha=1 natural,
+alpha=0 uniform over sources, the usual 0.3–0.7 band up-weights small
+sources) and realizes the mixture by per-source keep/replicate rates.
+
+This module only derives the per-source WEIGHTS; the row-level sampling
+is ``operators.mixing.weighted_mix`` unchanged — pure hash functions of
+(seed, key), stable across runs, engines, partitionings, and task
+retries.  Scale shape: one count aggregate whose collected result is
+one row per SOURCE (domains/languages number in the dozens — the driver
+holds counts, never rows), then project + filter + bounded explode.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+from magi_etl_spark.operators.mixing import weighted_mix
+
+
+def temperature_weights(
+    counts: dict[str, int], alpha: float, target_rows: int | None = None
+) -> dict[str, float]:
+    """Per-source mixture weights at temperature ``alpha``: source d is
+    drawn with probability ``p_d ∝ n_d ** alpha``; the returned weight
+    ``w_d = T * p_d / n_d`` feeds ``weighted_mix`` so the expected
+    output size is ``target_rows`` (default: the input total, i.e. pure
+    re-balancing).  Weights above 1 mean fractional epochs over the
+    small source — exactly what ``weighted_mix`` implements."""
+    if not counts:
+        raise ValueError("counts must not be empty")
+    if any(n <= 0 for n in counts.values()):
+        raise ValueError(f"source counts must be positive, got {counts}")
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    total = sum(counts.values())
+    t = total if target_rows is None else target_rows
+    z = sum(n**alpha for n in counts.values())
+    return {d: t * (n**alpha / z) / n for d, n in counts.items()}
+
+
+def temperature_mix(
+    df: DataFrame,
+    source_col: str,
+    key_col: str,
+    alpha: float = 0.5,
+    target_rows: int | None = None,
+    seed: str = "tmix",
+    copy_col: str = "copy_idx",
+) -> DataFrame:
+    """``weighted_mix`` with weights derived from the observed source
+    sizes at temperature ``alpha`` (one count aggregate collected as one
+    row per source)."""
+    rows = df.groupBy(source_col).count().collect()
+    counts = {r[0]: r[1] for r in rows}
+    w = temperature_weights(counts, alpha, target_rows)
+    return weighted_mix(
+        df, w, source_col, key_col, seed=seed, copy_col=copy_col
+    )

@@ -159,3 +159,29 @@ def normalize_text(
     if collapse_ws:
         c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return c
+
+
+# Redaction patterns, ordered most-specific first: emails and IPv4
+# before bare digit runs, so an address is replaced whole rather than
+# having its digits hollowed out.  Same engine-portable regex dialect as
+# the q70 scan (explicit ranges, no \d, no bounded quantifiers).
+PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+", "[EMAIL]"),
+    ("ipv4", r"[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+", "[IP]"),
+    ("digit_run", r"[0-9][0-9][0-9]+", "[NUM]"),
+)
+
+
+def redact_pii(
+    text: Column,
+    patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,
+) -> Column:
+    """PII redaction column: each ``(name, regex, placeholder)`` applied
+    in order as a ``regexp_replace`` chain — the acting half of the q70
+    scan-then-route compliance pair (scan counts, this rewrites).  Pure
+    Column expression; at 100 TB this is a map-only pass that fuses into
+    whatever scan or write surrounds it."""
+    c = text
+    for _name, pat, placeholder in patterns:
+        c = F.regexp_replace(c, pat, placeholder)
+    return c

@@ -1,0 +1,230 @@
+"""RRF fusion, temperature mixing, PII redaction, sorted-neighborhood
+candidate generation — the round-4 operator extensions queued for the
+round-5 gate window (COVERAGE.md rotation rule 1)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- rrf_fuse --------------------------------------------------------------
+
+
+def test_rrf_fuse_matches_hand_computation(spark):
+    from magi_etl_spark.operators.ranking import rrf_fuse
+
+    # two retrievers over a 5-doc corpus with conflicting orders
+    bm25 = spark.createDataFrame(
+        [("d1", 9.0), ("d2", 7.0), ("d3", 5.0), ("d4", 1.0)],
+        "doc_id string, score double",
+    )
+    cos = spark.createDataFrame(
+        [("d3", 0.99), ("d5", 0.90), ("d1", 0.40)],
+        "doc_id string, score double",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rrf_fuse({"bm25": bm25, "cos": cos}, k=60).collect()
+    }
+    # d1: rank 1 in bm25, rank 3 in cos
+    assert out["d1"]["n_lists"] == 2 and out["d1"]["best_rank"] == 1
+    assert out["d1"]["rrf_score"] == pytest.approx(1 / 61 + 1 / 63)
+    # d3: rank 3 in bm25, rank 1 in cos — symmetric score with d1
+    assert out["d3"]["rrf_score"] == pytest.approx(out["d1"]["rrf_score"])
+    # d5 appears only in cos at rank 2
+    assert out["d5"]["n_lists"] == 1
+    assert out["d5"]["rrf_score"] == pytest.approx(1 / 62)
+    # two-list docs outrank single-list docs of comparable position
+    assert out["d1"]["rrf_score"] > out["d5"]["rrf_score"]
+
+
+def test_rrf_fuse_score_ties_break_on_id(spark):
+    from magi_etl_spark.operators.ranking import rrf_fuse
+
+    tied = spark.createDataFrame(
+        [("b", 1.0), ("a", 1.0), ("c", 1.0)], "doc_id string, score double"
+    )
+    out = {r["doc_id"]: r["best_rank"] for r in rrf_fuse({"l": tied}).collect()}
+    assert out == {"a": 1, "b": 2, "c": 3}
+
+
+def test_rrf_fuse_pre_ranked_lists(spark):
+    from magi_etl_spark.operators.ranking import rrf_fuse
+
+    pre = spark.createDataFrame(
+        [("x", 1), ("y", 2)], "doc_id string, rank int"
+    )
+    out = {
+        r["doc_id"]: r["rrf_score"]
+        for r in rrf_fuse({"l": pre}, ranked=True, k=10).collect()
+    }
+    assert out["x"] == pytest.approx(1 / 11)
+    assert out["y"] == pytest.approx(1 / 12)
+
+
+# --- temperature sampling --------------------------------------------------
+
+
+def test_temperature_weights_limits():
+    from magi_etl_spark.operators.sampling import temperature_weights
+
+    counts = {"big": 9000, "small": 1000}
+    # alpha=1: natural distribution — every weight is exactly 1
+    nat = temperature_weights(counts, alpha=1.0)
+    assert nat["big"] == pytest.approx(1.0) and nat["small"] == pytest.approx(1.0)
+    # alpha=0: uniform over sources — half the budget each
+    uni = temperature_weights(counts, alpha=0.0)
+    assert uni["big"] == pytest.approx(10000 / 2 / 9000)
+    assert uni["small"] == pytest.approx(10000 / 2 / 1000)
+    # expected output size always hits the target
+    for alpha in (0.0, 0.3, 0.7, 1.0):
+        w = temperature_weights(counts, alpha, target_rows=5000)
+        assert sum(w[d] * counts[d] for d in counts) == pytest.approx(5000)
+
+
+def test_temperature_weights_upweights_small_sources():
+    from magi_etl_spark.operators.sampling import temperature_weights
+
+    counts = {"big": 9000, "small": 1000}
+    w = temperature_weights(counts, alpha=0.5)
+    assert w["small"] > 1.0 > w["big"]
+    # p_small / p_big follows the temperature-scaled ratio
+    ratio = (w["small"] * 1000) / (w["big"] * 9000)
+    assert ratio == pytest.approx(math.sqrt(1000 / 9000))
+
+
+def test_temperature_weights_validation():
+    from magi_etl_spark.operators.sampling import temperature_weights
+
+    with pytest.raises(ValueError):
+        temperature_weights({}, 0.5)
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 0}, 0.5)
+    with pytest.raises(ValueError):
+        temperature_weights({"a": 10}, -0.1)
+
+
+def test_temperature_mix_is_deterministic_and_near_target(spark):
+    from magi_etl_spark.operators.sampling import temperature_mix
+
+    rows = [(i, "big" if i % 10 else "small") for i in range(2000)]
+    df = spark.createDataFrame(rows, "id long, src string")
+    out = temperature_mix(df, "src", "id", alpha=0.0, seed="t1")
+    again = temperature_mix(df, "src", "id", alpha=0.0, seed="t1")
+    a = sorted((r["id"], r["copy_idx"]) for r in out.collect())
+    b = sorted((r["id"], r["copy_idx"]) for r in again.collect())
+    assert a == b  # pure hash draw — identical across runs
+    per_src = {
+        r["src"]: r["n"]
+        for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()
+    }
+    # alpha=0 targets ~1000 rows per source (hash noise is per-key
+    # Bernoulli: tolerance of a few percent at n=1000/200-key scale)
+    assert per_src["small"] > per_src["big"] / 2
+    assert sum(per_src.values()) == pytest.approx(2000, rel=0.1)
+    # the small source is replicated (weight > 1 => copy_idx 2 exists)
+    assert out.where((F.col("src") == "small") & (F.col("copy_idx") > 1)).count() > 0
+
+
+# --- redact_pii ------------------------------------------------------------
+
+
+def test_redact_pii_patterns(spark):
+    from magi_etl_spark.operators.text import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            ("reach me at jo.doe+x@corp.example.com today", "[EMAIL]"),
+            ("server 10.2.30.455 rebooted", "[IP]"),
+            ("card 4111222233334444 expired", "[NUM]"),
+            ("no pii here", "no pii here"),
+        ],
+        "text string, expect string",
+    )
+    out = df.select(redact_pii(F.col("text")).alias("red"), "expect").collect()
+    for r in out:
+        assert r["expect"] in r["red"]
+        assert "@" not in r["red"] or "[EMAIL]" in r["red"]
+
+
+def test_redact_pii_order_redacts_whole_tokens(spark):
+    from magi_etl_spark.operators.text import redact_pii
+
+    # the digits inside an email/IP must not survive as [NUM] fragments
+    df = spark.createDataFrame(
+        [("mail a123456@b.example or ping 192.168.0.1",)], "text string"
+    )
+    red = df.select(redact_pii(F.col("text")).alias("r")).first()["r"]
+    assert red == "mail [EMAIL] or ping [IP]"
+
+
+# --- sorted_neighborhood_pairs ---------------------------------------------
+
+
+def _snm_bruteforce(keys: list[tuple[str, str]], window: int) -> set:
+    ordered = sorted(keys, key=lambda t: (t[1], t[0]))
+    out = set()
+    for i in range(len(ordered)):
+        for j in range(i + 1, min(i + window + 1, len(ordered))):
+            out.add((ordered[i][0], ordered[j][0]))
+    return out
+
+
+def test_sorted_neighborhood_matches_bruteforce(spark):
+    from magi_etl_spark.operators.joins import sorted_neighborhood_pairs
+
+    rows = [
+        (f"r{i}", name)
+        for i, name in enumerate(
+            ["smith j", "smith jo", "smyth j", "adams b", "adams bo",
+             "baker c", "baker k", "clark d", "clarke d", "smith q"]
+        )
+    ]
+    df = spark.createDataFrame(rows, "id string, name string")
+    for w in (1, 2, 4):
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in sorted_neighborhood_pairs(
+                df, "id", F.col("name"), window=w, num_partitions=4
+            ).collect()
+        }
+        assert got == _snm_bruteforce(rows, w), f"window={w}"
+
+
+def test_sorted_neighborhood_is_partitioning_independent(spark):
+    from magi_etl_spark.operators.joins import sorted_neighborhood_pairs
+
+    rows = [(f"r{i:03d}", f"k{(i * 7) % 50:02d}") for i in range(200)]
+    df = spark.createDataFrame(rows, "id string, name string")
+    base = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", F.col("name"), window=3, num_partitions=2
+        ).collect()
+    }
+    wide = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df.repartition(16), "id", F.col("name"), window=3, num_partitions=13
+        ).collect()
+    }
+    assert base == wide == _snm_bruteforce(rows, 3)
+    # linear candidate budget: N*window is the hard ceiling
+    assert len(base) <= 200 * 3
+
+
+def test_sorted_neighborhood_feeds_edit_distance(spark):
+    from magi_etl_spark.operators.joins import sorted_neighborhood_pairs
+
+    rows = [("a", "jon smith"), ("b", "john smith"), ("c", "zz totally other")]
+    df = spark.createDataFrame(rows, "id string, name string")
+    pairs = sorted_neighborhood_pairs(df, "id", F.col("name"), window=2)
+    linked = pairs.where(
+        F.levenshtein(F.col("key_a"), F.col("key_b"), 2) >= 0
+    )
+    got = {(r["id_a"], r["id_b"]) for r in linked.collect()}
+    assert ("a", "b") in got or ("b", "a") in got
+    assert all("c" not in p for p in got)
