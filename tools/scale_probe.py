@@ -136,6 +136,66 @@ def main() -> None:
 
         return run
 
+    # --- r4 operator extensions (pytest-only; queued for the r5 gate) ----
+    from magi_etl_spark.operators.joins import (
+        fuzzy_join,
+        prefix_block,
+        salted_join,
+        sorted_neighborhood_pairs,
+    )
+    from magi_etl_spark.operators.sampling import temperature_mix
+    from magi_etl_spark.operators.stats import winsorize
+
+    def snm(d):
+        # sort on a 24-char prefix: candidate budget is exactly N*window
+        return lambda: sorted_neighborhood_pairs(
+            d, "doc_id", F.substring("text", 1, 24), window=4
+        )
+
+    def tmix(d):
+        src = d.withColumn("_src", (F.col("doc_id") % 7).cast("string"))
+        return lambda: temperature_mix(src, "_src", "doc_id", alpha=0.3)
+
+    def winz(e):
+        # approx bounds are the 100 TB mode (exact buffers a per-group sort)
+        return lambda: winsorize(
+            e, ["event_type"], "value", 0.01, 0.99, approx=True
+        )
+
+    def salted(e):
+        # event_type is 5 keys over millions of rows — every key is hot;
+        # the salt spreads each over 32 partitions
+        dim = e.select("event_type").distinct().withColumn(
+            "type_wgt", F.length("event_type").cast("double")
+        )
+        def run():
+            j = salted_join(e, dim, ["event_type"], salt_buckets=32)
+            return j.groupBy("event_type").agg(
+                F.count("*").alias("n"), F.sum("type_wgt").alias("w")
+            )
+        return run
+
+    part1 = load_table(spark, sf, "part")
+
+    def fuzzy(p):
+        # linkage shape: N part rows against a FIXED 64-name dictionary —
+        # candidates grow linearly with the big side
+        names = part1.select(F.col("p_name").alias("dict_name")).distinct()
+        def run():
+            j = fuzzy_join(
+                p.select("p_partkey", "p_name"),
+                names,
+                prefix_block("p_name", 4),
+                prefix_block("dict_name", 4),
+                "p_name",
+                "dict_name",
+                max_distance=3,
+            )
+            return j.groupBy("dict_name").agg(F.count("*").alias("n"))
+        return run
+
+    partN_op = replicate(part1, ["p_partkey"], n, 10_000_000)
+
     timings: dict[str, float] = {}
     for label, d1, dn in (
         ("lsh_dedup", lsh(docs1), lsh(docsN)),
@@ -143,6 +203,11 @@ def main() -> None:
         ("funnel", funnel(events1), funnel(eventsN)),
         ("skew_profile", skew(events1), skew(eventsN)),
         ("embedding_neardup", emb_neardup(emb1), emb_neardup(embN)),
+        ("snm_pairs", snm(docs1), snm(docsN)),
+        ("temperature_mix", tmix(docs1), tmix(docsN)),
+        ("winsorize", winz(events1), winz(eventsN)),
+        ("salted_join", salted(events1), salted(eventsN)),
+        ("fuzzy_linkage", fuzzy(part1), fuzzy(partN_op)),
     ):
         if only is not None and label not in only:
             continue
@@ -160,7 +225,6 @@ def main() -> None:
 
     from magi_etl_spark.queries import QUERIES
 
-    part1 = load_table(spark, sf, "part")
     orders1 = load_table(spark, sf, "orders")
     root = tempfile.mkdtemp(prefix="magi_probe_")
 
