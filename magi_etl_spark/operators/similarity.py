@@ -309,3 +309,66 @@ def srp_lsh_buckets(
         )
         bits.append(F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("string"))
     return df.select(F.col(id_col), F.concat_ws("", *bits).alias("bucket"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    n_lists: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    init: str = "hash",
+    seed: int = 7,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): coarse-cluster the embedding space, compare
+    cosine similarity only WITHIN clusters, and keep one representative
+    per connected near-duplicate group.
+
+    Composition of three existing scale shapes — nothing new has to
+    hold the corpus anywhere:
+
+    1. :func:`ivf_index_sampled` assigns every vector a ``list_id``
+       (broadcast centroids, narrow argmin expression — no shuffle);
+    2. :func:`blocked_neardup_pairs` finds within-list pairs ≥
+       ``threshold`` (salted block self-join: sum-of-squares-per-list
+       economics, never corpus²);
+    3. ``connected_components`` turns pairs into duplicate groups so
+       chains (A~B~C with A≁C) collapse to ONE representative — the
+       min id, matching the corpus-dedup keep policy elsewhere
+       (``operators/dedup.py``).
+
+    Output: every input row's ``id_col, list_id, rep_id, kept`` —
+    ``kept`` marks the representative (isolated vectors keep
+    themselves).  Filter ``kept`` for the deduplicated corpus; join
+    ``rep_id`` back to re-route references to dropped duplicates.
+    """
+    from magi_etl_spark.operators.components import connected_components
+
+    assigned, _cents = ivf_index_sampled(
+        df, n_lists=n_lists, id_col=id_col, vec_col=vec_col, init=init, seed=seed
+    )
+    pairs = blocked_neardup_pairs(
+        assigned,
+        "list_id",
+        threshold,
+        id_col=id_col,
+        vec_col="_v",
+        salt_buckets=salt_buckets,
+    )
+    comps = connected_components(pairs, src="id_a", dst="id_b").select(
+        F.col("vertex").alias(id_col), F.col("component").alias("_rep")
+    )
+    return (
+        assigned.select(id_col, "list_id")
+        .join(comps, id_col, "left")
+        .select(
+            id_col,
+            "list_id",
+            F.coalesce(F.col("_rep"), F.col(id_col)).alias("rep_id"),
+            (F.coalesce(F.col("_rep"), F.col(id_col)) == F.col(id_col)).alias(
+                "kept"
+            ),
+        )
+    )
