@@ -172,6 +172,77 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def paragraph_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_repeats: int = 2,
+) -> DataFrame:
+    """Corpus-level boilerplate removal: any paragraph (blank-line-split
+    block) whose NORMALIZED form occurs in at least ``min_repeats``
+    distinct documents is stripped from every document — the standard
+    pretraining-cleanup pass for nav bars, license headers, and cookie
+    banners that survive document-level dedup because the surrounding
+    text differs.
+
+    Output: one row per input document — ``id_col, text_dedup,
+    n_paragraphs, n_removed`` (documents reduced to nothing keep an
+    empty ``text_dedup``; empty/whitespace-only paragraphs are dropped
+    as normalization).
+
+    Scale shape: posexplode (no shuffle) → one count-distinct-docs
+    aggregate keyed on the normalized paragraph → one join back on that
+    key → one group-by-document rebuild.  Every stage is keyed and
+    map-side combinable; the boilerplate frame is joined, never
+    collected, so a 100 TB corpus with millions of repeated paragraphs
+    stays distributed end to end."""
+    if min_repeats < 2:
+        raise ValueError(f"min_repeats must be >= 2, got {min_repeats}")
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\n\s*\n")).alias("pos", "para"),
+    )
+    marked = paras.withColumn("_norm", normalize_text(F.col("para"))).where(
+        F.col("_norm") != ""
+    )
+    boiler = (
+        marked.groupBy("_norm")
+        .agg(F.countDistinct(id_col).alias("_docs"))
+        .where(F.col("_docs") >= min_repeats)
+        .select("_norm", F.lit(True).alias("_boiler"))
+    )
+    flagged = marked.join(boiler, "_norm", "left")
+    keep = ~F.coalesce(F.col("_boiler"), F.lit(False))
+    rebuilt = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_paragraphs"),
+        F.count(F.when(F.col("_boiler"), 1)).alias("n_removed"),
+        F.concat_ws(
+            "\n\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(keep, F.struct("pos", "para")))
+                ),
+                lambda s: s["para"],
+            ),
+        ).alias("text_dedup"),
+    )
+    # documents whose every paragraph normalized away still get a row
+    return (
+        df.select(id_col)
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce(F.col("text_dedup"), F.lit("")).alias("text_dedup"),
+            F.coalesce(F.col("n_paragraphs"), F.lit(0)).cast("long").alias(
+                "n_paragraphs"
+            ),
+            F.coalesce(F.col("n_removed"), F.lit(0)).cast("long").alias(
+                "n_removed"
+            ),
+        )
+    )
+
+
 def redact_pii(
     text: Column,
     patterns: tuple[tuple[str, str, str], ...] = PII_PATTERNS,

@@ -161,6 +161,56 @@ def test_redact_pii_order_redacts_whole_tokens(spark):
     assert red == "mail [EMAIL] or ping [IP]"
 
 
+# --- paragraph_dedup -------------------------------------------------------
+
+
+def test_paragraph_dedup_strips_cross_document_boilerplate(spark):
+    from magi_etl_spark.operators.text import paragraph_dedup
+
+    footer = "Subscribe to our newsletter!"
+    rows = [
+        (1, f"Unique intro one.\n\n{footer}"),
+        (2, f"Another body text.\n\n{footer}\n\nA closing remark."),
+        (3, "Totally original document."),
+        (4, f"{footer.upper()}"),  # normalization folds case -> removed
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["text_dedup"] == "Unique intro one."
+    assert out[1]["n_removed"] == 1 and out[1]["n_paragraphs"] == 2
+    assert out[2]["text_dedup"] == "Another body text.\n\nA closing remark."
+    assert out[3]["text_dedup"] == "Totally original document."
+    assert out[3]["n_removed"] == 0
+    # a document that was ALL boilerplate survives as an empty row
+    assert out[4]["text_dedup"] == "" and out[4]["n_removed"] == 1
+
+
+def test_paragraph_dedup_min_repeats_and_within_doc_repeats(spark):
+    from magi_etl_spark.operators.text import paragraph_dedup
+
+    # the repeated paragraph appears twice in ONE document only:
+    # distinct-document count is 1, so it must survive min_repeats=2
+    rows = [(1, "Echo.\n\nEcho.\n\nBody."), (2, "Other.")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["text_dedup"] == "Echo.\n\nEcho.\n\nBody."
+    assert out[1]["n_removed"] == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        paragraph_dedup(df, "doc_id", "text", min_repeats=1)
+
+
+def test_paragraph_dedup_order_and_empty_paragraphs(spark):
+    from magi_etl_spark.operators.text import paragraph_dedup
+
+    # double blank lines produce empty paragraphs: dropped, order kept
+    rows = [(1, "A.\n\n\n\nB.\n\nC."), (2, "unrelated")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in paragraph_dedup(df, "doc_id", "text").collect()}
+    assert out[1]["text_dedup"] == "A.\n\nB.\n\nC."
+
+
 # --- sorted_neighborhood_pairs ---------------------------------------------
 
 

@@ -177,6 +177,14 @@ def main() -> None:
 
     part1 = load_table(spark, sf, "part")
 
+    def semdedup(em):
+        from magi_etl_spark.operators.similarity import semantic_dedup
+
+        # same worst-case caveat as embedding_neardup: replicated copies
+        # are exact duplicates, so within-list pair count grows n^2 per
+        # family — the salted block join + small components absorb it
+        return lambda: semantic_dedup(em, threshold=0.98, n_lists=8, seed=7)
+
     def fuzzy(p):
         # linkage shape: N part rows against a FIXED 64-name dictionary —
         # candidates grow linearly with the big side
@@ -208,6 +216,7 @@ def main() -> None:
         ("winsorize", winz(events1), winz(eventsN)),
         ("salted_join", salted(events1), salted(eventsN)),
         ("fuzzy_linkage", fuzzy(part1), fuzzy(partN_op)),
+        ("semantic_dedup", semdedup(emb1), semdedup(embN)),
     ):
         if only is not None and label not in only:
             continue
