@@ -1,0 +1,150 @@
+"""Plan linting: machine-checkable scale hygiene for DataFrame plans.
+
+The repo's plan tests assert scan pushdown, broadcast joins, and
+shuffle counts query by query; this module packages the recurring
+checks as a library so pipelines can gate THEMSELVES before a 100 TB
+run — ``assert_scalable(df)`` at build time costs one plan compile and
+catches the classic cluster-killers:
+
+- ``CartesianProduct`` — an unconstrained pair blow-up (a broadcast
+  nested-loop join is only a warning: correct when one side is tiny,
+  e.g. a scalar config frame or centroid table).
+- ``Exchange SinglePartition`` — the whole frame funneled through one
+  task: the signature of an unpartitioned window, a global sort-less
+  limit, or a careless ``coalesce(1)``.  One shape is exempted
+  automatically: a single-partition exchange whose CHILD is a
+  partial/merge aggregate is the standard global-scalar-aggregate
+  merge — map-side combine reduces the stream to one row per upstream
+  partition before the funnel, so nothing meaningful serializes.
+  (Other bounded frames — post-limit top-k, per-partition offset
+  tables — go through ``allow_single_partition`` or the repo's
+  ``pinned_partition`` idiom, which avoids the shape entirely.)
+- shuffle budget — every ``Exchange`` is a full materialization;
+  exceeding the caller's budget usually means a missed broadcast or a
+  lost co-partitioning.
+
+Findings are data (``PlanFinding`` rows), not prints, so tests and
+pipelines can assert on them; ``lint`` never executes the job — it
+inspects the compiled physical plan only.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+_ERROR = "error"
+_WARN = "warn"
+_INFO = "info"
+
+
+@dataclass(frozen=True)
+class PlanFinding:
+    severity: str  # error | warn | info
+    rule: str
+    detail: str
+
+
+def _physical(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _unsafe_single_partition_exchanges(p: str) -> int:
+    """Count ``Exchange SinglePartition`` nodes whose child is NOT a
+    partial/merge aggregate.  In the tree rendering the child is the
+    next line; a partial- or merge-mode HashAggregate/SortAggregate
+    there means the exchange only carries one combined row per upstream
+    partition (the scalar-aggregate merge), which scales fine."""
+    lines = p.splitlines()
+    unsafe = 0
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        is_agg_merge = (
+            "HashAggregate" in child or "SortAggregate" in child
+        ) and ("partial_" in child or "merge_" in child)
+        if not is_agg_merge:
+            unsafe += 1
+    return unsafe
+
+
+def lint(
+    df: DataFrame,
+    max_shuffles: int | None = None,
+    allow_single_partition: bool = False,
+) -> list[PlanFinding]:
+    """Inspect ``df``'s compiled physical plan (no execution) and return
+    findings ordered errors-first."""
+    p = _physical(df)
+    out: list[PlanFinding] = []
+    n_cart = p.count("CartesianProduct")
+    if n_cart:
+        out.append(
+            PlanFinding(
+                _ERROR,
+                "cartesian-product",
+                f"{n_cart} CartesianProduct node(s): unconstrained pair "
+                "blow-up — add a join key, a block key, or broadcast a "
+                "provably-small side",
+            )
+        )
+    n_single = _unsafe_single_partition_exchanges(p)
+    if n_single and not allow_single_partition:
+        out.append(
+            PlanFinding(
+                _ERROR,
+                "single-partition-exchange",
+                f"{n_single} Exchange SinglePartition node(s): the frame "
+                "funnels through ONE task — usually an unpartitioned "
+                "window or global sort; use the range-partitioned rank "
+                "(operators/prefix.py) or pinned_partition on a bounded "
+                "frame",
+            )
+        )
+    n_bnl = p.count("BroadcastNestedLoopJoin")
+    if n_bnl:
+        out.append(
+            PlanFinding(
+                _WARN,
+                "broadcast-nested-loop",
+                f"{n_bnl} BroadcastNestedLoopJoin node(s): per-row scan of "
+                "the broadcast side — fine for scalar/centroid frames, a "
+                "hazard if the build side can grow",
+            )
+        )
+    n_shuffle = p.count("+- Exchange ") + (1 if p.startswith("Exchange ") else 0)
+    if max_shuffles is not None and n_shuffle > max_shuffles:
+        out.append(
+            PlanFinding(
+                _WARN,
+                "shuffle-budget",
+                f"{n_shuffle} shuffle Exchange node(s) > budget "
+                f"{max_shuffles}: look for a missed broadcast or a lost "
+                "co-partitioning",
+            )
+        )
+    else:
+        out.append(
+            PlanFinding(_INFO, "shuffle-count", f"{n_shuffle} shuffle Exchange node(s)")
+        )
+    order = {_ERROR: 0, _WARN: 1, _INFO: 2}
+    out.sort(key=lambda f: order[f.severity])
+    return out
+
+
+def assert_scalable(
+    df: DataFrame,
+    max_shuffles: int | None = None,
+    allow_single_partition: bool = False,
+) -> list[PlanFinding]:
+    """Raise ``ValueError`` listing every error-severity finding; return
+    the full finding list (warnings included) when the plan is clean
+    enough to ship."""
+    findings = lint(df, max_shuffles, allow_single_partition)
+    errors = [f for f in findings if f.severity == _ERROR]
+    if errors:
+        msg = "; ".join(f"[{f.rule}] {f.detail}" for f in errors)
+        raise ValueError(f"plan fails scale lint: {msg}")
+    return findings
