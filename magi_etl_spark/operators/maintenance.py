@@ -138,3 +138,46 @@ def incremental_read(
         os.replace(tmp, state_path)
 
     return df, commit
+
+
+def backfill_partitions(
+    partitions: list,
+    build,
+    write,
+    state_path: str,
+    resume: bool = True,
+) -> list:
+    """Chunked, crash-resumable backfill: for each key in ``partitions``
+    (dates, shards — any JSON-serializable, ORDER of the list is the
+    execution order), run ``write(build(key), key)`` and record
+    completion in ``state_path`` (atomic replace after each partition).
+    A crashed run re-invoked with ``resume=True`` skips completed keys;
+    the in-flight key re-runs, so ``write`` must be idempotent — pair
+    with the dynamic-partition-overwrite writer, ``upsert``, or
+    ``apply_cdc``, which all are.
+
+    Returns the list of keys executed THIS run.  Driver-side loop by
+    design: the partition list is the orchestration grain (hundreds of
+    dates, not rows), and each iteration is a full distributed job —
+    the same economics as the incremental-watermark extractor above.
+    """
+    import json
+    import os
+
+    done: list = []
+    if resume and os.path.exists(state_path):
+        with open(state_path) as fh:
+            done = json.load(fh).get("done", [])
+    ran = []
+    for key in partitions:
+        if key in done:
+            continue
+        write(build(key), key)
+        done.append(key)
+        ran.append(key)
+        os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
+        tmp = state_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"done": done}, fh)
+        os.replace(tmp, state_path)
+    return ran

@@ -118,3 +118,81 @@ def test_ranked_prefix_sum_property(spark, values, parts):
         cum += values[i]
         expected.append((rank, i, cum, sum(values)))
     assert got == expected
+
+
+# --- r4 extension operators ------------------------------------------------
+
+split_specs = st.lists(
+    st.tuples(st.text("abc", min_size=1, max_size=3), st.integers(1, 10)),
+    min_size=1,
+    max_size=4,
+    unique_by=lambda t: t[0],
+)
+
+
+@given(specs=split_specs, n=st.integers(10, 60))
+@settings(**_SETTINGS)
+def test_split_assign_is_disjoint_exhaustive_and_stable(spark, specs, n):
+    from magi_etl_spark.operators.mixing import split_assign
+
+    total = sum(w for _, w in specs)
+    splits = {name: w / total for name, w in specs}
+    df = spark.createDataFrame([(i,) for i in range(n)], "k long")
+    a = {r["k"]: r["split"] for r in split_assign(df, "k", splits).collect()}
+    b = {r["k"]: r["split"] for r in split_assign(df, "k", splits).collect()}
+    assert a == b                       # pure function of (seed, key)
+    assert set(a) == set(range(n))      # exhaustive: every row labeled
+    assert set(a.values()) <= set(splits)  # only declared labels
+
+
+@given(
+    counts=st.dictionaries(
+        st.text("xyz", min_size=1, max_size=3),
+        st.integers(1, 100_000),
+        min_size=1,
+        max_size=6,
+    ),
+    alpha=st.floats(0.0, 1.5, allow_nan=False),
+    target=st.integers(1, 1_000_000),
+)
+@settings(**_SETTINGS)
+def test_temperature_weights_invariants(counts, alpha, target):
+    from magi_etl_spark.operators.sampling import temperature_weights
+
+    w = temperature_weights(counts, alpha, target_rows=target)
+    assert set(w) == set(counts)
+    assert all(v >= 0 for v in w.values())
+    # expected output size is exactly the target
+    assert abs(sum(w[d] * counts[d] for d in counts) - target) < 1e-6 * target + 1e-9
+    # ordering: alpha < 1 never up-weights a LARGER source above a
+    # smaller one (weights are antitone in n_d for alpha <= 1)
+    if alpha <= 1.0:
+        pairs = sorted(counts.items(), key=lambda t: t[1])
+        for (da, na), (db, nb) in zip(pairs, pairs[1:]):
+            if na < nb:
+                assert w[da] >= w[db] - 1e-12
+
+
+@given(
+    keys=st.lists(st.text("ab", min_size=0, max_size=4), min_size=2, max_size=30),
+    window=st.integers(1, 5),
+)
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+def test_sorted_neighborhood_property(spark, keys, window):
+    from magi_etl_spark.operators.joins import sorted_neighborhood_pairs
+
+    rows = [(i, k) for i, k in enumerate(keys)]
+    df = spark.createDataFrame(rows, "id long, name string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in sorted_neighborhood_pairs(
+            df, "id", F.col("name"), window=window, num_partitions=3
+        ).collect()
+    }
+    ordered = sorted(rows, key=lambda t: (t[1], t[0]))
+    want = {
+        (ordered[i][0], ordered[j][0])
+        for i in range(len(ordered))
+        for j in range(i + 1, min(i + window + 1, len(ordered)))
+    }
+    assert got == want

@@ -130,3 +130,45 @@ def test_incremental_read_watermark(spark, tmp_path):
     commit3()
     df4, _ = incremental_read(read, "id", state)
     assert df4.count() == 0
+
+
+def test_backfill_partitions_resumes_after_crash(tmp_path):
+    from magi_etl_spark.operators.maintenance import backfill_partitions
+
+    state = str(tmp_path / "backfill.json")
+    writes: list = []
+
+    def build(day):
+        return f"frame-{day}"
+
+    def write(df, day):
+        if day == "2024-01-03" and not any(w == day for w in writes):
+            writes.append(day)  # the write itself happened...
+            raise RuntimeError("executor lost")  # ...but the job died
+        writes.append(day)
+
+    days = ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"]
+    import pytest
+
+    with pytest.raises(RuntimeError):
+        backfill_partitions(days, build, write, state)
+    # days 1-2 are committed; day 3 crashed mid-write, day 4 never ran
+    ran = backfill_partitions(days, build, write, state)
+    assert ran == ["2024-01-03", "2024-01-04"]  # 3 re-runs (idempotent write)
+    assert writes.count("2024-01-01") == 1 and writes.count("2024-01-02") == 1
+    assert writes.count("2024-01-03") == 2  # crashed once, replayed once
+    # a third invocation is a no-op
+    assert backfill_partitions(days, build, write, state) == []
+
+
+def test_backfill_partitions_fresh_start_ignores_state(tmp_path):
+    from magi_etl_spark.operators.maintenance import backfill_partitions
+
+    state = str(tmp_path / "bf.json")
+    ran1 = backfill_partitions([1, 2], lambda k: k, lambda df, k: None, state)
+    assert ran1 == [1, 2]
+    # resume=False re-executes everything (a deliberate full rebuild)
+    ran2 = backfill_partitions(
+        [1, 2], lambda k: k, lambda df, k: None, state, resume=False
+    )
+    assert ran2 == [1, 2]
