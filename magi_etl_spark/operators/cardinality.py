@@ -29,27 +29,17 @@ def _key_expr(cols: list[str]):
     return F.concat_ws("", *[F.col(c).cast("string") for c in cols])
 
 
-def estimate_join_rows(
+def estimate_frame(
     a: DataFrame,
     b: DataFrame,
     on: list[str],
     fraction: float = 0.05,
     seed: str = "joinest",
-) -> dict:
-    """Estimate ``a JOIN b ON on`` (inner) output size from a
-    deterministic hash sample of the join-key space.  One filtered
-    aggregate per side over the sampled keys, one small histogram join —
-    never the real join.  Returns::
-
-        {"estimated_rows": float,   # unbiased key-sample estimate
-         "sampled_keys": int,       # matched keys in the sample
-         "max_key_pairs": int,      # largest single-key pair count seen
-         "fraction": float}
-
-    ``max_key_pairs`` (scaled by nothing — it is an observed per-key
-    value) is the skew alarm: one key producing millions of pairs calls
-    for ``salted_join`` or a pre-aggregation, whatever the total says.
-    NULL keys never match in SQL joins and are excluded."""
+) -> DataFrame:
+    """The join-size estimate as a ONE-ROW DataFrame (``estimated_rows,
+    sampled_keys, max_key_pairs``) — one filtered aggregate per side
+    over the sampled keys, one small histogram join; never the real
+    join.  NULL keys never match in SQL joins and are excluded."""
     if not 0.0 < fraction <= 1.0:
         raise ValueError(f"fraction must be in (0, 1], got {fraction}")
     thr = F.lit(frac_threshold_hex(fraction))
@@ -63,21 +53,44 @@ def estimate_join_rows(
 
     ha = side_hist(a, "_na")
     hb = side_hist(b, "_nb")
-    row = (
+    return (
         ha.join(hb, on)
         .select((F.col("_na") * F.col("_nb")).alias("_pairs"))
         .agg(
-            F.sum("_pairs").alias("_total"),
-            F.count(F.lit(1)).alias("_keys"),
-            F.max("_pairs").alias("_max"),
+            (
+                F.coalesce(F.sum("_pairs"), F.lit(0)).cast("double")
+                / F.lit(float(fraction))
+            ).alias("estimated_rows"),
+            F.count(F.lit(1)).alias("sampled_keys"),
+            F.coalesce(F.max("_pairs"), F.lit(0)).alias("max_key_pairs"),
         )
-        .first()
     )
-    total = row["_total"] or 0
+
+
+def estimate_join_rows(
+    a: DataFrame,
+    b: DataFrame,
+    on: list[str],
+    fraction: float = 0.05,
+    seed: str = "joinest",
+) -> dict:
+    """Estimate ``a JOIN b ON on`` (inner) output size from a
+    deterministic hash sample of the join-key space (see
+    :func:`estimate_frame` for the plan shape).  Returns::
+
+        {"estimated_rows": float,   # unbiased key-sample estimate
+         "sampled_keys": int,       # matched keys in the sample
+         "max_key_pairs": int,      # largest single-key pair count seen
+         "fraction": float}
+
+    ``max_key_pairs`` (scaled by nothing — it is an observed per-key
+    value) is the skew alarm: one key producing millions of pairs calls
+    for ``salted_join`` or a pre-aggregation, whatever the total says."""
+    row = estimate_frame(a, b, on, fraction, seed).first()
     return {
-        "estimated_rows": float(total) / fraction,
-        "sampled_keys": int(row["_keys"] or 0),
-        "max_key_pairs": int(row["_max"] or 0),
+        "estimated_rows": float(row["estimated_rows"]),
+        "sampled_keys": int(row["sampled_keys"]),
+        "max_key_pairs": int(row["max_key_pairs"]),
         "fraction": fraction,
     }
 

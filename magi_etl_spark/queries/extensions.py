@@ -1,0 +1,621 @@
+"""STAGED r5 gate queries over the round-4 operator extensions.
+
+These are fully-formed gate entries — Spark program + DuckDB oracle,
+column-aligned — kept in a SEPARATE registry (``EXT_QUERIES`` /
+``EXT_ORACLE``) that `__spark_entry__.queries()` does NOT include yet:
+the r4 driver window is full and pre-committed, and the gate-window
+invariant test correctly refuses never-verified queries outside it.
+At the r5 rotation these move into the main registry verbatim (merge
+the dicts, front-load the names in ``_PRIORITY`` per rotation rule 1).
+
+Until then `tests/test_extension_queries.py` runs the SAME DuckDB
+comparison the driver runs (tests/oracle_harness.py) over every entry
+at sf0.001, so the staging surface carries hash-level correctness
+evidence from day one.
+
+Non-SQL-expressible entries (iterative label propagation inside
+``semantic_dedup``; numpy Lloyd training inside PQ) register without
+an oracle — the driver's documented rows-only path — but their tests
+still pin exact expected invariants.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magi_etl_spark.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+EXT_QUERIES: dict[str, QueryFn] = {}
+EXT_ORACLE: dict[str, str] = {}
+
+
+def ext_query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        EXT_QUERIES[name] = fn
+        if oracle is not None:
+            EXT_ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+@ext_query(
+    "q95_salted_hot_join",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY 1
+    """,
+)
+def q95_salted_hot_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key join through the explicit salt spread: every event user
+    maps to a customer, so each customer key carries ~N/150 events —
+    the salted form keeps the result identical while the physical join
+    key widens to (key, salt) and each hot key occupies 8 partitions
+    (plan-asserted in tests/test_plans.py)."""
+    from magi_etl_spark.operators.joins import salted_join
+
+    e = load_table(spark, sf_dir, "events")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(e, c, ["user_id"], salt_buckets=8)
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+@ext_query(
+    "q96_fuzzy_linkage",
+    oracle="""
+    WITH dict AS (SELECT DISTINCT p_name AS dict_name FROM part),
+    l AS (
+        SELECT p_partkey, p_name,
+               substr(lower(trim(p_name)), 1, 4) AS blk
+        FROM part WHERE p_partkey % 5 = 0
+    ),
+    r AS (SELECT dict_name, substr(lower(trim(dict_name)), 1, 4) AS blk
+          FROM dict)
+    SELECT l.p_partkey, l.p_name, r.dict_name,
+           CAST(levenshtein(l.p_name, r.dict_name) AS INTEGER)
+               AS edit_distance
+    FROM l JOIN r USING (blk)
+    WHERE levenshtein(l.p_name, r.dict_name) <= 3
+    """,
+)
+def q96_fuzzy_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance linkage of part rows against the distinct
+    part-name dictionary: candidates share a 4-char case-folded prefix
+    block (one shuffle on the block key, never all-pairs); Spark's
+    thresholded ``levenshtein(l, r, 3)`` short-circuits the DP scan,
+    and its -1 overflow sentinel filters to exactly the oracle's
+    ``levenshtein <= 3`` set."""
+    from magi_etl_spark.operators.joins import fuzzy_join, prefix_block
+
+    p = load_table(spark, sf_dir, "part")
+    left = p.select("p_partkey", "p_name").where(F.col("p_partkey") % 5 == 0)
+    names = p.select(F.col("p_name").alias("dict_name")).distinct()
+    out = fuzzy_join(
+        left,
+        names,
+        prefix_block("p_name", 4),
+        prefix_block("dict_name", 4),
+        "p_name",
+        "dict_name",
+        max_distance=3,
+    )
+    return out.select(
+        "p_partkey",
+        "p_name",
+        "dict_name",
+        F.col("edit_distance").cast("int").alias("edit_distance"),
+    )
+
+
+@ext_query(
+    "q97_snm_pairs",
+    oracle="""
+    WITH ranked AS (
+        SELECT c_custkey AS id, c_name AS key,
+               ROW_NUMBER() OVER (ORDER BY c_name, c_custkey) AS rank
+        FROM customer
+    )
+    SELECT a.id AS id_a, a.key AS key_a, CAST(a.rank AS BIGINT) AS rank_a,
+           b.id AS id_b, b.key AS key_b, CAST(b.rank AS BIGINT) AS rank_b
+    FROM ranked a JOIN ranked b
+      ON b.rank > a.rank AND b.rank - a.rank <= 3
+    """,
+)
+def q97_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood candidate pairs over customer names, window
+    3: every pair within three positions of the global (name, id) sort
+    — the oracle's one ROW_NUMBER window is the single-partition trap
+    this operator exists to avoid (range-partitioned two-pass rank +
+    adjacent-bucket self-join; N*w candidate ceiling)."""
+    from magi_etl_spark.operators.joins import sorted_neighborhood_pairs
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("cid"), "c_name"
+    )
+    out = sorted_neighborhood_pairs(c, "cid", F.col("c_name"), window=3)
+    return out.select(
+        F.col("id_a"),
+        F.col("key_a"),
+        F.col("rank_a").cast("long").alias("rank_a"),
+        F.col("id_b"),
+        F.col("key_b"),
+        F.col("rank_b").cast("long").alias("rank_b"),
+    )
+
+
+@ext_query(
+    "q98_rrf_fusion",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS t
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, len(t) AS dl,
+               len(list_filter(t, x -> x = 'join')) AS tf_0,
+               len(list_filter(t, x -> x = 'vector')) AS tf_1
+        FROM toks
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl,
+               COUNT(CASE WHEN tf_0 > 0 THEN 1 END) AS df_0,
+               COUNT(CASE WHEN tf_1 > 0 THEN 1 END) AS df_1
+        FROM base
+    ),
+    bm AS (
+        SELECT doc_id,
+               ln(1.0 + (s.n_docs - s.df_0 + 0.5) / (s.df_0 + 0.5))
+                 * (b.tf_0 * 2.2 / (b.tf_0 + 1.2 * (1 - 0.75 + 0.75 * b.dl / s.avgdl)))
+               + ln(1.0 + (s.n_docs - s.df_1 + 0.5) / (s.df_1 + 0.5))
+                 * (b.tf_1 * 2.2 / (b.tf_1 + 1.2 * (1 - 0.75 + 0.75 * b.dl / s.avgdl)))
+                   AS score
+        FROM base b, stats s WHERE b.tf_0 + b.tf_1 > 0
+    ),
+    bm_rank AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS rank
+        FROM bm ORDER BY score DESC, doc_id LIMIT 20
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+        SELECT e.vec_id AS doc_id,
+               list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                CAST(q.qv AS DOUBLE[]))
+               / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])))
+                  * sqrt(list_dot_product(CAST(q.qv AS DOUBLE[]),
+                                          CAST(q.qv AS DOUBLE[])))) AS score
+        FROM embeddings e, q WHERE e.vec_id <> 0
+    ),
+    cos_rank AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY round(score, 6) DESC, doc_id)
+            AS rank
+        FROM cos ORDER BY round(score, 6) DESC, doc_id LIMIT 20
+    ),
+    unioned AS (
+        SELECT doc_id, rank FROM bm_rank
+        UNION ALL SELECT doc_id, rank FROM cos_rank
+    )
+    SELECT doc_id,
+           ROUND(SUM(1.0 / (60.0 + rank)), 6) AS rrf_score,
+           CAST(COUNT(*) AS BIGINT) AS n_lists,
+           CAST(MIN(rank) AS BIGINT) AS best_rank
+    FROM unioned GROUP BY doc_id
+    """,
+)
+def q98_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-20 for {join, vector} fused with the
+    embedding-cosine top-20 for query vector 0 by reciprocal rank (the
+    doc/vec id spaces coincide in the corpus).  Rank keys match the
+    established q88/q27 determinism rules (score desc, id asc; cosine
+    rounded to 6 dp before ranking)."""
+    from magi_etl_spark.operators.ranking import bm25_scores, rrf_fuse
+    from magi_etl_spark.operators.similarity import cosine_topk
+
+    d = load_table(spark, sf_dir, "documents")
+    em = load_table(spark, sf_dir, "embeddings")
+    bm = (
+        bm25_scores(d, ["join", "vector"])
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(20)
+        .select("doc_id", "score")
+    )
+    cos = (
+        cosine_topk(em, em.where(F.col("vec_id") == 0), k=20)
+        .select(F.col("vec_id").alias("doc_id"), F.col("score"))
+    )
+    fused = rrf_fuse(
+        {"bm25": bm, "cosine": cos}, id_col="doc_id", score_col="score", k=60
+    )
+    return fused.select(
+        "doc_id",
+        F.round("rrf_score", 6).alias("rrf_score"),
+        "n_lists",
+        F.col("best_rank").cast("long").alias("best_rank"),
+    )
+
+
+@ext_query(
+    "q99_temperature_mix",
+    oracle="""
+    WITH counts AS (
+        SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    z AS (
+        SELECT list_sum(list(pow(n, 0.5) ORDER BY lang)) AS z FROM counts
+    ),
+    w AS (
+        SELECT c.lang,
+               (t.total * (pow(c.n, 0.5) / z.z)) / c.n AS wgt
+        FROM counts c, tot t, z
+    ),
+    thr AS (
+        SELECT lang, CAST(floor(wgt) AS BIGINT) AS whole,
+               printf('%08x', CAST((wgt - floor(wgt)) * 4294967296 AS BIGINT))
+                   AS thr
+        FROM w
+    ),
+    d AS (
+        SELECT doc_id, lang,
+               substr(md5(concat('tmix|', CAST(doc_id AS VARCHAR))), 1, 8) AS u
+        FROM documents
+    ),
+    n AS (
+        SELECT d.doc_id, d.lang,
+               t.whole + CASE WHEN d.u < t.thr THEN 1 ELSE 0 END AS copies
+        FROM d JOIN thr t USING (lang)
+    )
+    SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS BIGINT) AS copy_idx
+    FROM n WHERE copies > 0
+    """,
+)
+def q99_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced corpus at alpha=0.5: per-language weights
+    derived from the observed counts (p_lang ∝ n^0.5, expected output
+    size = input size), realized by the deterministic md5 draw — the
+    identical weight arithmetic and hash expression run in the oracle,
+    so the SAMPLE is verified row for row, not just its size."""
+    from magi_etl_spark.operators.sampling import temperature_mix
+
+    d = load_table(spark, sf_dir, "documents")
+    mixed = temperature_mix(d, "lang", "doc_id", alpha=0.5, seed="tmix")
+    return mixed.select(
+        "doc_id", "lang", F.col("copy_idx").cast("long").alias("copy_idx")
+    )
+
+
+@ext_query(
+    "q100_redact_pii",
+    oracle=r"""
+    SELECT doc_id,
+           regexp_replace(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+',
+                       '[EMAIL]', 'g'),
+                   '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '[IP]', 'g'),
+               '[0-9][0-9][0-9]+', '[NUM]', 'g') AS redacted,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def q100_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction over the corpus — the acting half of the q70 scan:
+    the same engine-portable regexes applied most-specific-first so an
+    address is replaced whole, never hollowed into [NUM] fragments.
+    Map-only plan (DuckDB needs the explicit 'g' flag; Spark's
+    regexp_replace is global by default)."""
+    from magi_etl_spark.operators.text import redact_pii
+
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        redact_pii(F.col("text")).alias("redacted"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@ext_query(
+    "q101_expectation_suite",
+    oracle="""
+    SELECT 'fk_customer_mod3' AS check, CAST(COUNT(*) AS BIGINT) AS violations
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey AND c.c_custkey % 3 = 0)
+    UNION ALL
+    SELECT 'status_accepted', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderstatus NOT IN ('O', 'F') OR o_orderstatus IS NULL
+    UNION ALL
+    SELECT 'price_range', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_totalprice > 150000
+    UNION ALL
+    SELECT 'custkey_unique', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_custkey IN (
+        SELECT o_custkey FROM orders GROUP BY o_custkey HAVING COUNT(*) > 1)
+    """,
+)
+def q101_expectation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations as data: four declarative checks over
+    orders (dangling FK against the mod-3 customer subset, accepted
+    status set, price ceiling, key uniqueness), each one lazy
+    violations-DataFrame reduced to a count and unioned — no driver-side
+    row iteration, every check a single keyed pass."""
+    from magi_etl_spark.operators.expectations import (
+        expect_accepted_values,
+        expect_in_range,
+        expect_referential,
+        expect_unique,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") % 3 == 0)
+    checks = {
+        "fk_customer_mod3": expect_referential(
+            o, c.select(F.col("c_custkey").alias("o_custkey")), ["o_custkey"]
+        ),
+        "status_accepted": expect_accepted_values(o, "o_orderstatus", ["O", "F"]),
+        "price_range": expect_in_range(o, "o_totalprice", hi=150000),
+        "custkey_unique": expect_unique(o, ["o_custkey"]),
+    }
+    parts = [
+        v.agg(F.lit(name).alias("check"), F.count(F.lit(1)).alias("violations"))
+        for name, v in checks.items()
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+@ext_query(
+    "q102_incremental_extract",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events WHERE ts > TIMESTAMP '2024-01-20 00:00:00'
+    GROUP BY 1
+    """,
+)
+def q102_incremental_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """High-watermark incremental extraction: a stored watermark of
+    2024-01-20 filters the extract to strictly-newer rows (a plain
+    Column predicate, so it prunes partitions/row groups at rest), and
+    the commit-after-write callback advances the stored watermark to
+    the batch max — exercised end to end here, then the daily rollup of
+    the extracted window is verified against the oracle."""
+    from magi_etl_spark.operators.maintenance import incremental_read
+
+    state_dir = tempfile.mkdtemp(prefix="magi_wm_")
+    state = os.path.join(state_dir, "wm.json")
+    with open(state, "w") as fh:
+        json.dump({"watermark": "2024-01-20 00:00:00"}, fh)
+    df, commit = incremental_read(
+        lambda: load_table(spark, sf_dir, "events"), "ts", state
+    )
+    commit()  # crash-safe contract: watermark only moves after success
+    with open(state) as fh:
+        advanced = json.load(fh)["watermark"]
+    assert advanced > "2024-01-20"  # the commit really advanced it
+    return df.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
+
+
+@ext_query(
+    "q103_winsorize",
+    oracle="""
+    WITH b AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS plo,
+               quantile_cont(value, 0.95) AS phi
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(LEAST(GREATEST(e.value, b.plo), b.phi)), 6) AS sum_w,
+           ROUND(MIN(b.plo), 6) AS p05,
+           ROUND(MAX(b.phi), 6) AS p95
+    FROM events e JOIN b USING (event_type)
+    GROUP BY 1
+    """,
+)
+def q103_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type winsorization at the exact [p5, p95] band: one
+    broadcast bounds join (two numbers per group), clip, reaggregate.
+    Spark's ``percentile`` and DuckDB's ``quantile_cont`` share the
+    linear-interpolation definition, so the clipped sums agree at the
+    6-dp grid."""
+    from magi_etl_spark.operators.stats import winsorize
+
+    e = load_table(spark, sf_dir, "events")
+    w = winsorize(e, ["event_type"], "value", lo=0.05, hi=0.95)
+    # re-derive the bounds for the report columns (broadcast, tiny)
+    from magi_etl_spark.operators.stats import group_percentile_bounds
+
+    b = group_percentile_bounds(e, ["event_type"], "value", 0.05, 0.95)
+    return (
+        w.join(F.broadcast(b), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value_w"), 6).alias("sum_w"),
+            F.round(F.min("_plo"), 6).alias("p05"),
+            F.round(F.max("_phi"), 6).alias("p95"),
+        )
+    )
+
+
+@ext_query(
+    "q105_paragraph_dedup",
+    oracle=r"""
+    WITH docs AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN concat(text, chr(10), chr(10),
+                                'Subscribe to our newsletter today!')
+                    ELSE text END AS text
+        FROM documents
+    ),
+    arr AS (
+        SELECT doc_id, regexp_split_to_array(text, '\n\s*\n') AS paras
+        FROM docs
+    ),
+    p AS (
+        SELECT a.doc_id, i AS pos, a.paras[i] AS para,
+               trim(regexp_replace(lower(
+                   regexp_replace(a.paras[i], '[\x00-\x08\x0b-\x1f\x7f]', '', 'g')),
+                   '\s+', ' ', 'g')) AS norm
+        FROM arr a, unnest(range(1, len(a.paras) + 1)) AS t(i)
+    ),
+    kept AS (SELECT * FROM p WHERE norm <> ''),
+    boiler AS (
+        SELECT norm FROM kept GROUP BY norm
+        HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    flagged AS (
+        SELECT k.doc_id, k.pos, k.para,
+               (b.norm IS NOT NULL) AS is_boiler
+        FROM kept k LEFT JOIN boiler b USING (norm)
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_paragraphs,
+               CAST(COUNT(CASE WHEN is_boiler THEN 1 END) AS BIGINT)
+                   AS n_removed,
+               coalesce(string_agg(CASE WHEN NOT is_boiler THEN para END,
+                                   chr(10) || chr(10) ORDER BY pos), '')
+                   AS text_dedup
+        FROM flagged GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(r.text_dedup, '') AS text_dedup,
+           coalesce(r.n_paragraphs, 0) AS n_paragraphs,
+           coalesce(r.n_removed, 0) AS n_removed
+    FROM docs d LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q105_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus boilerplate removal: every third document gains a shared
+    newsletter footer paragraph (the corpus ships single-paragraph
+    texts), and paragraph_dedup must strip exactly those footers — plus
+    any text that repeats verbatim across documents — while original
+    paragraph order and all-boilerplate documents survive as rows."""
+    from magi_etl_spark.operators.text import paragraph_dedup
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit("\n\nSubscribe to our newsletter today!"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return paragraph_dedup(d, "doc_id", "text")
+
+
+@ext_query(
+    "q107_join_estimate",
+    oracle="""
+    WITH la AS (
+        SELECT o_custkey AS k, COUNT(*) AS na FROM orders
+        WHERE o_custkey IS NOT NULL
+          AND substr(md5(concat('joinest|', CAST(o_custkey AS VARCHAR))), 1, 8)
+              < '33333333'
+        GROUP BY 1
+    ),
+    lb AS (
+        SELECT user_id AS k, COUNT(*) AS nb FROM events
+        WHERE user_id IS NOT NULL
+          AND substr(md5(concat('joinest|', CAST(user_id AS VARCHAR))), 1, 8)
+              < '33333333'
+        GROUP BY 1
+    )
+    SELECT ROUND(CAST(SUM(na * nb) AS DOUBLE) / 0.2, 6) AS estimated_rows,
+           CAST(COUNT(*) AS BIGINT) AS sampled_keys,
+           CAST(MAX(na * nb) AS BIGINT) AS max_key_pairs
+    FROM la JOIN lb USING (k)
+    """,
+)
+def q107_join_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight join pricing: the orders⋈events customer-key join is
+    estimated from a 20% deterministic sample of the KEY SPACE (row
+    sampling would underestimate pair counts quadratically; the same
+    hash predicate keeps both sides of a key together, so the estimate
+    is unbiased at 1/fraction).  The md5 draw and the 0x33333333
+    threshold are reproduced literally in the oracle."""
+    from magi_etl_spark.operators.cardinality import estimate_frame
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("k")
+    )
+    e = load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))
+    est = estimate_frame(o, e, ["k"], fraction=0.2, seed="joinest")
+    return est.select(
+        F.round("estimated_rows", 6).alias("estimated_rows"),
+        F.col("sampled_keys").cast("long").alias("sampled_keys"),
+        F.col("max_key_pairs").cast("long").alias("max_key_pairs"),
+    )
+
+
+# --- rows-only entries (non-SQL-expressible) -------------------------------
+
+
+@ext_query("q104_semantic_dedup")
+def q104_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup kept-set over the embeddings corpus (hash-init IVF,
+    threshold 0.99): iterative min-label propagation has no single-pass
+    SQL equivalent, so this is a rows-only gate entry — the pytest
+    suite pins exact representative invariants instead
+    (tests/test_semantic_dedup.py, tests/test_extension_queries.py)."""
+    from magi_etl_spark.operators.similarity import semantic_dedup
+
+    em = load_table(spark, sf_dir, "embeddings")
+    out = semantic_dedup(em, threshold=0.99, n_lists=8, init="hash", seed=7)
+    return out.select(
+        "vec_id",
+        F.col("list_id").cast("long").alias("list_id"),
+        "rep_id",
+        "kept",
+    )
+
+
+@ext_query("q106_pq_refine_topk")
+def q106_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-compressed ANN with exact refine for query vectors 0-2:
+    codebook training is sampled Lloyd k-means (numpy on a bounded
+    driver-side sample — deterministic, but not SQL-expressible), so
+    this is a rows-only gate entry; the recall bar against the exact
+    scan lives in tests/test_pq.py."""
+    from magi_etl_spark.operators.pq import pq_encode, pq_topk_rerank, pq_train
+
+    em = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    books = pq_train(em, m=16, k=16, seed=7)
+    enc = pq_encode(em, books)
+    q = em.where(F.col("vec_id") < 3)
+    return pq_topk_rerank(enc, books, q, em, k=10, rerank=40)
