@@ -19,6 +19,7 @@ holds counts, never rows), then project + filter + bounded explode.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from magi_etl_spark.operators.mixing import weighted_mix
 
@@ -42,6 +43,35 @@ def temperature_weights(
     t = total if target_rows is None else target_rows
     z = sum(n**alpha for n in counts.values())
     return {d: t * (n**alpha / z) / n for d, n in counts.items()}
+
+
+def sample_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    n: int,
+    seed: str = "grpsample",
+) -> DataFrame:
+    """Exactly ``min(n, group_size)`` rows per group, chosen by hash
+    order — the deterministic distributed replacement for per-group
+    reservoir sampling (same stability contract as the rest of this
+    module: pure function of (seed, key), so re-runs, retries, and
+    repartitioning cannot change the sample).  One window shuffle on
+    the group key; complements the FRACTION-based stratified sampler
+    by guaranteeing exact per-group counts."""
+    from pyspark.sql import Window as W
+
+    from magi_etl_spark.operators.mixing import uniform_hex
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = uniform_hex(F.col(key_col), seed)
+    w = W.partitionBy(*group_cols).orderBy(u.asc(), F.col(key_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_rn")
+    )
 
 
 def temperature_mix(

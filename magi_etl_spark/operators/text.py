@@ -172,6 +172,50 @@ PII_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+def unigram_logprob_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Language-model quality proxy: mean per-token unigram log
+    probability under the corpus's OWN empirical distribution — the
+    cheap stand-in for the KenLM-perplexity filters pretraining
+    pipelines threshold on (gibberish and boilerplate-free natural text
+    separate cleanly; extremely low scores mean rare-token soup).
+
+    Add-``smoothing`` estimates: ``p(w) = (c_w + s) / (N + s·V)``.
+
+    Scale shape: one explode → one token-count aggregate (map-side
+    combined; the vocabulary frame is |V| rows), token stream joined
+    back to the vocabulary on the token key, one per-document mean —
+    every stage keyed, nothing collected.  Output: ``id_col, n_tokens,
+    mean_logprob`` (empty documents are dropped — no tokens, no
+    distribution)."""
+    toks = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("tok")
+    )
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = vocab.agg(
+        F.sum("c").alias("n_total"), F.count(F.lit(1)).alias("v_size")
+    )
+    scored = (
+        toks.join(vocab, "tok")
+        .join(F.broadcast(totals))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("c") + F.lit(smoothing))
+                / (F.col("n_total") + F.lit(smoothing) * F.col("v_size"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.avg("_lp").alias("mean_logprob"),
+    )
+
+
 def paragraph_dedup(
     df: DataFrame,
     id_col: str,

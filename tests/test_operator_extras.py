@@ -278,3 +278,62 @@ def test_sorted_neighborhood_feeds_edit_distance(spark):
     got = {(r["id_a"], r["id_b"]) for r in linked.collect()}
     assert ("a", "b") in got or ("b", "a") in got
     assert all("c" not in p for p in got)
+
+
+# --- sample_n_per_group ----------------------------------------------------
+
+
+def test_sample_n_per_group_exact_counts_and_stability(spark):
+    from magi_etl_spark.operators.sampling import sample_n_per_group
+
+    rows = [(i, f"g{i % 5}") for i in range(200)] + [(1000, "tiny")]
+    df = spark.createDataFrame(rows, "id long, g string")
+    out = sample_n_per_group(df, ["g"], "id", n=7, seed="s1")
+    got = sorted((r["g"], r["id"]) for r in out.collect())
+    again = sorted(
+        (r["g"], r["id"])
+        for r in sample_n_per_group(df.repartition(13), ["g"], "id", 7, "s1").collect()
+    )
+    assert got == again  # partitioning-independent
+    from collections import Counter
+
+    per_g = Counter(g for g, _ in got)
+    assert all(per_g[f"g{k}"] == 7 for k in range(5))  # exact n
+    assert per_g["tiny"] == 1  # short group keeps all rows
+    # a different seed draws a different sample
+    other = sorted(
+        (r["g"], r["id"])
+        for r in sample_n_per_group(df, ["g"], "id", 7, "s2").collect()
+    )
+    assert other != got
+
+
+# --- unigram_logprob_scores ------------------------------------------------
+
+
+def test_unigram_logprob_prefers_common_tokens(spark):
+    import math
+
+    from magi_etl_spark.operators.text import unigram_logprob_scores
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)] + [
+        (100, "zyzzyva qwerty flurble"),
+        (200, ""),  # empty: dropped
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in unigram_logprob_scores(df, "doc_id", "text").collect()}
+    assert 200 not in out
+    assert out[0]["n_tokens"] == 6
+    # natural repeated text scores far above the rare-token soup
+    assert out[0]["mean_logprob"] > out[100]["mean_logprob"]
+    # hand-check one probability: 'the' appears 20 times of 63 tokens,
+    # vocab = 8 distinct; p = (20+0.5)/(63+0.5*8)
+    # doc 0: tokens the(2) cat sat on mat -> mean of their logprobs
+    import collections
+
+    corpus = [t for _, s in rows for t in s.lower().split() if t]
+    counts = collections.Counter(corpus)
+    n, v = len(corpus), len(counts)
+    lp = lambda w: math.log((counts[w] + 0.5) / (n + 0.5 * v))
+    want = sum(lp(w) for w in "the cat sat on the mat".split()) / 6
+    assert out[0]["mean_logprob"] == pytest.approx(want)
