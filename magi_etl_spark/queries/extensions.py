@@ -619,3 +619,70 @@ def q106_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = pq_encode(em, books)
     q = em.where(F.col("vec_id") < 3)
     return pq_topk_rerank(enc, books, q, em, k=10, rerank=40)
+
+
+@ext_query(
+    "q108_group_sample_n",
+    oracle="""
+    WITH r AS (
+        SELECT event_id, event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS value_cents,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type
+                   ORDER BY substr(md5(concat('grpsample|',
+                                              CAST(event_id AS VARCHAR))), 1, 8),
+                            event_id) AS rn
+        FROM events
+    )
+    SELECT event_id, event_type, value_cents FROM r WHERE rn <= 50
+    """,
+)
+def q108_group_sample_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly 50 events per event type, drawn in deterministic hash
+    order — per-group reservoir sampling without randomness state, so
+    the oracle reproduces the SAMPLE itself (same md5 draw), not just
+    its size.  One window shuffle on the (5-value) group key."""
+    from magi_etl_spark.operators.sampling import sample_n_per_group
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("value_cents"),
+    )
+    return sample_n_per_group(e, ["event_type"], "event_id", n=50)
+
+
+@ext_query(
+    "q109_unigram_logprob",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> x <> '')) AS tok
+        FROM documents
+    ),
+    vocab AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(c) AS n_total, COUNT(*) AS v_size FROM vocab)
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(ln((v.c + 0.5) / (x.n_total + 0.5 * x.v_size))), 6)
+               AS mean_logprob
+    FROM toks t JOIN vocab v USING (tok), tot x
+    GROUP BY t.doc_id
+    """,
+)
+def q109_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained unigram LM quality score per document (the
+    KenLM-perplexity filter proxy): smoothed token log-probabilities
+    averaged per document, with the vocabulary built from the same
+    corpus in the same pass.  Every stage keyed; the only broadcast is
+    the 1-row (N, |V|) totals frame."""
+    from magi_etl_spark.operators.text import unigram_logprob_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    out = unigram_logprob_scores(d, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round("mean_logprob", 6).alias("mean_logprob"),
+    )
