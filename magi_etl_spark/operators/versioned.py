@@ -1,0 +1,130 @@
+"""Manifest-based versioned parquet tables: atomic commits, time-travel
+reads, and O(1) current-version resolution — a deliberately minimal
+subset of the Delta/Iceberg contract for plain-parquet environments.
+
+Why manifests matter at 100 TB: a directory-listing read is an
+object-store metadata scan that grows with file count and races
+concurrent writers; a manifest read is ONE small JSON file naming the
+exact data files of a version.  Readers never see a partial commit
+(the manifest is written to a temp name and atomically renamed), old
+versions stay readable until vacuumed, and a crashed writer leaves at
+most an orphaned data directory that the next ``vacuum`` removes —
+never a corrupt table.
+
+Layout::
+
+    table/
+      _versions/v000001.json   # {"version", "files", "n_files", "schema"}
+      _latest                  # text file: highest committed version
+      data/v000001/...parquet
+
+On a real cluster prefer Delta/Iceberg — this is the dependency-free
+fallback with the same read semantics (reference S13's cache-with-TTL
+is the closest analogue: ``cache.py`` stores one result; this stores
+every version).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _vdir(path: str) -> str:
+    return os.path.join(path, "_versions")
+
+
+def _latest_path(path: str) -> str:
+    return os.path.join(path, "_latest")
+
+
+def current_version(path: str) -> int | None:
+    """Highest committed version, or None for an empty/new table."""
+    p = _latest_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as fh:
+        return int(fh.read().strip())
+
+
+def write_version(df: DataFrame, path: str) -> int:
+    """Commit ``df`` as the next version of the table at ``path`` and
+    return its number.  The data lands in a version-private directory,
+    then ONE manifest write + ONE atomic rename publish it — a reader
+    can never observe a half-written version, and a writer crash before
+    the rename leaves the previous version current."""
+    prev = current_version(path)
+    v = (prev or 0) + 1
+    data_dir = os.path.join(path, "data", f"v{v:06d}")
+    df.write.mode("overwrite").parquet(data_dir)
+    files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    os.makedirs(_vdir(path), exist_ok=True)
+    manifest = {
+        "version": v,
+        "files": files,
+        "n_files": len(files),
+        "schema": df.schema.json(),
+    }
+    mpath = os.path.join(_vdir(path), f"v{v:06d}.json")
+    with open(mpath + ".tmp", "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(mpath + ".tmp", mpath)
+    with open(_latest_path(path) + ".tmp", "w") as fh:
+        fh.write(str(v))
+    os.replace(_latest_path(path) + ".tmp", _latest_path(path))
+    return v
+
+
+def read_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a specific version (default: current) from its manifest —
+    the exact file list, no directory listing, no eventual-consistency
+    window."""
+    v = version if version is not None else current_version(path)
+    if v is None:
+        raise FileNotFoundError(f"no committed version at {path}")
+    mpath = os.path.join(_vdir(path), f"v{v:06d}.json")
+    if not os.path.exists(mpath):
+        raise FileNotFoundError(f"version {v} does not exist at {path}")
+    with open(mpath) as fh:
+        manifest = json.load(fh)
+    return spark.read.parquet(*manifest["files"])
+
+
+def list_versions(path: str) -> list[int]:
+    if not os.path.isdir(_vdir(path)):
+        return []
+    return sorted(
+        int(f[1:-5]) for f in os.listdir(_vdir(path)) if f.endswith(".json")
+    )
+
+
+def vacuum(path: str, keep_last: int = 2) -> list[int]:
+    """Drop manifests + data of all but the last ``keep_last`` versions
+    (and any orphaned data directories from crashed writers).  Returns
+    the removed version numbers.  Readers of a vacuumed version fail
+    loudly at manifest resolution — the same contract as Delta VACUUM
+    past the retention window."""
+    if keep_last < 1:
+        raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+    versions = list_versions(path)
+    drop = versions[:-keep_last] if keep_last < len(versions) else []
+    for v in drop:
+        os.remove(os.path.join(_vdir(path), f"v{v:06d}.json"))
+        shutil.rmtree(os.path.join(path, "data", f"v{v:06d}"), ignore_errors=True)
+    live = {f"v{v:06d}" for v in list_versions(path)}
+    data_root = os.path.join(path, "data")
+    if os.path.isdir(data_root):
+        for d in os.listdir(data_root):
+            if d not in live:  # orphan from a crashed pre-manifest writer
+                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+                # orphans have no version number; only report real versions
+    return drop
