@@ -16,9 +16,11 @@ Spark-first shape:
   same KMeans-free, fully order-deterministic strategy as
   ``ivf_index_sampled`` (reference FAISS accepts any coarse/sub
   quantizer).  Driver holds only M×K×(D/M) floats.
-- **encode**: per-subspace argmin is a pure array expression
-  (``array_sort`` of (d², code) structs — no crossJoin, no window, no
-  shuffle), identical in spirit to the IVF assignment.
+- **encode**: per-subspace argmin over the broadcast codebooks as an
+  Arrow-batched pandas UDF (no crossJoin, no window, no shuffle) —
+  the deliberate exception to the expressions-first rule, because the
+  expression form needs m×k interpreted higher-order lambdas per row
+  and measured ~1000× slower than the numpy broadcast at m=16,k=16.
 - **adc_topk**: the query side is collected (bounded query set, the
   same contract as ``cosine_topk``), its per-subspace distance tables
   are baked in as literal arrays and broadcast into codegen; the score
@@ -31,24 +33,13 @@ codes, and neighbors, so tests (and oracles) can pin exact outputs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from magi_etl_spark.functions.vectors import as_double
 from magi_etl_spark.operators.similarity import _farthest_point_select
-
-
-def _subvector(vec, start: int, length: int):
-    return F.slice(vec, start + 1, length)  # slice is 1-indexed
-
-
-def _sub_d2(vec_slice, centroid: list[float]):
-    lit = F.array(*[F.lit(float(x)) for x in centroid])
-    return F.aggregate(
-        F.zip_with(vec_slice, lit, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
 
 def pq_train(
@@ -71,8 +62,6 @@ def pq_train(
     sweeps pull centroids into the density; both stages are pure
     functions of (corpus, seed), so training is exactly reproducible.
     Returns ``codebooks[m][k][d/m]``."""
-    import numpy as np
-
     dim = len(
         df.select(as_double(F.col(vec_col)).alias("_v")).first()["_v"]
     )
@@ -113,23 +102,37 @@ def pq_encode(
     code_col: str = "codes",
 ) -> DataFrame:
     """``id_col, codes`` — per-subspace nearest-code ids as
-    ``array<int>``.  Pure narrow expressions: each subspace's argmin is
-    ``array_sort`` over (d², code) structs with a deterministic
-    (d², code) tie-break."""
+    ``array<int>``.
+
+    This is the one place in the PQ family where built-in expressions
+    genuinely lose: the expression form needs m×k higher-order
+    ``aggregate`` lambdas per row (interpreted, no codegen — measured
+    ~3.6 ms/vector at m=16,k=16), while the Arrow-batched pandas UDF
+    computes all subspace distances as one ``(batch, k, sub)`` numpy
+    broadcast per subspace (~micro-seconds/vector).  Ties break to the
+    LOWEST code id (numpy argmin takes the first minimum), matching the
+    (d², code) struct-sort tie-break of the expression form.  The
+    codebook rides into the executors as a closure constant — M×K×(D/M)
+    floats, kilobytes."""
+    from pyspark.sql.functions import pandas_udf
+
     m = len(codebooks)
     sub = len(codebooks[0][0])
-    v = as_double(F.col(vec_col))
-    codes = []
-    for j, book in enumerate(codebooks):
-        sl = _subvector(v, j * sub, sub)
-        cands = F.array(
-            *[
-                F.struct(_sub_d2(sl, c).alias("d2"), F.lit(i).alias("code"))
-                for i, c in enumerate(book)
-            ]
-        )
-        codes.append(F.array_sort(cands)[0]["code"])
-    return df.select(F.col(id_col), F.array(*codes).alias(code_col))
+    books = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    @pandas_udf("array<int>")
+    def encode(vecs: pd.Series) -> pd.Series:
+        x = np.asarray(vecs.tolist(), dtype=np.float64)
+        out = np.empty((len(x), m), dtype=np.int32)
+        for j in range(m):
+            p = x[:, j * sub : (j + 1) * sub]
+            d2 = ((p[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d2.argmin(axis=1)
+        return pd.Series(list(out))
+
+    return df.select(
+        F.col(id_col), encode(as_double(F.col(vec_col))).alias(code_col)
+    )
 
 
 def pq_adc_topk(
