@@ -134,6 +134,22 @@ def main() -> None:
         plans[name] = _plan_fingerprint(QUERIES[name](spark, sf_dir))
         print(f"# {name}: {timings[name]:.3f}s plan={plans[name]}", file=sys.stderr)
 
+    # staged r5 registry (queries/extensions.py): timed separately so the
+    # headline "queries"/"value" fields stay comparable round over round;
+    # these enter the headline set when they enter the gate registry
+    from magi_etl_spark.queries.extensions import EXT_QUERIES
+
+    staged: dict[str, float] = {}
+    for name, fn in EXT_QUERIES.items():
+        best = None
+        for _ in range(_RUNS):
+            t0 = time.perf_counter()
+            _materialize(fn(spark, sf_dir))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+        staged[name] = round(best, 3)
+        print(f"# staged {name}: {staged[name]:.3f}s", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -147,6 +163,8 @@ def main() -> None:
                 "load_avg_before": [round(x, 2) for x in load_before],
                 "load_avg_after": [round(x, 2) for x in os.getloadavg()],
                 "plan_fingerprints": plans,
+                "staged_queries": staged,
+                "staged_wall_sec": round(sum(staged.values()), 3),
             }
         )
     )
