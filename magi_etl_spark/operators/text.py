@@ -242,7 +242,11 @@ def paragraph_dedup(
     stays distributed end to end."""
     if min_repeats < 2:
         raise ValueError(f"min_repeats must be >= 2, got {min_repeats}")
-    paras = df.select(
+    from magi_etl_spark.functions import fan_out
+
+    # spread a narrow scan before the per-row split/normalize work —
+    # a small parquet file arrives as one task otherwise
+    paras = fan_out(df).select(
         F.col(id_col),
         F.posexplode(F.split(F.col(text_col), r"\n\s*\n")).alias("pos", "para"),
     )

@@ -185,6 +185,38 @@ def main() -> None:
         # family — the salted block join + small components absorb it
         return lambda: semantic_dedup(em, threshold=0.98, n_lists=8, seed=7)
 
+    def pq(em):
+        from magi_etl_spark.operators.pq import pq_encode, pq_train
+
+        # train is a bounded driver-side sample (size-invariant); encode
+        # is the scan-wide pandas-UDF pass being probed
+        def run():
+            books = pq_train(em, m=16, k=16, seed=7)
+            return pq_encode(em, books)
+
+        return run
+
+    def paradedup(d):
+        from magi_etl_spark.operators.text import paragraph_dedup
+
+        # replication makes every paragraph cross-document boilerplate,
+        # so the rebuild emits empty texts — the full explode/aggregate/
+        # join/rebuild path still runs at the replicated scale
+        def run():
+            d2 = d.withColumn(
+                "text",
+                F.when(
+                    F.col("doc_id") % 3 == 0,
+                    F.concat(
+                        F.col("text"),
+                        F.lit("\n\nSubscribe to our newsletter today!"),
+                    ),
+                ).otherwise(F.col("text")),
+            )
+            return paragraph_dedup(d2, "doc_id", "text")
+
+        return run
+
     def fuzzy(p):
         # linkage shape: N part rows against a FIXED 64-name dictionary —
         # candidates grow linearly with the big side
@@ -217,6 +249,8 @@ def main() -> None:
         ("salted_join", salted(events1), salted(eventsN)),
         ("fuzzy_linkage", fuzzy(part1), fuzzy(partN_op)),
         ("semantic_dedup", semdedup(emb1), semdedup(embN)),
+        ("pq_encode", pq(emb1), pq(embN)),
+        ("paragraph_dedup", paradedup(docs1), paradedup(docsN)),
     ):
         if only is not None and label not in only:
             continue
