@@ -82,6 +82,53 @@ def write_version(df: DataFrame, path: str) -> int:
     return v
 
 
+def append_version(
+    df: DataFrame, path: str, txn_id: str | None = None
+) -> int:
+    """Commit ``df`` as an APPEND: the new version's manifest lists the
+    previous version's files plus the new batch's — no rewrite of
+    existing data, so an append costs only the new rows (the Delta
+    append shape on plain parquet).
+
+    ``txn_id`` makes replays idempotent: if the latest committed
+    manifest already carries this transaction id, the append is a no-op
+    returning the current version — which turns a checkpoint-replayed
+    streaming micro-batch (same batch id, same data) into exactly-once
+    table semantics even though the batch itself ran twice."""
+    prev = current_version(path)
+    prev_files: list[str] = []
+    if prev is not None:
+        with open(os.path.join(_vdir(path), f"v{prev:06d}.json")) as fh:
+            m = json.load(fh)
+        if txn_id is not None and m.get("txn_id") == txn_id:
+            return prev  # replayed transaction: already committed
+        prev_files = m["files"]
+    v = (prev or 0) + 1
+    data_dir = os.path.join(path, "data", f"v{v:06d}")
+    df.write.mode("overwrite").parquet(data_dir)
+    new_files = sorted(
+        os.path.join(data_dir, f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    os.makedirs(_vdir(path), exist_ok=True)
+    manifest = {
+        "version": v,
+        "files": prev_files + new_files,
+        "n_files": len(prev_files) + len(new_files),
+        "schema": df.schema.json(),
+        "txn_id": txn_id,
+    }
+    mpath = os.path.join(_vdir(path), f"v{v:06d}.json")
+    with open(mpath + ".tmp", "w") as fh:
+        json.dump(manifest, fh)
+    os.replace(mpath + ".tmp", mpath)
+    with open(_latest_path(path) + ".tmp", "w") as fh:
+        fh.write(str(v))
+    os.replace(_latest_path(path) + ".tmp", _latest_path(path))
+    return v
+
+
 def read_version(
     spark: SparkSession, path: str, version: int | None = None
 ) -> DataFrame:
@@ -119,12 +166,18 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     drop = versions[:-keep_last] if keep_last < len(versions) else []
     for v in drop:
         os.remove(os.path.join(_vdir(path), f"v{v:06d}.json"))
-        shutil.rmtree(os.path.join(path, "data", f"v{v:06d}"), ignore_errors=True)
-    live = {f"v{v:06d}" for v in list_versions(path)}
+    # appends share data directories across versions, so deletion is by
+    # REFERENCE, not by version number: a data directory survives while
+    # any live manifest lists a file inside it (orphans from crashed
+    # pre-manifest writers have no references and go too)
+    referenced: set[str] = set()
+    for v in list_versions(path):
+        with open(os.path.join(_vdir(path), f"v{v:06d}.json")) as fh:
+            for f in json.load(fh)["files"]:
+                referenced.add(os.path.basename(os.path.dirname(f)))
     data_root = os.path.join(path, "data")
     if os.path.isdir(data_root):
         for d in os.listdir(data_root):
-            if d not in live:  # orphan from a crashed pre-manifest writer
+            if d not in referenced:
                 shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
-                # orphans have no version number; only report real versions
     return drop

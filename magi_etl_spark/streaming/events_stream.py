@@ -210,6 +210,36 @@ def run_foreach_batch_upsert(
     q.awaitTermination()
 
 
+def run_foreach_batch_versioned(
+    stream_df: DataFrame,
+    table_path: str,
+    checkpoint_path: str,
+) -> None:
+    """Stream → versioned table: every micro-batch commits one APPEND
+    version (``operators/versioned.py``), so downstream readers get
+    atomic, time-travelable snapshots of the stream — a reader pinned
+    to version N never sees later batches, and the current-version
+    pointer moves with one rename per batch.
+
+    Exactly-once without Delta: the batch id is recorded as the
+    manifest's transaction id, so a checkpoint-replayed batch (crash
+    between commit and checkpoint advance) is recognized and skipped —
+    the append is idempotent even though the batch function ran
+    twice."""
+    from magi_etl_spark.operators.versioned import append_version
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        append_version(batch_df, table_path, txn_id=f"batch-{batch_id}")
+
+    q = (
+        stream_df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def run_foreach_batch_cdc(
     stream_df: DataFrame,
     target_path: str,

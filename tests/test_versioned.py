@@ -73,3 +73,69 @@ def test_vacuum_retention_and_orphans(spark, tmp_path):
     assert not os.path.exists(os.path.join(t, "data", "orphan"))
     with pytest.raises(ValueError):
         vacuum(t, keep_last=0)
+
+
+def test_append_version_shares_files_and_txn_idempotence(spark, tmp_path):
+    from magi_etl_spark.operators.versioned import (
+        append_version,
+        list_versions,
+        read_version,
+        vacuum,
+        write_version,
+    )
+
+    t = str(tmp_path / "tbl")
+    write_version(spark.range(10), t)
+    v2 = append_version(spark.range(100, 105), t, txn_id="b1")
+    assert v2 == 2
+    assert read_version(spark, t).count() == 15  # base + append
+    # replayed transaction: no new version, same contents
+    assert append_version(spark.range(100, 105), t, txn_id="b1") == 2
+    assert list_versions(t) == [1, 2]
+    assert read_version(spark, t).count() == 15
+    # a NEW transaction appends normally
+    assert append_version(spark.range(200, 202), t, txn_id="b2") == 3
+    assert read_version(spark, t).count() == 17
+    # vacuum must NOT delete v1's data: v3's manifest references it
+    dropped = vacuum(t, keep_last=1)
+    assert dropped == [1, 2]
+    assert read_version(spark, t).count() == 17
+
+
+def test_streaming_appends_become_versions(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from magi_etl_spark.operators.versioned import (
+        current_version,
+        read_version,
+    )
+    from magi_etl_spark.streaming.events_stream import (
+        run_foreach_batch_versioned,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    tbl = str(tmp_path / "tbl")
+    ckpt = str(tmp_path / "ckpt")
+
+    def land(name, ids):
+        pq.write_table(pa.table({"id": pa.array(ids, pa.int64())}), src / name)
+
+    land("a.parquet", [1, 2, 3])
+    stream = spark.readStream.schema("id long").parquet(str(src))
+    run_foreach_batch_versioned(stream, tbl, ckpt)
+    v_after_first = current_version(tbl)
+    assert v_after_first >= 1
+    assert sorted(r.id for r in read_version(spark, tbl).collect()) == [1, 2, 3]
+
+    land("b.parquet", [4, 5])
+    run_foreach_batch_versioned(stream, tbl, ckpt)
+    assert current_version(tbl) == v_after_first + 1
+    assert sorted(r.id for r in read_version(spark, tbl).collect()) == [1, 2, 3, 4, 5]
+    # time travel to the pre-second-batch snapshot
+    old = read_version(spark, tbl, version=v_after_first)
+    assert sorted(r.id for r in old.collect()) == [1, 2, 3]
+    # re-running with no new data commits nothing
+    run_foreach_batch_versioned(stream, tbl, ckpt)
+    assert current_version(tbl) == v_after_first + 1
