@@ -50,27 +50,32 @@ def current_version(path: str) -> int | None:
         return int(fh.read().strip())
 
 
-def write_version(df: DataFrame, path: str) -> int:
-    """Commit ``df`` as the next version of the table at ``path`` and
-    return its number.  The data lands in a version-private directory,
-    then ONE manifest write + ONE atomic rename publish it — a reader
-    can never observe a half-written version, and a writer crash before
-    the rename leaves the previous version current."""
-    prev = current_version(path)
-    v = (prev or 0) + 1
-    data_dir = os.path.join(path, "data", f"v{v:06d}")
-    df.write.mode("overwrite").parquet(data_dir)
-    files = sorted(
+def _data_files(data_dir: str) -> list[str]:
+    return sorted(
         os.path.join(data_dir, f)
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
+
+
+def _publish(
+    path: str,
+    v: int,
+    files: list[str],
+    schema_json: str,
+    txn_id: str | None = None,
+    op: str = "write",
+) -> int:
+    """One manifest write + one atomic rename: readers can never
+    observe a half-written version."""
     os.makedirs(_vdir(path), exist_ok=True)
     manifest = {
         "version": v,
         "files": files,
         "n_files": len(files),
-        "schema": df.schema.json(),
+        "schema": schema_json,
+        "txn_id": txn_id,
+        "op": op,
     }
     mpath = os.path.join(_vdir(path), f"v{v:06d}.json")
     with open(mpath + ".tmp", "w") as fh:
@@ -80,6 +85,17 @@ def write_version(df: DataFrame, path: str) -> int:
         fh.write(str(v))
     os.replace(_latest_path(path) + ".tmp", _latest_path(path))
     return v
+
+
+def write_version(df: DataFrame, path: str) -> int:
+    """Commit ``df`` as the next version of the table at ``path`` and
+    return its number.  The data lands in a version-private directory,
+    then the manifest publish makes it visible — a writer crash before
+    the rename leaves the previous version current."""
+    v = (current_version(path) or 0) + 1
+    data_dir = os.path.join(path, "data", f"v{v:06d}")
+    df.write.mode("overwrite").parquet(data_dir)
+    return _publish(path, v, _data_files(data_dir), df.schema.json())
 
 
 def append_version(
@@ -106,27 +122,56 @@ def append_version(
     v = (prev or 0) + 1
     data_dir = os.path.join(path, "data", f"v{v:06d}")
     df.write.mode("overwrite").parquet(data_dir)
-    new_files = sorted(
-        os.path.join(data_dir, f)
-        for f in os.listdir(data_dir)
-        if f.endswith(".parquet")
+    return _publish(
+        path,
+        v,
+        prev_files + _data_files(data_dir),
+        df.schema.json(),
+        txn_id=txn_id,
+        op="append",
     )
-    os.makedirs(_vdir(path), exist_ok=True)
-    manifest = {
-        "version": v,
-        "files": prev_files + new_files,
-        "n_files": len(prev_files) + len(new_files),
-        "schema": df.schema.json(),
-        "txn_id": txn_id,
-    }
-    mpath = os.path.join(_vdir(path), f"v{v:06d}.json")
-    with open(mpath + ".tmp", "w") as fh:
-        json.dump(manifest, fh)
-    os.replace(mpath + ".tmp", mpath)
-    with open(_latest_path(path) + ".tmp", "w") as fh:
-        fh.write(str(v))
-    os.replace(_latest_path(path) + ".tmp", _latest_path(path))
-    return v
+
+
+def optimize_versioned(
+    spark: SparkSession,
+    path: str,
+    zorder_cols: list[str],
+    n_files: int = 8,
+) -> int:
+    """Delta ``OPTIMIZE ... ZORDER BY`` analogue: rewrite the CURRENT
+    version re-clustered along the Morton curve of ``zorder_cols``
+    (``operators/zorder.py`` — one range shuffle, sorted row groups)
+    and commit the result as a new version.  Readers of older versions
+    are untouched; ``vacuum`` reclaims the un-clustered files once
+    retention passes.  Contents are identical by construction — only
+    the file layout (and therefore stats-based pruning) changes."""
+    from magi_etl_spark.operators.zorder import write_zordered
+
+    df = read_version(spark, path)
+    v = (current_version(path) or 0) + 1
+    data_dir = os.path.join(path, "data", f"v{v:06d}")
+    write_zordered(df, data_dir, zorder_cols, n_files=n_files)
+    return _publish(
+        path, v, _data_files(data_dir), df.schema.json(), op="optimize"
+    )
+
+
+def history(path: str) -> list[dict]:
+    """Commit log, oldest first: one dict per live version with
+    ``version, op, txn_id, n_files`` — the table's audit surface."""
+    out = []
+    for v in list_versions(path):
+        with open(os.path.join(_vdir(path), f"v{v:06d}.json")) as fh:
+            m = json.load(fh)
+        out.append(
+            {
+                "version": m["version"],
+                "op": m.get("op", "write"),
+                "txn_id": m.get("txn_id"),
+                "n_files": m["n_files"],
+            }
+        )
+    return out
 
 
 def read_version(

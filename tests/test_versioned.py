@@ -139,3 +139,33 @@ def test_streaming_appends_become_versions(spark, tmp_path):
     # re-running with no new data commits nothing
     run_foreach_batch_versioned(stream, tbl, ckpt)
     assert current_version(tbl) == v_after_first + 1
+
+
+def test_optimize_rewrites_layout_not_contents(spark, tmp_path):
+    from magi_etl_spark.operators.versioned import (
+        history,
+        optimize_versioned,
+        read_version,
+        vacuum,
+        write_version,
+    )
+    from pyspark.sql import functions as F2
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(2000).select(
+        (F2.col("id") % 97).alias("a"),
+        (F2.col("id") * 31 % 89).alias("b"),
+        F2.col("id").alias("payload"),
+    )
+    write_version(df, t)
+    v = optimize_versioned(spark, t, ["a", "b"], n_files=4)
+    assert v == 2
+    before = sorted(r["payload"] for r in read_version(spark, t, 1).collect())
+    after = sorted(r["payload"] for r in read_version(spark, t, 2).collect())
+    assert before == after  # contents identical, layout changed
+    h = history(t)
+    assert [e["op"] for e in h] == ["write", "optimize"]
+    assert h[1]["n_files"] == 4
+    # optimize output is self-contained: vacuuming v1 keeps v2 readable
+    vacuum(t, keep_last=1)
+    assert sorted(r["payload"] for r in read_version(spark, t).collect()) == before
