@@ -686,3 +686,43 @@ def q109_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_tokens").cast("long").alias("n_tokens"),
         F.round("mean_logprob", 6).alias("mean_logprob"),
     )
+
+
+@ext_query(
+    "q110_versioned_table",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM events
+    GROUP BY 1
+    """,
+)
+def q110_versioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned-table lifecycle end to end: an initial commit of
+    the even-user half of events, an append of the odd half (txn-id
+    recorded), then an OPTIMIZE z-order rewrite — and the current
+    version must aggregate exactly like the source table, proving that
+    three generations of layout changes never touched the contents.
+    The commit log is asserted in-query (write → append → optimize)."""
+    from magi_etl_spark.operators.versioned import (
+        append_version,
+        history,
+        optimize_versioned,
+        read_version,
+        write_version,
+    )
+
+    root = tempfile.mkdtemp(prefix="magi_vt_")
+    table = os.path.join(root, "events_v")
+    e = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    write_version(e.where(F.col("user_id") % 2 == 0), table)
+    append_version(e.where(F.col("user_id") % 2 == 1), table, txn_id="b1")
+    optimize_versioned(spark, table, ["user_id"], n_files=4)
+    assert [h["op"] for h in history(table)] == ["write", "append", "optimize"]
+    cur = read_version(spark, table)
+    return cur.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
