@@ -1,0 +1,81 @@
+"""Link-analysis over edge DataFrames: PageRank with dangling-mass
+redistribution.
+
+Web-scale corpus pipelines rank source quality by link structure
+(PageRank / harmonic-centrality filters over the crawl graph) before
+text filters ever run; the reference has no graph surface, so this is
+a scale extension in the same family as ``operators/components.py``.
+
+Execution shape per iteration — the only shape that survives 100 TB:
+
+- out-degrees are computed ONCE and cached with the edge list;
+- one shuffle join (ranks → edges on src) + one aggregation (sum of
+  contributions by dst) per iteration;
+- dangling-node mass (vertices with no out-edges) is collected as ONE
+  scalar per round and redistributed uniformly — without it the ranks
+  leak mass and drift from the true distribution;
+- ``localCheckpoint`` each round truncates the otherwise exponentially
+  growing lineage (the components operator learned this the hard way).
+
+Driver work per round: one scalar (dangling mass).  Everything else is
+keyed shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iterations: int = 20,
+) -> DataFrame:
+    """``(vertex, rank)`` for every vertex in ``edges`` after
+    ``iterations`` rounds of power iteration; ranks sum to 1.  Parallel
+    edges count as parallel links (weight by multiplicity), matching
+    the classic formulation."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError(f"damping must be in (0, 1), got {damping}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    vertices = (
+        e.select(F.col("src").alias("v"))
+        .union(e.select(F.col("dst").alias("v")))
+        .distinct()
+        .persist()
+    )
+    n = vertices.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    links = e.join(out_deg, "src").persist()
+    ranks = vertices.select("v", F.lit(1.0 / n).alias("rank"))
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        contribs = (
+            links.join(ranks.withColumnRenamed("v", "src"), "src")
+            .groupBy(F.col("dst").alias("v"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
+        )
+        # dangling vertices (no out-edges) spread their rank uniformly
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed("src", "v"), "v", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        ranks = (
+            vertices.join(contribs, "v", "left")
+            .select(
+                "v",
+                (
+                    F.lit(base)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(dangling / n))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    vertices.unpersist(blocking=False)
+    links.unpersist(blocking=False)
+    return ranks.select(F.col("v").alias("vertex"), "rank")

@@ -80,6 +80,64 @@ def bm25_scores(
     )
 
 
+def tfidf_keywords(
+    docs: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-``k`` characteristic terms per document by TF-IDF — the
+    tagging/labeling primitive (and the classic keyword-extraction
+    baseline).  ``tf`` is the in-document count, ``idf`` the smoothed
+    ``ln((1+N)/(1+df)) + 1`` (scikit-learn's convention: never zero, so
+    corpus-universal terms still rank below anything rarer).
+
+    Shape: explode → (doc, term) count aggregate → term document
+    frequencies (|V| rows) joined back on the term key → per-document
+    top-k window.  Ties break (score desc, term asc); every stage is
+    keyed on doc or term — nothing collected, no corpus-wide state
+    beyond the 1-row N."""
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.filter(
+                F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = docs.select(id_col).distinct().agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            (
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.lit(1.0) + F.col("n_docs"))
+                        / (F.lit(1.0) + F.col("df"))
+                    )
+                    + F.lit(1.0)
+                )
+            ).alias("score"),
+        )
+    )
+    rank_w = W.partitionBy(id_col).orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(rank_w))
+        .where(F.col("rn") <= k)
+        .select(id_col, "term", "tf", F.round("score", 6).alias("score"), "rn")
+    )
+
+
 def rrf_fuse(
     lists: dict[str, DataFrame],
     id_col: str = "doc_id",

@@ -726,3 +726,44 @@ def q110_versioned_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+@ext_query(
+    "q111_tfidf_keywords",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id, unnest(list_filter(
+                   regexp_split_to_array(trim(lower(text)), '\s+'),
+                   x -> x <> '')) AS term
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.term, t.tf,
+               t.tf * (ln((1.0 + n.n_docs) / (1.0 + d.df)) + 1.0) AS score
+        FROM tf t JOIN dfreq d USING (term), n
+    ),
+    ranked AS (
+        SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+               ROUND(score, 6) AS score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term, tf, score, CAST(rn AS INTEGER) AS rn
+    FROM ranked WHERE rn <= 5
+    """,
+)
+def q111_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF
+    (scikit-learn's ln((1+N)/(1+df))+1 convention) — explode, two keyed
+    aggregates, a term-keyed join back, one per-document top-k window;
+    rank ties break (score desc, term asc) identically in both
+    engines because equal (tf, df) pairs produce bit-identical doubles
+    within each engine."""
+    from magi_etl_spark.operators.ranking import tfidf_keywords
+
+    d = load_table(spark, sf_dir, "documents")
+    return tfidf_keywords(d, k=5)
