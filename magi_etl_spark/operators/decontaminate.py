@@ -95,3 +95,56 @@ def decontaminate(
     return docs.join(
         F.broadcast(flagged), docs[doc_id] == F.col("_c_id"), "left_anti"
     )
+
+
+def embedding_contamination_pairs(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    bench_id: str = "bench_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Semantic decontamination pairs: corpus vectors whose cosine
+    similarity to ANY benchmark vector reaches ``threshold`` —
+    paraphrased or lightly-reworded eval leakage that n-gram
+    containment misses entirely (the reason modern pipelines run BOTH
+    filters).  Output: ``(corpus_id, bench_id, score)``.
+
+    Same scale posture as the n-gram filter: the benchmark side is
+    small by nature, so it broadcasts whole; the corpus side is one
+    linear scan with a per-row dot product against the broadcast — no
+    corpus shuffle, no pair materialization below the threshold."""
+    from magi_etl_spark.functions.vectors import as_double, cosine
+
+    c = corpus.select(
+        F.col(corpus_id), as_double(F.col(vec_col)).alias("_v")
+    )
+    b = bench.select(
+        F.col(bench_id), as_double(F.col(vec_col)).alias("_b")
+    )
+    return (
+        c.crossJoin(F.broadcast(b))
+        .select(
+            corpus_id,
+            bench_id,
+            F.round(cosine(F.col("_v"), F.col("_b")), 6).alias("score"),
+        )
+        .where(F.col("score") >= threshold)
+    )
+
+
+def embedding_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    corpus_id: str = "vec_id",
+    bench_id: str = "bench_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The corpus minus everything semantically contaminated: one
+    broadcast scoring pass, distinct flagged ids, one anti join."""
+    flagged = embedding_contamination_pairs(
+        corpus, bench, threshold, corpus_id, bench_id, vec_col
+    ).select(corpus_id).distinct()
+    return corpus.join(flagged, corpus_id, "left_anti")

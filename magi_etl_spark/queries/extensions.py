@@ -767,3 +767,39 @@ def q111_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return tfidf_keywords(d, k=5)
+
+
+@ext_query(
+    "q112_semantic_decontaminate",
+    oracle="""
+    WITH bench AS (
+        SELECT vec_id AS bench_id, CAST(embedding AS DOUBLE[]) AS b
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    scored AS (
+        SELECT e.vec_id, bench.bench_id,
+               ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), bench.b)
+                     / (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                              CAST(e.embedding AS DOUBLE[])))
+                        * sqrt(list_dot_product(bench.b, bench.b))), 6)
+                   AS score
+        FROM embeddings e, bench
+    ),
+    flagged AS (SELECT DISTINCT vec_id FROM scored WHERE score >= 0.999)
+    SELECT e.vec_id FROM embeddings e
+    WHERE NOT EXISTS (SELECT 1 FROM flagged f WHERE f.vec_id = e.vec_id)
+    """,
+)
+def q112_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: every 50th vector plays the
+    benchmark set (which contaminates at least itself — cosine 1.0), and
+    the output is the corpus minus everything at cosine >= 0.999 to any
+    benchmark item — the paraphrase-leak filter n-gram containment
+    can't see.  Broadcast bench side, linear corpus scan, anti join."""
+    from magi_etl_spark.operators.decontaminate import embedding_decontaminate
+
+    em = load_table(spark, sf_dir, "embeddings")
+    bench = em.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("bench_id"), "embedding"
+    )
+    return embedding_decontaminate(em, bench, threshold=0.999).select("vec_id")

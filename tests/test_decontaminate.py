@@ -67,3 +67,26 @@ def test_broadcast_in_plan(spark, corpus):
         .toString()
     )
     assert "ResolvedHint (strategy=broadcast)" in plan or "broadcast" in plan.lower()
+
+
+def test_embedding_decontaminate_drops_paraphrase_leaks(spark):
+    from magi_etl_spark.operators.decontaminate import (
+        embedding_contamination_pairs,
+        embedding_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0]),
+            (2, [0.999, 0.04, 0.0]),   # near-paraphrase of bench item 100
+            (3, [0.0, 1.0, 0.0]),      # unrelated
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0])], "bench_id long, embedding array<double>"
+    )
+    pairs = embedding_contamination_pairs(corpus, bench, threshold=0.99)
+    assert {r["vec_id"] for r in pairs.collect()} == {1, 2}
+    clean = embedding_decontaminate(corpus, bench, threshold=0.99)
+    assert {r["vec_id"] for r in clean.collect()} == {3}
