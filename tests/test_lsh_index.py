@@ -1,0 +1,123 @@
+"""Persistent incremental LSH index: equivalence with the full
+recompute restricted to new-involving pairs, parameter-sidecar safety,
+append round-trip."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "completely different content about spark joins here"),
+    (4, "unrelated text on parquet row group pruning today"),
+]
+NEW = [
+    (10, "the quick brown fox jumps over the lazy dog"),   # dup of 1/2
+    (11, "fresh unseen text with no neighbors anywhere at all"),
+]
+
+
+def _full_candidates(spark):
+    from magi_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    all_docs = spark.createDataFrame(DOCS + NEW, "doc_id long, text string")
+    sigs = minhash_signatures(all_docs, "doc_id", "text", n=3, n_hashes=4)
+    bands = [["m0", "m1"], ["m2", "m3"]]
+    return {
+        (r["doc_a"], r["doc_b"])
+        for r in lsh_candidate_pairs(sigs, bands).collect()
+    }
+
+
+def test_incremental_matches_full_recompute_on_new_pairs(spark, tmp_path):
+    from magi_etl_spark.operators.lsh_index import (
+        build_lsh_index,
+        incremental_lsh_pairs,
+    )
+
+    idx = str(tmp_path / "idx")
+    old = spark.createDataFrame(DOCS, "doc_id long, text string")
+    build_lsh_index(old, idx)
+    new = spark.createDataFrame(NEW, "doc_id long, text string")
+    inc = incremental_lsh_pairs(new, idx)
+    got = {(r["doc_a"], r["doc_b"]): r["est_jaccard"] for r in inc.collect()}
+    new_ids = {10, 11}
+    want = {
+        p for p in _full_candidates(spark) if p[0] in new_ids or p[1] in new_ids
+    }
+    assert set(got) == want
+    # the exact duplicate agrees on every signature hash
+    assert got[(1, 10)] == 1.0
+    # old<->old pairs are never re-reported
+    assert all(a in new_ids or b in new_ids for a, b in got)
+
+
+def test_append_extends_the_index(spark, tmp_path):
+    from magi_etl_spark.operators.lsh_index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        incremental_lsh_pairs,
+        read_lsh_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(
+        spark.createDataFrame(DOCS, "doc_id long, text string"), idx
+    )
+    append_to_lsh_index(
+        spark.createDataFrame(NEW, "doc_id long, text string"), idx
+    )
+    assert read_lsh_index(spark, idx).count() == len(DOCS) + len(NEW)
+    # a later increment duplicating doc 10 finds it via the appended sigs
+    later = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_pairs(later, idx).collect()
+    }
+    assert (10, 20) in got
+
+
+def test_parameter_mismatch_is_refused(spark, tmp_path):
+    from magi_etl_spark.operators.lsh_index import (
+        build_lsh_index,
+        incremental_lsh_pairs,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(
+        spark.createDataFrame(DOCS, "doc_id long, text string"), idx, n=3
+    )
+    with pytest.raises(ValueError, match="refusing mismatched"):
+        incremental_lsh_pairs(
+            spark.createDataFrame(NEW, "doc_id long, text string"), idx, n=5
+        )
+
+
+def test_redelivered_id_supersedes_indexed_signature(spark, tmp_path):
+    from magi_etl_spark.operators.lsh_index import (
+        build_lsh_index,
+        incremental_lsh_pairs,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(
+        spark.createDataFrame(DOCS, "doc_id long, text string"), idx
+    )
+    # doc 3 re-delivered with NEW text that duplicates doc 1
+    redelivery = spark.createDataFrame(
+        [(3, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"]): r["est_jaccard"]
+        for r in incremental_lsh_pairs(redelivery, idx).collect()
+    }
+    assert got[(1, 3)] == 1.0  # scored against the NEW text, not the old
