@@ -211,6 +211,27 @@ def ivf_index_sampled(
     else:
         raise ValueError(f"unknown IVF init {init!r}")
     centroids = [[float(x) for x in r["_v"]] for r in rows]
+    assigned = assign_to_centroids(base, centroids, id_col, vec_col="_v")
+    return assigned.persist(), centroids
+
+
+def assign_to_centroids(
+    df: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``id_col, _v, list_id`` — nearest-centroid assignment as a
+    narrow expression: struct comparison sorts by (d2, list_id), so
+    ``array_sort(...)[0]`` is the argmin with a deterministic
+    tie-break — no crossJoin, no window, no shuffle of the corpus.
+    Shared by the index build and the incremental index append."""
+    base = (
+        df
+        if vec_col == "_v"
+        else df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    )
+
     def _d2_to(c: list[float]):
         lit = F.array(*[F.lit(x) for x in c])
         return F.aggregate(
@@ -219,19 +240,15 @@ def ivf_index_sampled(
             lambda acc, x: acc + x,
         )
 
-    # argmin as a narrow expression: struct comparison sorts by (d2,
-    # list_id), so [0] is the nearest centroid with a deterministic
-    # tie-break — no crossJoin, no window, no shuffle of the corpus.
     cands = F.array(
         *[
             F.struct(_d2_to(c).alias("d2"), F.lit(i).alias("list_id"))
             for i, c in enumerate(centroids)
         ]
     )
-    assigned = base.select(
+    return base.select(
         id_col, "_v", F.array_sort(cands)[0]["list_id"].alias("list_id")
     )
-    return assigned.persist(), centroids
 
 
 def ivf_topk(
