@@ -1,5 +1,14 @@
 """Distributed operators the built-in DataFrame API doesn't ship directly:
-dedup family, similarity search, text analysis, recommendation scoring,
-enrichment/multimodal stages, upsert, skew-aware aggregation.  Each is a
-``DataFrame -> DataFrame`` composition of built-in ops (SURVEY.md §2 +
-the LLM-pipeline extensions)."""
+the dedup family (exact, MinHash+LSH + persistent incremental index,
+SimHash, n-gram, embedding, SemDeDup, paragraph-boilerplate,
+sorted-neighborhood), similarity search (brute-force, SRP-LSH, IVF +
+persistent partitioned index, PQ with exact refine), mixing & sampling
+(weighted, temperature-scaled, splits, exact-n per group), text
+analysis and ranking (quality, language-ID, PII scan/redaction,
+unigram-LM scoring, BM25, TF-IDF, RRF fusion), decontamination
+(n-gram + embedding-space), warehouse ETL (SCD2, CDC, upsert, gapfill,
+rolling, profiling, expectations, incremental extract, backfill,
+versioned tables), link analysis (connected components, PageRank), and
+engine services (cardinality estimation, skew tooling, z-order /
+bucketed layout).  Each is a ``DataFrame -> DataFrame`` composition of
+built-in ops (SURVEY.md §2 + §2.14)."""

@@ -217,6 +217,16 @@ def main() -> None:
 
         return run
 
+    def unigram(d):
+        from magi_etl_spark.operators.text import unigram_logprob_scores
+
+        return lambda: unigram_logprob_scores(d, "doc_id", "text")
+
+    def tfidf(d):
+        from magi_etl_spark.operators.ranking import tfidf_keywords
+
+        return lambda: tfidf_keywords(d, k=5)
+
     def fuzzy(p):
         # linkage shape: N part rows against a FIXED 64-name dictionary —
         # candidates grow linearly with the big side
@@ -251,6 +261,8 @@ def main() -> None:
         ("semantic_dedup", semdedup(emb1), semdedup(embN)),
         ("pq_encode", pq(emb1), pq(embN)),
         ("paragraph_dedup", paradedup(docs1), paradedup(docsN)),
+        ("unigram_lm", unigram(docs1), unigram(docsN)),
+        ("tfidf_keywords", tfidf(docs1), tfidf(docsN)),
     ):
         if only is not None and label not in only:
             continue
