@@ -803,3 +803,128 @@ def q112_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("bench_id"), "embedding"
     )
     return embedding_decontaminate(em, bench, threshold=0.999).select("vec_id")
+
+
+@ext_query(
+    "q113_corpus_curation",
+    oracle=r"""
+    WITH RECURSIVE docs0 AS (
+        SELECT doc_id,
+               trim(regexp_replace(lower(
+                   regexp_replace(text, '[\x00-\x08\x0b-\x1f\x7f]', '', 'g')),
+                   '\s+', ' ', 'g')) AS text
+        FROM documents
+    ),
+    docs1 AS (SELECT * FROM docs0 WHERE text <> ''),
+    tq AS (
+        SELECT doc_id, text,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS t
+        FROM docs1
+    ),
+    q AS (
+        SELECT doc_id, text FROM tq
+        WHERE len(t) >= 5
+          AND round(LEAST(len(t) / 50.0, 1.0) * 0.4
+                    + LEAST(len(list_filter(t,
+                          x -> x IN ('the','a','of','and','to','in')))
+                          / len(t) * 5.0, 1.0) * 0.3
+                    + len(list_distinct(t)) / len(t) * 0.3, 6) >= 0.3
+    ),
+    ex AS (
+        SELECT q.doc_id, q.text FROM q
+        JOIN (SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+              FROM q GROUP BY 1) w
+          ON md5(q.text) = w.h AND q.doc_id = w.doc_id
+    ),
+    t2 AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM ex
+    ),
+    s AS (
+        SELECT doc_id,
+               list_distinct(CASE WHEN len(toks) >= 3
+                   THEN list_transform(range(1, len(toks) - 1),
+                        i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))
+                   ELSE CAST([] AS VARCHAR[]) END) AS sh
+        FROM t2
+    ),
+    sig AS (
+        SELECT doc_id, sh,
+               list_min(list_transform(sh, x -> md5(concat('0|', x)))) AS m0,
+               list_min(list_transform(sh, x -> md5(concat('1|', x)))) AS m1,
+               list_min(list_transform(sh, x -> md5(concat('2|', x)))) AS m2,
+               list_min(list_transform(sh, x -> md5(concat('3|', x)))) AS m3
+        FROM s WHERE len(sh) > 0
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND (concat(a.m0, '|', a.m1) = concat(b.m0, '|', b.m1)
+              OR concat(a.m2, '|', a.m3) = concat(b.m2, '|', b.m3))
+    ),
+    verified AS (
+        SELECT c.doc_a, c.doc_b,
+               len(list_intersect(sa.sh, sb.sh)) AS n_inter,
+               len(sa.sh) AS n_a, len(sb.sh) AS n_b
+        FROM cand c
+        JOIN sig sa ON c.doc_a = sa.doc_id
+        JOIN sig sb ON c.doc_b = sb.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM verified
+        WHERE n_inter / (n_a + n_b - n_inter) >= 0.5
+    ),
+    sym AS (
+        SELECT doc_a AS v, doc_b AS n FROM pairs
+        UNION ALL
+        SELECT doc_b AS v, doc_a AS n FROM pairs
+    ),
+    walk AS (
+        SELECT v, n AS reach FROM sym
+        UNION
+        SELECT w.v, s2.n FROM walk w JOIN sym s2 ON w.reach = s2.v
+    ),
+    comp AS (
+        SELECT v AS doc_id, LEAST(v, MIN(reach)) AS component
+        FROM walk GROUP BY v
+    ),
+    clean AS (
+        SELECT e.doc_id FROM ex e
+        WHERE NOT EXISTS (SELECT 1 FROM comp c
+                          WHERE c.doc_id = e.doc_id
+                            AND c.doc_id <> c.component)
+    )
+    SELECT doc_id,
+           CASE WHEN u < 'e6666666' THEN 'train'
+                WHEN u < 'f3333333' THEN 'val'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 substr(md5(concat('curate|', CAST(doc_id AS VARCHAR))), 1, 8)
+                     AS u
+          FROM clean) c
+    """,
+)
+def q113_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship end-to-end curation DAG over the corpus —
+    normalization, quality floor (>=5 tokens, score >= 0.3), exact
+    dedup, MinHash-LSH near-dedup collapsed via connected components,
+    deterministic 90/5/5 split — verified STAGE FOR STAGE against one
+    recursive-CTE oracle assembled from the per-operator oracle shapes
+    (q65 normalize, q21/q94 quality, q23 exact, q25 LSH, q59
+    components, q84 split)."""
+    from magi_etl_spark.pipelines.curation import curate_corpus
+
+    d = load_table(spark, sf_dir, "documents")
+    curated, _report = curate_corpus(
+        d,
+        min_tokens=5,
+        min_quality=0.3,
+        near_dup_threshold=0.5,
+        splits={"train": 0.9, "val": 0.05, "test": 0.05},
+        seed="curate",
+    )
+    return curated.select("doc_id", "split")
