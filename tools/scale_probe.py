@@ -227,6 +227,19 @@ def main() -> None:
 
         return lambda: tfidf_keywords(d, k=5)
 
+    def curation(d):
+        from magi_etl_spark.pipelines.curation import curate_corpus
+
+        # end-to-end flagship DAG; replication multiplies every LSH
+        # family (same worst-case caveat as the dedup probes)
+        def run():
+            curated, _report = curate_corpus(
+                d, min_tokens=5, min_quality=0.3, near_dup_threshold=0.5
+            )
+            return curated.select("doc_id", "split")
+
+        return run
+
     def fuzzy(p):
         # linkage shape: N part rows against a FIXED 64-name dictionary —
         # candidates grow linearly with the big side
@@ -263,6 +276,7 @@ def main() -> None:
         ("paragraph_dedup", paradedup(docs1), paradedup(docsN)),
         ("unigram_lm", unigram(docs1), unigram(docsN)),
         ("tfidf_keywords", tfidf(docs1), tfidf(docsN)),
+        ("curation", curation(docs1), curation(docsN)),
     ):
         if only is not None and label not in only:
             continue
