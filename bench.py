@@ -1,8 +1,10 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+Prints ONE compact JSON line as the LAST line of stdout:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+Per-query plan fingerprints (the cross-round plan-identity evidence)
+are written to BENCH_PLANS.json next to this file.
 """
 
 from __future__ import annotations
@@ -78,6 +80,32 @@ HEADLINE = [
     "q92_cdc_apply",
     "q93_scd2_snapshot",
     "q94_token_budget_select",
+    # r4 staged extensions, registered at the r5 rotation (the r4 bench
+    # timed these in a separate "staged" section; they join the headline
+    # as promised when they entered the gate registry)
+    "q95_salted_hot_join",
+    "q96_fuzzy_linkage",
+    "q97_snm_pairs",
+    "q98_rrf_fusion",
+    "q99_temperature_mix",
+    "q100_redact_pii",
+    "q101_expectation_suite",
+    "q102_incremental_extract",
+    "q103_winsorize",
+    "q104_semantic_dedup",
+    "q105_paragraph_dedup",
+    "q106_pq_refine_topk",
+    "q107_join_estimate",
+    "q108_group_sample_n",
+    "q109_unigram_logprob",
+    "q110_versioned_table",
+    "q111_tfidf_keywords",
+    "q112_semantic_decontaminate",
+    "q113_corpus_curation",
+    # new in round 5
+    "q114_incremental_lsh_index",
+    "q115_incremental_ivf_index",
+    "q116_pagerank",
 ]
 
 _RUNS = 2  # best-of-N: local-mode timings are noisy
@@ -134,23 +162,27 @@ def main() -> None:
         plans[name] = _plan_fingerprint(QUERIES[name](spark, sf_dir))
         print(f"# {name}: {timings[name]:.3f}s plan={plans[name]}", file=sys.stderr)
 
-    # staged r5 registry (queries/extensions.py): timed separately so the
-    # headline "queries"/"value" fields stay comparable round over round;
-    # these enter the headline set when they enter the gate registry
-    from magi_etl_spark.queries.extensions import EXT_QUERIES
-
-    staged: dict[str, float] = {}
-    for name, fn in EXT_QUERIES.items():
-        best = None
-        for _ in range(_RUNS):
-            t0 = time.perf_counter()
-            _materialize(fn(spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        staged[name] = round(best, 3)
-        print(f"# staged {name}: {staged[name]:.3f}s", file=sys.stderr)
-
     total = round(sum(timings.values()), 3)
+    # Plan fingerprints go to a SIDE FILE, not the headline line: the r4
+    # headline JSON carried 52 fingerprints + staged timings and outgrew
+    # the driver's tail capture (BENCH_r04 parsed: null — the round's
+    # number was lost).  The headline stays compact and is the LAST
+    # stdout line (r4 VERDICT item 3).
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_PLANS.json"),
+        "w",
+    ) as fh:
+        json.dump(
+            {
+                "sf": sf,
+                "runs_per_query": _RUNS,
+                "plan_fingerprints": plans,
+                "timings": timings,
+            },
+            fh,
+            indent=1,
+            sort_keys=True,
+        )
     print(
         json.dumps(
             {
@@ -162,9 +194,6 @@ def main() -> None:
                 "runs_per_query": _RUNS,
                 "load_avg_before": [round(x, 2) for x in load_before],
                 "load_avg_after": [round(x, 2) for x in os.getloadavg()],
-                "plan_fingerprints": plans,
-                "staged_queries": staged,
-                "staged_wall_sec": round(sum(staged.values()), 3),
             }
         )
     )

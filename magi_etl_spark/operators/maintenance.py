@@ -160,20 +160,31 @@ def backfill_partitions(
     design: the partition list is the orchestration grain (hundreds of
     dates, not rows), and each iteration is a full distributed job —
     the same economics as the incremental-watermark extractor above.
+
+    Completion tokens are the keys' canonical JSON (sorted keys), so
+    every JSON-serializable key — including tuples, which round-trip
+    through JSON as lists — matches its stored token on resume (r4
+    ADVICE: the raw ``key in done`` comparison silently re-ran every
+    completed tuple-keyed partition after a restart).
     """
     import json
     import os
+
+    def tok(k) -> str:
+        return json.dumps(k, sort_keys=True, default=str)
 
     done: list = []
     if resume and os.path.exists(state_path):
         with open(state_path) as fh:
             done = json.load(fh).get("done", [])
+    done_toks = {tok(k) for k in done}
     ran = []
     for key in partitions:
-        if key in done:
+        if tok(key) in done_toks:
             continue
         write(build(key), key)
         done.append(key)
+        done_toks.add(tok(key))
         ran.append(key)
         os.makedirs(os.path.dirname(state_path) or ".", exist_ok=True)
         tmp = state_path + ".tmp"

@@ -21,6 +21,23 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _join_bounds(
+    df: DataFrame, bounds: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Join the per-group bounds frame back null-safely: ``groupBy``
+    emits a bounds row for the NULL group, but a plain equi-join never
+    matches it, silently DROPPING every NULL-keyed input row from the
+    output (r4 ADVICE).  ``eqNullSafe`` per key keeps them, clipped or
+    scaled against their own group's bounds like any other group."""
+    cond = None
+    for c in group_cols:
+        eq = df[c].eqNullSafe(bounds[c])
+        cond = eq if cond is None else cond & eq
+    joined = df.join(bounds, cond)
+    # drop the bounds side's duplicate key columns
+    return joined.drop(*[bounds[c] for c in group_cols])
+
+
 def group_percentile_bounds(
     df: DataFrame,
     group_cols: list[str],
@@ -63,7 +80,7 @@ def winsorize(
         F.least(F.greatest(F.col(value_col), F.col("_plo")), F.col("_phi")),
     )
     return (
-        df.join(bounds, group_cols)
+        _join_bounds(df, bounds, group_cols)
         .withColumn(out, clipped)
         .drop("_plo", "_phi")
     )
@@ -93,7 +110,7 @@ def robust_scale(
         F.col("_iqr") != 0, (F.col(value_col) - F.col("_med")) / F.col("_iqr")
     )
     return (
-        df.join(bounds, group_cols)
+        _join_bounds(df, bounds, group_cols)
         .withColumn(out, scaled)
         .drop("_med", "_iqr")
     )

@@ -106,19 +106,29 @@ def append_version(
     existing data, so an append costs only the new rows (the Delta
     append shape on plain parquet).
 
-    ``txn_id`` makes replays idempotent: if the latest committed
-    manifest already carries this transaction id, the append is a no-op
-    returning the current version — which turns a checkpoint-replayed
-    streaming micro-batch (same batch id, same data) into exactly-once
-    table semantics even though the batch itself ran twice."""
+    ``txn_id`` makes replays idempotent: if ANY live manifest already
+    carries this transaction id, the append is a no-op returning the
+    current version — which turns a checkpoint-replayed streaming
+    micro-batch (same batch id, same data) into exactly-once table
+    semantics even though the batch itself ran twice.  The check scans
+    all live manifests (r4 ADVICE: latest-only broke exactly-once when
+    a maintenance commit, e.g. ``optimize_versioned``, interleaved
+    between a crash and the checkpoint replay); ``vacuum`` keeps at
+    least one manifest, so the id history window equals the retention
+    window — the same recovery contract as Delta's txn appId/version.
+    Single-writer assumption: two concurrent appenders can both pass
+    the replay check and double-commit; serialize writers externally
+    (the streaming sink's foreachBatch already is serial)."""
     prev = current_version(path)
     prev_files: list[str] = []
     if prev is not None:
+        if txn_id is not None:
+            for v in list_versions(path):
+                with open(os.path.join(_vdir(path), f"v{v:06d}.json")) as fh:
+                    if json.load(fh).get("txn_id") == txn_id:
+                        return prev  # replayed transaction: already committed
         with open(os.path.join(_vdir(path), f"v{prev:06d}.json")) as fh:
-            m = json.load(fh)
-        if txn_id is not None and m.get("txn_id") == txn_id:
-            return prev  # replayed transaction: already committed
-        prev_files = m["files"]
+            prev_files = json.load(fh)["files"]
     v = (prev or 0) + 1
     data_dir = os.path.join(path, "data", f"v{v:06d}")
     df.write.mode("overwrite").parquet(data_dir)
@@ -199,12 +209,23 @@ def list_versions(path: str) -> list[int]:
     )
 
 
-def vacuum(path: str, keep_last: int = 2) -> list[int]:
+def vacuum(
+    path: str, keep_last: int = 2, min_age_seconds: float = 3600.0
+) -> list[int]:
     """Drop manifests + data of all but the last ``keep_last`` versions
     (and any orphaned data directories from crashed writers).  Returns
     the removed version numbers.  Readers of a vacuumed version fail
     loudly at manifest resolution — the same contract as Delta VACUUM
-    past the retention window."""
+    past the retention window.
+
+    Unreferenced data directories younger than ``min_age_seconds`` are
+    SKIPPED (r4 ADVICE): a concurrent writer materializes its data
+    directory BEFORE publishing the manifest, so an age-less vacuum
+    racing a write would destroy the in-flight commit.  The default
+    hour mirrors Delta VACUUM's retention-check spirit; pass ``0`` only
+    when no writer can be active (e.g. tests)."""
+    import time
+
     if keep_last < 1:
         raise ValueError(f"keep_last must be >= 1, got {keep_last}")
     versions = list_versions(path)
@@ -214,15 +235,25 @@ def vacuum(path: str, keep_last: int = 2) -> list[int]:
     # appends share data directories across versions, so deletion is by
     # REFERENCE, not by version number: a data directory survives while
     # any live manifest lists a file inside it (orphans from crashed
-    # pre-manifest writers have no references and go too)
+    # pre-manifest writers have no references and go too — once they
+    # age past the in-flight window)
     referenced: set[str] = set()
     for v in list_versions(path):
         with open(os.path.join(_vdir(path), f"v{v:06d}.json")) as fh:
             for f in json.load(fh)["files"]:
                 referenced.add(os.path.basename(os.path.dirname(f)))
     data_root = os.path.join(path, "data")
+    now = time.time()
     if os.path.isdir(data_root):
         for d in os.listdir(data_root):
-            if d not in referenced:
-                shutil.rmtree(os.path.join(data_root, d), ignore_errors=True)
+            full = os.path.join(data_root, d)
+            if d in referenced:
+                continue
+            try:
+                age = now - os.path.getmtime(full)
+            except OSError:
+                continue  # concurrently removed/being written
+            if age < min_age_seconds:
+                continue  # possibly an in-flight writer's directory
+            shutil.rmtree(full, ignore_errors=True)
     return drop

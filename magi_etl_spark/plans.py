@@ -30,6 +30,7 @@ inspects the compiled physical plan only.
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame
@@ -114,7 +115,12 @@ def lint(
                 "hazard if the build side can grow",
             )
         )
-    n_shuffle = p.count("+- Exchange ") + (1 if p.startswith("Exchange ") else 0)
+    # Count every Exchange node regardless of tree position: the last
+    # child renders as "+- Exchange", a non-last child (shuffled-hash
+    # build side, union branch) as ":- Exchange", and the root bare.
+    # Counting only "+- " silently under-reported (r4 ADVICE, confirmed
+    # on a Spark 4.1 shuffled-hash join showing 1 of 2 exchanges).
+    n_shuffle = len(re.findall(r"(?:^|[+:]-\s)Exchange ", p, flags=re.M))
     if max_shuffles is not None and n_shuffle > max_shuffles:
         out.append(
             PlanFinding(

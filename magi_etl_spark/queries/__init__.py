@@ -50,6 +50,16 @@ def _load_all() -> None:
         similarity,
         text,
     )
+    # r5 rotation: the r4 staged registry (q95-q113, oracle-verified all
+    # through r4 by tests/test_extension_queries.py) merges into the main
+    # registry verbatim — COVERAGE.md "Planned r5 window", rotation rule 1.
+    from magi_etl_spark.queries.extensions import EXT_ORACLE, EXT_QUERIES
+
+    dup = set(EXT_QUERIES) & set(QUERIES)
+    if dup:
+        raise RuntimeError(f"extension queries shadow registered ones: {dup}")
+    QUERIES.update(EXT_QUERIES)
+    ORACLE.update(EXT_ORACLE)
 
 
 _load_all()
@@ -68,78 +78,70 @@ _load_all()
 GATE_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # Round-4 window: the full 32-query r3 tail, front-loaded exactly as
-    # pre-committed in COVERAGE.md ("Planned r4 window").  All 32 were
-    # green in the r2 gate and stayed local-oracle-green through r3; this
-    # gives them a current-cycle external driver row.
-    "q32_simhash",
-    "q43_simhash_neardup",
-    "q33_kv_parse",
-    "q34_date_functions",
-    "q35_vector_stats",
-    "q36_rollup",
-    "q37_pivot",
-    "q38_srp_lsh_buckets",
-    "q39_token_cosine_pairs",
-    "q51_exact_token_cosine_pairs",
-    "q42_window_benchmark",
-    "q40_corpus_pipeline",
-    "q60_quantize_embeddings",
-    "q23_dedup_exact",
-    "q47_dedup_keep_best",
-    "q24_minhash_signatures",
-    "q25_minhash_lsh_neardup",
-    "q29_ngram_jaccard_pairs",
-    "q50_exact_ngram_jaccard_pairs",
-    "q55_decontaminate",
-    "q59_dedup_clusters",
-    "q48_market_share",
-    "q46_above_avg_customers",
-    "q52_min_cost_supplier",
-    "q53_dominant_supplier",
-    "q58_blame_supplier",
-    "q66_asof_join",
-    # operators/text.py gained the persisted-token-array rework in r4
-    # (quality_scores CSE fix), so every text-family tail query the
-    # dependency map flags re-enters — displacing five r2-green,
-    # unchanged relational entries (q02 q15 q16 q17 q45) back to the
-    # tail: rotation rule 2 (changed sources) outranks rule 3 (oldest
-    # rotation)
-    "q20_token_stats",
-    "q21_quality_scores",
-    "q22_language_id",
-    "q26_fingerprints",
-    "q65_normalize_text",
-    # new this round
-    "q85_zorder_pruned_scan",
-    "q86_ivf_kmeans_topk",
-    "q87_scd2_intervals",
-    "q88_bm25_topk",
+    # Round-5 window, exactly as pre-committed in COVERAGE.md ("Planned
+    # r5 window" + arithmetic note).  Rule 1: the nineteen staged r4
+    # operator-extension queries (merged from queries/extensions.py,
+    # oracle-verified every suite run through r4) have never had a
+    # driver row and go first.
+    "q95_salted_hot_join",
+    "q96_fuzzy_linkage",
+    "q97_snm_pairs",
+    "q98_rrf_fusion",
+    "q99_temperature_mix",
+    "q100_redact_pii",
+    "q101_expectation_suite",
+    "q102_incremental_extract",
+    "q103_winsorize",
+    "q105_paragraph_dedup",
+    "q107_join_estimate",
+    "q104_semantic_dedup",
+    "q106_pq_refine_topk",
+    "q108_group_sample_n",
+    "q109_unigram_logprob",
+    "q110_versioned_table",
+    "q111_tfidf_keywords",
+    "q112_semantic_decontaminate",
+    "q113_corpus_curation",
+    # The one red cell of r4: q89's gate row hashed a rounded double AVG
+    # against an INTERVAL-range oracle frame — both cross-engine variance
+    # channels, both removed this round (integer micro-unit average via
+    # bigint DIV, epoch-day RANGE oracle).  Failure rule: it stays in the
+    # window until a green driver row lands.
     "q89_rolling_7d",
-    "q90_profile_table",
-    "q91_gapfill_interpolate",
-    "q92_cdc_apply",
-    "q93_scd2_snapshot",
-    "q94_token_budget_select",
-    # dependency re-entries: tail queries whose transitive sources
-    # (operators/similarity.py, functions/__init__.py) changed this
-    # round — flagged by tests/test_gate_window.py's dependency map
-    # (VERDICT r3 item 2), so their r3 rows no longer certify HEAD
-    "q41_ivf_topk",
-    "q27_embedding_topk",
-    "q28_embedding_neardup",
-    "q44_lsh_blocked_embedding_dedup",
-    "q78_key_skew_profile",
-    "q63_vocab_coverage",
-    "q69_repetition_score",
-    # q80 re-enters because sinks.py (write_bucketed's module) gained
-    # write_partitioned this round — behavior unchanged, but the
-    # dependency map works at file granularity and the honest response
-    # to a flagged dependency is an external re-verify, not an exemption.
-    # It takes the slot q54 held (q54: r3-green, sources unchanged —
-    # rotates to the tail with the rest of the engine surface; the
-    # window has no discretionary slots left this round).
-    "q80_bucketed_colocated_join",
+    # New r5 gate queries (rule 1): the persistent-index family and
+    # PageRank get side-effect-safe gate shapes this round.
+    "q114_incremental_lsh_index",
+    "q115_incremental_ivf_index",
+    "q116_pagerank",
+    # Remaining slots (rule 3): the r4 tail, oldest-verified first, per
+    # the COVERAGE.md arithmetic note.
+    "q82_grouping_sets",
+    "q79_concurrent_fanout",
+    "q07_anti_join",
+    "q62_top_supplier",
+    "q67_range_join",
+    "q68_hypertable_rollup",
+    "q71_small_order_parts",
+    "q72_large_volume_customers",
+    "q73_table_diff",
+    "q74_daily_anomalies",
+    "q75_funnel",
+    "q76_retention_cohorts",
+    "q54_helix_generic",
+    "q83_event_gaps",
+    "q81_bloom_pruned_join",
+    "q02_filter_project",
+    "q45_nation_pair_volume",
+    "q17_minmax_normalize",
+    "q16_set_ops",
+    "q15_having_threshold",
+    "q49_chunking",
+    "q56_dataset_mix",
+    "q84_dataset_split",
+    "q57_sequence_packing",
+    "q61_corpus_percentiles",
+    "q64_stratified_sample",
+    "q70_pii_scan",
 ]
 
 

@@ -133,18 +133,30 @@ def q88_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, day, value_c,
            CAST(SUM(value_c) OVER w AS BIGINT) AS rolling_sum_7d,
-           ROUND(AVG(value_c) OVER w, 6) AS rolling_avg_7d,
+           CAST((SUM(value_c) OVER w * 10000) // (COUNT(value_c) OVER w)
+                AS BIGINT) AS rolling_avg_e4,
            CAST(COUNT(value_c) OVER w AS BIGINT) AS rolling_n_7d
     FROM pts
-    WINDOW w AS (PARTITION BY user_id ORDER BY day
-                 RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+    WINDOW w AS (PARTITION BY user_id ORDER BY (day - DATE '1970-01-01')
+                 RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
     """,
 )
 def q89_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing 7-day rolling sum/avg/count per user over daily spend —
     a RANGE frame in event-time (absent days shrink the window), the
-    frame type the W3 rows-frame benchmark can't express.  Cent-exact
-    inputs keep the hash stable."""
+    frame type the W3 rows-frame benchmark can't express.
+
+    Determinism (r4 VERDICT item 1): the r4 gate hashed a rounded
+    double ``AVG(...) OVER w`` against an ``INTERVAL 6 DAY`` date-range
+    frame — both cross-engine variance channels (accumulation order /
+    interval semantics differ by DuckDB version even when every cell
+    matches at 6 dp locally).  Both channels are removed: the average
+    is emitted as exact integer micro-units via bigint integer division
+    (``(sum * 10000) DIV n`` — value_c sums are non-negative so DIV and
+    // agree), and the oracle frame ranges over integer epoch days,
+    mirroring the Spark ``datediff(day, '1970-01-01')`` formulation
+    exactly.  Per-repo determinism rule #1: no raw doubles in the hash.
+    """
     from magi_etl_spark.operators.timeseries import rolling_range_agg
 
     e = load_table(spark, sf_dir, "events").where(F.col("user_id") % 20 == 0)
@@ -157,7 +169,9 @@ def q89_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day",
         "value_c",
         F.col("rolling_sum_7d").cast("long").alias("rolling_sum_7d"),
-        F.round("rolling_avg_7d", 6).alias("rolling_avg_7d"),
+        F.expr(
+            "CAST((rolling_sum_7d * 10000L) DIV rolling_n_7d AS BIGINT)"
+        ).alias("rolling_avg_e4"),
         F.col("rolling_n_7d").cast("long").alias("rolling_n_7d"),
     )
 

@@ -1,13 +1,11 @@
-"""Staged r5 gate queries: run the driver's own DuckDB comparison over
-every EXT_QUERIES entry so the staging surface carries hash-level
-correctness evidence before it ever enters the external window."""
+"""The r4 staged registry (q95-q113) merged into the main registry at
+the r5 rotation, plus the r5 additions (q114-q116).  The per-entry
+DuckDB-oracle sweep these tests used to run now happens through the
+main-registry sweep (tests/test_queries_oracle.py) — what remains here
+is the merge invariant and the rows-only invariants the oracle can't
+express."""
 
 from __future__ import annotations
-
-import pytest
-from pyspark.sql import functions as F
-
-from oracle_harness import compare, duckdb_connection
 
 
 def _ext():
@@ -16,33 +14,19 @@ def _ext():
     return EXT_QUERIES, EXT_ORACLE
 
 
-def test_staging_registry_is_disjoint_from_the_gate_registry():
-    from magi_etl_spark.queries import QUERIES
+def test_extension_registry_is_merged_into_the_gate_registry():
+    """r5 rotation rule 1: every extension entry is registered (same
+    function object — merged, not shadowed) and its oracle rode along;
+    the all-query oracle sweep therefore covers them every run."""
+    from magi_etl_spark.queries import ORACLE, QUERIES
 
-    ext_q, _ = _ext()
-    assert not set(ext_q) & set(QUERIES)
-    # rows-only entries stay a deliberate, short list (driver contract)
-    _, ext_o = _ext()
-    assert len(set(ext_q) - set(ext_o)) <= 2
-
-
-@pytest.fixture(scope="module")
-def con(sf_dir):
-    c = duckdb_connection(sf_dir)
-    yield c
-    c.close()
-
-
-def _oracle_names():
-    _, ext_o = _ext()
-    return sorted(ext_o)
-
-
-@pytest.mark.parametrize("name", _oracle_names())
-def test_extension_query_matches_oracle(spark, sf_dir, con, name):
     ext_q, ext_o = _ext()
-    ok, msg = compare(ext_q[name](spark, sf_dir), con, ext_o[name])
-    assert ok, f"{name}: {msg}"
+    for name, fn in ext_q.items():
+        assert QUERIES.get(name) is fn, f"{name} not merged into QUERIES"
+    for name, sql in ext_o.items():
+        assert ORACLE.get(name) == sql, f"{name} oracle not merged"
+    # rows-only entries stay a deliberate, short list (driver contract)
+    assert len(set(ext_q) - set(ext_o)) <= 2
 
 
 def test_semantic_dedup_rows_only_invariants(spark, sf_dir):

@@ -75,3 +75,23 @@ def test_approx_and_shuffle_bound_paths_agree_on_smooth_data(spark):
     # sketch bounds land within a percentile step of the exact ones
     assert s == pytest.approx(e, rel=0.02)
     assert exact.count() == approx.count() == 400
+
+
+def test_null_group_rows_survive_with_their_own_bounds(spark):
+    """r4 ADVICE: the plain equi-join dropped NULL-group rows entirely;
+    the null-safe join keeps them, clipped against the NULL group's own
+    bounds row like any other group."""
+    from magi_etl_spark.operators.stats import robust_scale, winsorize
+
+    rows = [("a", 1.0), ("a", 2.0), (None, 10.0), (None, 20.0), (None, 30.0)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    w = winsorize(df, ["g"], "v", lo=0.0, hi=1.0)
+    assert w.count() == 5  # nothing dropped
+    null_w = {r["v"]: r["v_w"] for r in w.where(F.col("g").isNull()).collect()}
+    assert null_w == {10.0: 10.0, 20.0: 20.0, 30.0: 30.0}
+    rs = robust_scale(df, ["g"], "v")
+    assert rs.count() == 5
+    null_rs = {r["v"]: r["v_rs"] for r in rs.where(F.col("g").isNull()).collect()}
+    # NULL group: median 20, IQR = 25 - 15 = 10
+    assert null_rs[20.0] == pytest.approx(0.0)
+    assert null_rs[30.0] == pytest.approx(1.0)

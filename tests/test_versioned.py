@@ -62,8 +62,15 @@ def test_vacuum_retention_and_orphans(spark, tmp_path):
     for n in (2, 4, 6, 8):
         write_version(spark.range(n), t)
     os.makedirs(os.path.join(t, "data", "orphan"))  # crashed writer junk
+    # default age threshold protects a YOUNG unreferenced directory —
+    # it could be a concurrent writer's in-flight commit (r4 ADVICE)
     dropped = vacuum(t, keep_last=2)
     assert dropped == [1, 2]
+    assert os.path.exists(os.path.join(t, "data", "orphan"))
+    assert os.path.exists(os.path.join(t, "data", "v000001"))
+    # past the retention window (tests force age 0) the junk goes
+    dropped = vacuum(t, keep_last=2, min_age_seconds=0)
+    assert dropped == []
     assert list_versions(t) == [3, 4]
     assert read_version(spark, t, version=4).count() == 8
     assert read_version(spark, t, version=3).count() == 6
@@ -96,9 +103,17 @@ def test_append_version_shares_files_and_txn_idempotence(spark, tmp_path):
     # a NEW transaction appends normally
     assert append_version(spark.range(200, 202), t, txn_id="b2") == 3
     assert read_version(spark, t).count() == 17
+    # replay check survives an INTERLEAVED maintenance commit (r4
+    # ADVICE: latest-only inspection double-appended here): optimize
+    # commits v4, then a crash-recovered replay of b2 must still no-op
+    from magi_etl_spark.operators.versioned import optimize_versioned
+
+    assert optimize_versioned(spark, t, ["id"], n_files=2) == 4
+    assert append_version(spark.range(200, 202), t, txn_id="b2") == 4
+    assert read_version(spark, t).count() == 17
     # vacuum must NOT delete v1's data: v3's manifest references it
-    dropped = vacuum(t, keep_last=1)
-    assert dropped == [1, 2]
+    dropped = vacuum(t, keep_last=3, min_age_seconds=0)
+    assert dropped == [1]
     assert read_version(spark, t).count() == 17
 
 
