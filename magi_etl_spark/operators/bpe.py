@@ -1,0 +1,160 @@
+"""Distributed BPE tokenizer training: learn byte-pair-encoding merges
+over a corpus, Spark-first.
+
+Pretraining pipelines train their tokenizer on (a sample of) the corpus
+itself; at 100 TB the classic single-node BPE trainers (sentencepiece,
+HF tokenizers) cap out on the word-counting pass long before the merge
+loop.  The Spark shape exploits the classic factorization (Sennrich et
+al. 2016): merges operate on the WORD VOCABULARY weighted by frequency,
+not on the corpus —
+
+- one corpus scan builds ``(word, freq)`` (explode + map-side-combined
+  count): the only pass whose cost scales with corpus bytes;
+- every merge iteration runs on the vocabulary frame (|V| rows — Heaps'
+  law puts |V| at ~1e6-1e7 for 100 TB of text, a trivial DataFrame):
+  one pair-count aggregate, one 1-row argmax, one column rewrite;
+- the argmax pair is collected per iteration — bounded driver work by
+  construction, because the merge TABLE (n_merges tiny rows) is the
+  training output itself.
+
+Symbol encoding: a word's current segmentation is a string of symbols
+joined by DOUBLE spaces, padded with one space on each end (``"ab cd"``
+segmented as ``[ab, cd]`` is ``" ab  cd "``).  Merging pair ``(l, r)``
+is then plain non-overlapping left-to-right ``replace(sym, " l  r ",
+" lr ")`` — the double-space join means adjacent matches do not share a
+boundary character, so greedy BPE merge semantics fall out of the
+engine-portable ``replace`` exactly (single-space joining would make
+``[a,a,a,a]`` merge only once: the shared middle space is consumed by
+the first match).  No regex, no lookarounds — the same expression runs
+verbatim in DuckDB for the oracle.
+
+Simplifications vs production BPE, documented: lowercase ``[a-z]+``
+words only (no byte fallback), no end-of-word marker.  Both are
+orthogonal to the distributed shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD_RE = "[a-z]+"
+
+
+def _adjacent_pairs(syms: Column) -> Column:
+    """array<struct<l,r>> of adjacent symbol pairs (empty for 1-symbol
+    words).  ``slice`` with length 0 yields [] — unlike ``sequence``,
+    which counts DOWN when stop < start and would fabricate pairs."""
+    n = F.size(syms)
+    return F.arrays_zip(
+        F.slice(syms, 1, n - 1).alias("l"), F.slice(syms, 2, n - 1).alias("r")
+    )
+
+
+def _syms(sym_str: Column) -> Column:
+    """Symbols of the padded double-space representation."""
+    return F.split(F.trim(sym_str), "  ")
+
+
+def bpe_word_freqs(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """``(word, freq, sym)``: the corpus word vocabulary with each word
+    pre-segmented into characters in the padded double-space encoding.
+    The ONLY corpus-scan pass of BPE training."""
+    words = df.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+        ).alias("word")
+    )
+    vocab = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != "")
+    return vocab.select(
+        "word",
+        "freq",
+        F.concat(F.lit(" "), F.array_join(chars, "  "), F.lit(" ")).alias("sym"),
+    )
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Frequency-weighted adjacent-pair counts over the vocabulary."""
+    pairs = vocab.select(
+        "freq", F.explode(_adjacent_pairs(_syms(F.col("sym")))).alias("p")
+    )
+    return pairs.groupBy(
+        F.col("p.l").alias("l"), F.col("p.r").alias("r")
+    ).agg(F.sum("freq").alias("cnt"))
+
+
+def _merge_once(vocab: DataFrame, l: str, r: str) -> DataFrame:
+    """Rewrite every word's segmentation with ``(l, r) -> lr`` merged."""
+    return vocab.withColumn(
+        "sym",
+        F.replace(
+            F.col("sym"), F.lit(f" {l}  {r} "), F.lit(f" {l}{r} ")
+        ),
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> DataFrame:
+    """Learn ``n_merges`` BPE merges; returns the merge table
+    ``(merge_rank, l, r, merged, pair_freq)`` — ``merge_rank`` is the
+    1-based merge order, ``pair_freq`` the frequency-weighted count the
+    pair had when chosen.  Argmax ties break (count desc, l asc, r asc)
+    so the table is fully deterministic.  Stops early if no pair is
+    left (tiny corpora)."""
+    spark = df.sparkSession
+    vocab = bpe_word_freqs(df, text_col).persist()
+    vocab.count()  # materialize the corpus pass once
+    merges: list[tuple[int, str, str, str, int]] = []
+    for i in range(1, n_merges + 1):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(F.desc("cnt"), F.asc("l"), F.asc("r"))
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
+        merges.append((i, l, r, l + r, cnt))
+        nxt = _merge_once(vocab, l, r).persist()
+        nxt.count()
+        vocab.unpersist(blocking=False)
+        vocab = nxt
+    vocab.unpersist(blocking=False)
+    return spark.createDataFrame(
+        merges, "merge_rank int, l string, r string, merged string, pair_freq bigint"
+    )
+
+
+def bpe_apply(
+    vocab: DataFrame, merges: list[tuple[str, str]]
+) -> DataFrame:
+    """Apply an ordered merge list to a ``(word, freq, sym)`` vocabulary
+    frame (chained column rewrites — one narrow projection, no loop
+    jobs); returns the frame with ``sym`` fully merged and a
+    ``segmented`` column (single-space-joined symbols) for output."""
+    out = vocab
+    for l, r in merges:
+        out = _merge_once(out, l, r)
+    return out.withColumn(
+        "segmented", F.array_join(_syms(F.col("sym")), " ")
+    )
+
+
+def bpe_train_and_segment(
+    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+) -> DataFrame:
+    """Train ``n_merges`` merges, then segment the vocabulary with them:
+    ``(word, freq, segmented)``.  The train loop re-derives the
+    vocabulary internally; segmentation reuses the same single corpus
+    pass."""
+    merge_rows = bpe_train(df, n_merges, text_col).collect()
+    vocab = bpe_word_freqs(df, text_col)
+    seg = bpe_apply(vocab, [(m["l"], m["r"]) for m in merge_rows])
+    return seg.select("word", "freq", "segmented")

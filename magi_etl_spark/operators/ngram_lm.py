@@ -1,0 +1,123 @@
+"""Corpus n-gram statistics and bigram-LM scoring.
+
+Extends the unigram quality proxy (``operators/text.py``
+``unigram_logprob_scores``) one order up: a bigram model separates
+"rare words" from "rare word ORDER" — word-salad spam scores near the
+unigram floor under a bigram model while fluent-but-niche text does
+not.  Same 100 TB shape as the unigram scorer: counts are
+map-side-combined aggregates over exploded tokens, the model tables are
+vocabulary-sized keyed frames joined back on the token keys, and
+nothing non-scalar is collected.
+
+Tokenization here is the deliberately simple lowercase ``[a-z]+`` used
+by the BPE trainer (``operators/bpe.py``) — self-contained so these
+modules do not perturb the gate-verified ``operators/text.py``
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD_RE = "[a-z]+"
+
+
+def _tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), 0)
+
+
+def _adjacent(toks: Column) -> Column:
+    n = F.size(toks)
+    return F.arrays_zip(
+        F.slice(toks, 1, n - 1).alias("l"), F.slice(toks, 2, n - 1).alias("r")
+    )
+
+
+def doc_bigrams(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """One row per (document, adjacent token pair): ``id_col, l, r``.
+    Documents with fewer than two tokens emit nothing."""
+    return df.select(
+        F.col(id_col),
+        F.explode(_adjacent(_tokens(F.col(text_col)))).alias("p"),
+    ).select(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+
+
+def bigram_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """Mean per-bigram conditional log probability under the corpus's
+    own add-``smoothing`` bigram model:
+
+        p(r | l) = (c(l, r) + s) / (c_left(l) + s * V)
+
+    where ``c(l, r)`` is the corpus bigram count, ``c_left(l)`` the
+    count of occurrences of ``l`` WITH a successor (so the conditional
+    sums to 1 over the vocabulary), and ``V`` the unigram vocabulary
+    size.  Output ``id_col, n_bigrams, mean_logprob``; documents with
+    fewer than two tokens are dropped.
+
+    Scale: bigram model = one keyed aggregate (|bigram types| rows);
+    left totals ride the same frame re-aggregated; the doc stream joins
+    on the (l, r) key — all keyed shuffles, V is a broadcast scalar."""
+    bg = doc_bigrams(df, id_col, text_col)
+    model = bg.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
+    left_tot = model.groupBy("l").agg(F.sum("c_lr").alias("c_l"))
+    v = df.select(
+        F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).agg(F.count_distinct("tok").alias("v_size"))
+    scored = (
+        bg.join(model, ["l", "r"])
+        .join(left_tot, "l")
+        .join(F.broadcast(v))
+        .select(
+            F.col(id_col),
+            F.log(
+                (F.col("c_lr") + F.lit(smoothing))
+                / (F.col("c_l") + F.lit(smoothing) * F.col("v_size"))
+            ).alias("_lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("_lp").alias("mean_logprob"),
+    )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 3,
+    k: int = 25,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The corpus's ``k`` most frequent word ``n``-grams:
+    ``(ngram, n_occurrences, doc_freq)``, ranked (count desc, ngram
+    asc) for a deterministic cut.  The boilerplate/contamination recon
+    pass: chart-topping n-grams are headers, license tails, and
+    template fragments.
+
+    Shape: explode to (doc, ngram) rows, ONE aggregate computing both
+    the occurrence count and the distinct-document count, distributed
+    top-k via TakeOrdered (orderBy+limit) — no window, no collect."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    toks = _tokens(F.col(text_col))
+    size = F.size(toks)
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(size - F.lit(n - 1), F.lit(0))),
+        lambda x, i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    rows = df.select(
+        F.col(id_col), F.explode(grams).alias("ngram")
+    )
+    agg = rows.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.count_distinct(id_col).alias("doc_freq"),
+    )
+    return agg.orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(k)

@@ -1,0 +1,249 @@
+"""STAGED r6 gate queries over the round-5 operator additions.
+
+Same staging pattern the r4→r5 rotation proved out
+(``queries/extensions.py``): the r5 driver window is full and
+pre-committed, and the gate-window invariant test refuses
+never-verified queries outside it — so new operators land here, in a
+SEPARATE registry (``EXT2_QUERIES`` / ``EXT2_ORACLE``) that
+``__spark_entry__.queries()`` does NOT include yet, with the driver's
+own hash comparison run over every entry each suite run
+(tests/test_extensions_r5.py).  At the r6 rotation these merge into
+the main registry verbatim.
+
+The BPE oracles use the same two devices the q116 PageRank oracle
+established: iteration unrolled as chained CTEs (one pair-count /
+argmax / rewrite triple per merge) and ``AS MATERIALIZED`` on every
+CTE — DuckDB inlines CTEs by default, and the per-iteration
+self-reference would otherwise expand exponentially.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from magi_etl_spark.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+EXT2_QUERIES: dict[str, QueryFn] = {}
+EXT2_ORACLE: dict[str, str] = {}
+
+
+def ext2_query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        EXT2_QUERIES[name] = fn
+        if oracle is not None:
+            EXT2_ORACLE[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared oracle CTE: the corpus word vocabulary in the padded
+# double-space character segmentation (operators/bpe.py encoding).
+_BPE_W0 = """
+    w0 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+               ' ' || array_to_string(
+                   list_transform(range(1, length(word) + 1),
+                                  i -> word[i]), '  ') || ' ' AS sym
+        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+              FROM documents)
+        GROUP BY word
+    )"""
+
+
+def _bpe_iter_ctes(n_merges: int) -> str:
+    """One (pair-count, argmax, rewrite) CTE triple per merge."""
+    blocks = []
+    prev = "w0"
+    for i in range(1, n_merges + 1):
+        blocks.append(
+            f"""
+    pc{i} AS MATERIALIZED (
+        SELECT syms[j] AS l, syms[j + 1] AS r, SUM(freq) AS cnt
+        FROM (SELECT freq, string_split(trim(sym), '  ') AS syms FROM {prev}),
+             LATERAL unnest(range(1, len(syms))) AS t(j)
+        GROUP BY 1, 2
+    ),
+    best{i} AS MATERIALIZED (
+        SELECT l, r, cnt FROM pc{i} ORDER BY cnt DESC, l, r LIMIT 1
+    ),
+    w{i} AS MATERIALIZED (
+        SELECT w.word, w.freq,
+               replace(w.sym, ' ' || b.l || '  ' || b.r || ' ',
+                       ' ' || b.l || b.r || ' ') AS sym
+        FROM {prev} w CROSS JOIN best{i} b
+    )"""
+        )
+        prev = f"w{i}"
+    return ",".join(blocks)
+
+
+def _bpe_merges_oracle(n_merges: int) -> str:
+    finals = "\n    UNION ALL\n".join(
+        f"    SELECT {i} AS merge_rank, l, r, l || r AS merged, "
+        f"CAST(cnt AS BIGINT) AS pair_freq FROM best{i}"
+        for i in range(1, n_merges + 1)
+    )
+    return f"""
+    WITH {_BPE_W0},{_bpe_iter_ctes(n_merges)}
+{finals}
+    """
+
+
+@ext2_query("q117_bpe_merges", oracle=_bpe_merges_oracle(10))
+def q117_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training, first 10 merges: the corpus
+    is scanned ONCE into a frequency-weighted word vocabulary; each
+    merge is a pair-count aggregate over the |V|-row vocabulary, a
+    deterministic argmax (count desc, pair asc), and a symbol-string
+    rewrite via the double-space ``replace`` encoding that makes greedy
+    non-overlapping merge semantics engine-portable.  The oracle
+    unrolls the identical 10 iterations as MATERIALIZED SQL CTEs."""
+    from magi_etl_spark.operators.bpe import bpe_train
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_train(d, n_merges=10)
+
+
+def _bpe_segment_oracle(n_merges: int) -> str:
+    return f"""
+    WITH {_BPE_W0},{_bpe_iter_ctes(n_merges)}
+    SELECT word, freq,
+           array_to_string(string_split(trim(sym), '  '), ' ') AS segmented
+    FROM w{n_merges}
+    """
+
+
+@ext2_query("q118_bpe_segment", oracle=_bpe_segment_oracle(10))
+def q118_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The apply side of BPE: train 10 merges, then segment the whole
+    word vocabulary with them (chained column rewrites, one narrow
+    projection).  Output is every word's final segmentation — a green
+    row certifies train AND apply end to end against the unrolled
+    oracle."""
+    from magi_etl_spark.operators.bpe import bpe_train_and_segment
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_train_and_segment(d, n_merges=10)
+
+
+@ext2_query(
+    "q119_bigram_logprob",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
+        FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, tk[j] AS l, tk[j + 1] AS r
+        FROM toks, LATERAL unnest(range(1, len(tk))) AS t(j)
+    ),
+    model AS MATERIALIZED (
+        SELECT l, r, COUNT(*) AS c_lr FROM bg GROUP BY 1, 2
+    ),
+    left_tot AS MATERIALIZED (
+        SELECT l, SUM(c_lr) AS c_l FROM model GROUP BY 1
+    ),
+    v AS MATERIALIZED (
+        SELECT COUNT(DISTINCT tok) AS v_size
+        FROM (SELECT unnest(tk) AS tok FROM toks)
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln((m.c_lr + 0.5) / (lt.c_l + 0.5 * v.v_size))), 6)
+               AS mean_logprob
+    FROM bg b
+    JOIN model m ON b.l = m.l AND b.r = m.r
+    JOIN left_tot lt ON b.l = lt.l
+    CROSS JOIN v
+    GROUP BY b.doc_id
+    """,
+)
+def q119_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM fluency scoring: mean conditional log probability of
+    each document's adjacent word pairs under the corpus's own
+    add-0.5-smoothed bigram model — the order-sensitive upgrade of the
+    q109 unigram proxy (word salad scores at the floor here even when
+    its unigrams are common).  Model tables are keyed aggregates joined
+    back on the bigram key; V rides as a broadcast scalar."""
+    from magi_etl_spark.operators.ngram_lm import bigram_logprob_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    out = bigram_logprob_scores(d, "doc_id", "text", smoothing=0.5)
+    return out.select(
+        "doc_id", "n_bigrams", F.round("mean_logprob", 6).alias("mean_logprob")
+    )
+
+
+@ext2_query(
+    "q120_top_ngrams",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
+        FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, tk[j] || ' ' || tk[j + 1] || ' ' || tk[j + 2] AS ngram
+        FROM toks, LATERAL unnest(range(1, len(tk) - 1)) AS t(j)
+    )
+    SELECT ngram,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS doc_freq
+    FROM grams
+    GROUP BY ngram
+    ORDER BY n_occurrences DESC, ngram
+    LIMIT 25
+    """,
+)
+def q120_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-25 word trigrams with document frequency — the
+    boilerplate/contamination recon pass (chart-topping n-grams are
+    headers, license tails, template fragments).  One aggregate
+    computes occurrence and distinct-document counts together; the cut
+    is a distributed TakeOrdered on (count desc, ngram asc)."""
+    from magi_etl_spark.operators.ngram_lm import top_ngrams
+
+    d = load_table(spark, sf_dir, "documents")
+    return top_ngrams(d, n=3, k=25)
+
+
+@ext2_query(
+    "q121_oot_split",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn,
+               COUNT(*) OVER (PARTITION BY user_id) AS n
+        FROM events
+    )
+    SELECT user_id,
+           CASE WHEN rn * 100 <= n * 80 THEN 'train' ELSE 'test' END AS split,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+               AS value_cents
+    FROM ranked
+    GROUP BY 1, 2
+    """,
+)
+def q121_oot_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-time 80/20 split per user: each user's earliest 80% of
+    events (by ts, tie-broken by event_id) train, the rest test —
+    leakage-impossible evaluation for temporal models, where the
+    hash-split (q84) would leak the future.  The boundary test is
+    integer-exact (rn*100 <= n*80), so no float boundary can disagree
+    between engines.  Output: per (user, split) event counts and
+    cent-exact value sums."""
+    from magi_etl_spark.operators.splits import out_of_time_split
+
+    e = load_table(spark, sf_dir, "events")
+    s = out_of_time_split(e, ["user_id"], "ts", "event_id", train_pct=80)
+    return s.groupBy("user_id", "split").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
+    )
