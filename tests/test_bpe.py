@@ -145,3 +145,22 @@ def test_top_ngrams_counts_and_cut(spark):
         "the quick fox", 3, 2,
     )
     assert rows[1]["n_occurrences"] <= 3
+
+
+def test_bpe_iteration_plan_shape(spark):
+    """The merge loop's per-iteration plans, not the tiny output frame:
+    the pair-count aggregate is a keyed shuffle (lint-clean) and the
+    argmax compiles to a distributed TakeOrderedAndProject — never a
+    global sort through one partition."""
+    from magi_etl_spark.operators.bpe import _pair_counts, bpe_word_freqs
+    from magi_etl_spark.plans import lint
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TEXTS)], "doc_id int, text string"
+    )
+    pc = _pair_counts(bpe_word_freqs(df))
+    assert not [f for f in lint(pc) if f.severity == "error"]
+    argmax = pc.orderBy(F.desc("cnt"), F.asc("l"), F.asc("r")).limit(1)
+    plan = argmax._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert not [f for f in lint(argmax) if f.severity == "error"]

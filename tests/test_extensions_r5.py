@@ -43,3 +43,19 @@ def test_staged_query_matches_oracle(spark, sf_dir, con, name):
     ext_q, ext_o = _ext2()
     ok, msg = compare(ext_q[name](spark, sf_dir), con, ext_o[name])
     assert ok, f"{name}: {msg}"
+
+
+def test_staged_queries_are_lint_clean(spark, sf_dir):
+    """The r4 VERDICT's staged-lint discipline: q117-q121 pass the plan
+    linter BEFORE they enter the gate (q117/q118 return driver-built
+    merge tables — their per-iteration plans are asserted separately in
+    tests/test_bpe.py::test_bpe_iteration_plan_shape)."""
+    from magi_etl_spark.plans import lint
+
+    ext_q, _ = _ext2()
+    errors = {}
+    for name, fn in ext_q.items():
+        errs = [f for f in lint(fn(spark, sf_dir)) if f.severity == "error"]
+        if errs:
+            errors[name] = [f.rule for f in errs]
+    assert not errors, errors

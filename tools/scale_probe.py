@@ -240,6 +240,34 @@ def main() -> None:
 
         return run
 
+    def bpe(d):
+        from magi_etl_spark.operators.bpe import bpe_train
+
+        # merge loop cost rides the WORD VOCABULARY, not the corpus —
+        # replication multiplies word frequencies but adds few new
+        # words, so runtime should be nearly flat in N (the corpus-scan
+        # word-count pass is the only linear term)
+        return lambda: bpe_train(d, n_merges=5)
+
+    def bigram(d):
+        from magi_etl_spark.operators.ngram_lm import bigram_logprob_scores
+
+        return lambda: bigram_logprob_scores(d, "doc_id", "text")
+
+    def ngrams(d):
+        from magi_etl_spark.operators.ngram_lm import top_ngrams
+
+        return lambda: top_ngrams(d, n=3, k=25)
+
+    def oot(e):
+        from magi_etl_spark.operators.splits import out_of_time_split
+
+        def run():
+            s = out_of_time_split(e, ["user_id"], "ts", "event_id", 80)
+            return s.groupBy("user_id", "split").agg(F.count("*").alias("n"))
+
+        return run
+
     def fuzzy(p):
         # linkage shape: N part rows against a FIXED 64-name dictionary —
         # candidates grow linearly with the big side
@@ -277,6 +305,10 @@ def main() -> None:
         ("unigram_lm", unigram(docs1), unigram(docsN)),
         ("tfidf_keywords", tfidf(docs1), tfidf(docsN)),
         ("curation", curation(docs1), curation(docsN)),
+        ("bpe_train", bpe(docs1), bpe(docsN)),
+        ("bigram_lm", bigram(docs1), bigram(docsN)),
+        ("top_ngrams", ngrams(docs1), ngrams(docsN)),
+        ("oot_split", oot(events1), oot(eventsN)),
     ):
         if only is not None and label not in only:
             continue
