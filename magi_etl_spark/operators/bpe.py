@@ -158,3 +158,83 @@ def bpe_train_and_segment(
     vocab = bpe_word_freqs(df, text_col)
     seg = bpe_apply(vocab, [(m["l"], m["r"]) for m in merge_rows])
     return seg.select("word", "freq", "segmented")
+
+
+def bpe_symbol_vocab(segmented: DataFrame) -> DataFrame:
+    """``(symbol, symbol_id, n_words)`` from a segmented vocabulary
+    frame: ids number the distinct symbols in lexicographic order,
+    ``n_words`` counts the distinct words whose segmentation uses the
+    symbol.  The symbol set is |alphabet| + |merges| rows by
+    construction — collected and renumbered driver-side (the centroid-
+    seed idiom), which keeps the plan free of the single-partition
+    global-rank window a distributed renumbering would need."""
+    spark = segmented.sparkSession
+    syms = (
+        segmented.select(
+            "word", F.explode(_syms(F.col("sym"))).alias("symbol")
+        )
+        .groupBy("symbol")
+        .agg(F.count_distinct("word").alias("n_words"))
+        .orderBy("symbol")
+        .collect()
+    )
+    return spark.createDataFrame(
+        [(r["symbol"], i, int(r["n_words"])) for i, r in enumerate(syms)],
+        "symbol string, symbol_id int, n_words bigint",
+    )
+
+
+def bpe_encode_docs(
+    df: DataFrame,
+    n_merges: int = 10,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize the CORPUS with a freshly trained BPE model:
+    ``(id_col, n_words, n_tokens, token_ids)`` where ``token_ids`` is
+    the document's full symbol-id sequence in reading order — the
+    output shape sequence packing (``operators/packing.py``) consumes.
+
+    Scale shape: training rides the word vocabulary (see
+    ``bpe_train``); encoding is the word-vocabulary segmentation
+    JOINED back to the exploded token stream on the word key (the
+    standard tokenizer-cache trick: each distinct word is segmented
+    once, not once per occurrence), then one per-document ordered
+    re-aggregation.  The symbol table is broadcast-sized by
+    construction.
+
+    The symbol-id vocab ranks over ``bpe_symbol_vocab`` — note its
+    single-partition ``dense_rank`` window is safe ONLY because the
+    symbol table is |alphabet|+|merges| rows; corpus-sized frames must
+    use the range-partitioned prefix-sum rank instead."""
+    merges = bpe_train(df, n_merges, text_col)
+    merge_list = [(m["l"], m["r"]) for m in merges.collect()]
+    vocab = bpe_apply(bpe_word_freqs(df, text_col), merge_list)
+    symtab = bpe_symbol_vocab(vocab)
+    seg = vocab.select("word", _syms(F.col("sym")).alias("word_syms"))
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(_WORD_RE), 0)
+        ).alias("pos", "word"),
+    )
+    flat = (
+        toks.join(seg, "word")
+        .select(
+            id_col,
+            "pos",
+            F.posexplode(F.col("word_syms")).alias("k", "symbol"),
+        )
+        .join(F.broadcast(symtab.select("symbol", "symbol_id")), "symbol")
+    )
+    ordered = F.transform(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "k", "symbol_id"))
+        ),
+        lambda s: s["symbol_id"],
+    )
+    return flat.groupBy(id_col).agg(
+        F.count_distinct("pos").alias("n_words"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        ordered.alias("token_ids"),
+    )

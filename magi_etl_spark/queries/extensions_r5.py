@@ -247,3 +247,55 @@ def q121_oot_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("value_cents"),
     )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    return f"""
+    WITH {_BPE_W0},{_bpe_iter_ctes(n_merges)},
+    seg AS MATERIALIZED (
+        SELECT word, string_split(trim(sym), '  ') AS ws FROM w{n_merges}
+    ),
+    symtab AS MATERIALIZED (
+        SELECT symbol,
+               CAST(row_number() OVER (ORDER BY symbol) - 1 AS INTEGER)
+                   AS symbol_id
+        FROM (SELECT DISTINCT unnest(ws) AS symbol FROM seg)
+    ),
+    doc_toks AS MATERIALIZED (
+        SELECT doc_id, j AS pos, tk[j] AS word
+        FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
+              FROM documents),
+             LATERAL unnest(range(1, len(tk) + 1)) AS t(j)
+    ),
+    flat AS MATERIALIZED (
+        SELECT d.doc_id, d.pos, t2.k, st.symbol_id
+        FROM doc_toks d
+        JOIN seg s ON d.word = s.word,
+        LATERAL unnest(range(1, len(s.ws) + 1)) AS t2(k),
+        symtab st
+        WHERE s.ws[t2.k] = st.symbol
+    )
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_words,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           list(symbol_id ORDER BY pos, k) AS token_ids
+    FROM flat GROUP BY doc_id
+    """
+
+
+@ext2_query("q122_bpe_encode_docs", oracle=_bpe_encode_oracle(10))
+def q122_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end distributed tokenization: train 10 BPE merges, number
+    the surviving symbols lexicographically, and encode EVERY document
+    as its symbol-id sequence in reading order — the input shape
+    sequence packing (q57) consumes.  Encoding uses the tokenizer-cache
+    trick: each distinct WORD is segmented once in the vocabulary frame
+    and joined back to the exploded token stream on the word key, so
+    per-occurrence work is a join probe, not a re-segmentation; the
+    symbol table rides as a broadcast.  The oracle replays train +
+    number + encode from scratch in SQL, ordered-list aggregation
+    included."""
+    from magi_etl_spark.operators.bpe import bpe_encode_docs
+
+    d = load_table(spark, sf_dir, "documents")
+    return bpe_encode_docs(d, n_merges=10)

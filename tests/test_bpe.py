@@ -164,3 +164,23 @@ def test_bpe_iteration_plan_shape(spark):
     plan = argmax._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert not [f for f in lint(argmax) if f.severity == "error"]
+
+
+def test_bpe_encode_docs_matches_reference(spark):
+    from magi_etl_spark.operators.bpe import bpe_encode_docs
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TEXTS)], "doc_id int, text string"
+    )
+    got = {r["doc_id"]: r for r in bpe_encode_docs(df, n_merges=4).collect()}
+    _, ref_vocab = _ref_bpe(_TEXTS, 4)
+    seg = {"".join(s): list(s) for s in ref_vocab}
+    symbols = sorted({x for s in ref_vocab for x in s})
+    sid = {s: i for i, s in enumerate(symbols)}
+    for doc_id, text in enumerate(_TEXTS):
+        words = re.findall(r"[a-z]+", text.lower())
+        want_ids = [sid[x] for w in words for x in seg[w]]
+        r = got[doc_id]
+        assert r["n_words"] == len(words)
+        assert r["n_tokens"] == len(want_ids)
+        assert list(r["token_ids"]) == want_ids
