@@ -345,3 +345,36 @@ def sample_frames(
             )
 
     return grid.mapInPandas(run, schema=out_schema)
+
+
+def synthesize_test_images(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """``(media_id, media_type, payload)``: one REAL grayscale PNG per
+    input id, pixels generated by a closed-form formula of the id —
+    ``width = 4 + id % 5``, ``height = 3 + id % 4``, ``sample[k] =
+    (id * 31 + k * 7) % 256``.  Built distributed via Arrow-batched
+    mapInPandas (the encode cost scales out with the ids), and because
+    the pixel law is closed-form, a SQL oracle can predict the decoded
+    feature vector without any codec — which is exactly how the q123
+    gate query hash-checks the REAL png_encode → png_decode → feature
+    path end to end."""
+    out_schema = "media_id long, media_type string, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                w, h = 4 + i % 5, 3 + i % 4
+                samples = bytes((i * 31 + k * 7) % 256 for k in range(w * h))
+                payloads.append(png_encode(w, h, 1, samples))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media_type": "image",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(run, schema=out_schema)

@@ -299,3 +299,59 @@ def q122_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return bpe_encode_docs(d, n_merges=10)
+
+
+@ext2_query(
+    "q123_multimodal_features",
+    oracle="""
+    WITH dims AS MATERIALIZED (
+        SELECT doc_id,
+               4 + doc_id % 5 AS width,
+               3 + doc_id % 4 AS height
+        FROM documents
+    ),
+    px AS MATERIALIZED (
+        SELECT doc_id, width, height,
+               SUM((doc_id * 31 + k * 7) % 256) AS pxsum,
+               COUNT(*) AS n
+        FROM dims, LATERAL unnest(range(0, width * height)) AS t(k)
+        GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           1 AS channels,
+           CAST(n AS BIGINT) AS n_samples,
+           ROUND(CAST(pxsum AS DOUBLE) / n / 255.0, 6) AS mean_c0
+    FROM px
+    """,
+)
+def q123_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal path's first hash-level gate: one REAL grayscale
+    PNG per document is synthesized DISTRIBUTED from a closed-form
+    pixel law (Arrow-batched mapInPandas + the stdlib zlib/CRC PNG
+    encoder), pushed through the real PNG decoder and feature
+    extractor, and the decoded (width, height, channels, sample count,
+    channel mean) must equal what the oracle predicts from the pixel
+    law ARITHMETICALLY — SQL never touches a codec, so a green row
+    certifies the whole binary-column round trip: encode, Arrow binary
+    transfer, decode, per-channel reduction.  The WAV/audio and
+    frame-sampling legs stay pytest-covered
+    (tests/test_enrich_multimodal_streaming.py)."""
+    from magi_etl_spark.operators.multimodal import (
+        extract_features,
+        synthesize_test_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_test_images(d, "doc_id")
+    feats = extract_features(media, on_error="raise")
+    f = F.col("features")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.element_at(f, 1).cast("int").alias("width"),
+        F.element_at(f, 2).cast("int").alias("height"),
+        F.element_at(f, 3).cast("int").alias("channels"),
+        F.element_at(f, 4).cast("long").alias("n_samples"),
+        F.round(F.element_at(f, 5), 6).alias("mean_c0"),
+    )

@@ -184,3 +184,28 @@ def test_bpe_encode_docs_matches_reference(spark):
         assert r["n_words"] == len(words)
         assert r["n_tokens"] == len(want_ids)
         assert list(r["token_ids"]) == want_ids
+
+
+def test_synthesized_pngs_roundtrip_the_real_codec(spark):
+    """The q123 synthesis helper emits REAL PNGs: decode one locally
+    and check the pixel law, then confirm the distributed feature path
+    agrees."""
+    from magi_etl_spark.operators.multimodal import (
+        extract_features,
+        png_decode,
+        synthesize_test_images,
+    )
+
+    ids = spark.createDataFrame([(7,), (12,)], "doc_id long")
+    rows = {r["media_id"]: r for r in synthesize_test_images(ids).collect()}
+    w, h, ch, samples = png_decode(bytes(rows[7]["payload"]))
+    assert (w, h, ch) == (4 + 7 % 5, 3 + 7 % 4, 1)
+    assert list(samples) == [(7 * 31 + k * 7) % 256 for k in range(w * h)]
+    feats = {
+        r["media_id"]: r["features"]
+        for r in extract_features(
+            synthesize_test_images(ids), on_error="raise"
+        ).collect()
+    }
+    assert feats[7][:4] == [float(w), float(h), 1.0, float(w * h)]
+    assert feats[7][4] == pytest.approx(sum(samples) / len(samples) / 255.0)
