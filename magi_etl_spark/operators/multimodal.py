@@ -378,3 +378,35 @@ def synthesize_test_images(
             )
 
     return ids.select(id_col).mapInPandas(run, schema=out_schema)
+
+
+def synthesize_test_audio(
+    ids: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """``(media_id, media_type, payload)``: one REAL mono 16-bit PCM
+    WAV per input id — ``rate = 8000 + (id % 4) * 4000``, ``n_frames =
+    50 + id % 20``, integer sample ``s[k] = ((id * 37 + k * 11) % 4096)
+    - 2048`` stored as amplitude ``s[k] / 32768`` (dyadic, so the
+    encode→decode round trip is bit-exact and a SQL oracle can predict
+    every decoded feature arithmetically — the audio twin of
+    ``synthesize_test_images``)."""
+    out_schema = "media_id long, media_type string, payload binary"
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                i = int(i)
+                rate = 8000 + (i % 4) * 4000
+                n = 50 + i % 20
+                ch = [((i * 37 + k * 11) % 4096 - 2048) / 32768.0 for k in range(n)]
+                payloads.append(wav_encode(rate, [ch], bits=16))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf[id_col].astype("int64"),
+                    "media_type": "audio",
+                    "payload": payloads,
+                }
+            )
+
+    return ids.select(id_col).mapInPandas(run, schema=out_schema)

@@ -355,3 +355,71 @@ def q123_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(f, 4).cast("long").alias("n_samples"),
         F.round(F.element_at(f, 5), 6).alias("mean_c0"),
     )
+
+
+@ext2_query(
+    "q124_audio_features",
+    oracle="""
+    WITH params AS MATERIALIZED (
+        SELECT doc_id,
+               8000 + (doc_id % 4) * 4000 AS rate,
+               50 + doc_id % 20 AS n_frames
+        FROM documents
+    ),
+    samp AS MATERIALIZED (
+        SELECT doc_id, rate, n_frames, k,
+               (doc_id * 37 + k * 11) % 4096 - 2048 AS s
+        FROM params, LATERAL unnest(range(0, n_frames)) AS t(k)
+    ),
+    stats AS MATERIALIZED (
+        SELECT doc_id, rate, n_frames,
+               SUM(CAST(s AS DOUBLE) * s / 1073741824.0) AS sumsq,
+               MAX(ABS(s)) AS maxabs,
+               SUM(CASE WHEN k < n_frames - 1
+                        AND ((s >= 0) <> (((doc_id * 37 + (k + 1) * 11) % 4096
+                                           - 2048) >= 0))
+                        THEN 1 ELSE 0 END) AS crossings
+        FROM samp GROUP BY 1, 2, 3
+    )
+    SELECT doc_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           1 AS channels,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           ROUND(CAST(n_frames AS DOUBLE) / rate, 6) AS duration_sec,
+           ROUND(sqrt(sumsq / n_frames), 6) AS rms_c0,
+           ROUND(CAST(maxabs AS DOUBLE) / 32768.0, 6) AS peak,
+           ROUND(CAST(crossings AS DOUBLE) / (n_frames - 1), 6) AS zcr
+    FROM stats
+    """,
+)
+def q124_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audio twin of q123: real mono 16-bit PCM WAVs synthesized
+    distributed from a closed-form integer sample law (amplitudes are
+    dyadic rationals, so encode→decode is bit-exact), decoded by the
+    real RIFF/WAVE chunk-walk decoder, reduced to clip-level corpus-
+    filter stats (rate, frames, duration, RMS, peak, zero-crossing
+    rate) — all predicted arithmetically by the oracle.  A green row
+    certifies the audio binary round trip the same way q123 certifies
+    the image one."""
+    from magi_etl_spark.operators.multimodal import (
+        extract_features,
+        real_audio_decode,
+        synthesize_test_audio,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    media = synthesize_test_audio(d, "doc_id")
+    feats = extract_features(
+        media, decoder=real_audio_decode, media_type="audio", on_error="raise"
+    )
+    f = F.col("features")
+    return feats.select(
+        F.col("media_id").alias("doc_id"),
+        F.element_at(f, 1).cast("int").alias("sample_rate"),
+        F.element_at(f, 2).cast("int").alias("channels"),
+        F.element_at(f, 3).cast("long").alias("n_frames"),
+        F.round(F.element_at(f, 4), 6).alias("duration_sec"),
+        F.round(F.element_at(f, 5), 6).alias("rms_c0"),
+        F.round(F.element_at(f, 7), 6).alias("peak"),
+        F.round(F.element_at(f, 8), 6).alias("zcr"),
+    )
