@@ -423,3 +423,94 @@ def q124_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at(f, 7), 6).alias("peak"),
         F.round(F.element_at(f, 8), 6).alias("zcr"),
     )
+
+
+@ext2_query(
+    "q125_enrich_summary",
+    oracle="""
+    WITH h AS MATERIALIZED (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS hex
+        FROM documents
+    ),
+    oddmap AS MATERIALIZED (
+        SELECT doc_id, hex,
+               substr(hex, 1, 1) IN ('1','3','5','7','9','b','d','f') AS f1,
+               substr(hex, 2, 1) IN ('1','3','5','7','9','b','d','f') AS f2,
+               substr(hex, 3, 1) IN ('1','3','5','7','9','b','d','f') AS f3,
+               substr(hex, 4, 1) IN ('1','3','5','7','9','b','d','f') AS f4,
+               substr(hex, 5, 1) IN ('1','3','5','7','9','b','d','f') AS f5
+        FROM h
+    )
+    SELECT doc_id,
+           'Summary of ' || CAST(doc_id AS VARCHAR) AS ai_summary,
+           'No notable news for ' || CAST(doc_id AS VARCHAR) AS ai_news,
+           'franchise_' || substr(hex, 1, 2) AS ai_franchise,
+           '{' || '''roblox'': '       || CASE WHEN f1 THEN 'True' ELSE 'False' END
+               || ', ''illegal'': '    || CASE WHEN f2 THEN 'True' ELSE 'False' END
+               || ', ''kids'': '       || CASE WHEN f3 THEN 'True' ELSE 'False' END
+               || ', ''nsfw'': '       || CASE WHEN f4 THEN 'True' ELSE 'False' END
+               || ', ''ai_generated'': ' || CASE WHEN f5 THEN 'True' ELSE 'False' END
+               || '}' AS ai_flags
+    FROM oddmap
+    """,
+)
+def q125_enrich_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LLM-enrichment stage (reference F3) through its REAL
+    execution path — Arrow-batched mapInPandas with batch-level rate
+    limiting — driven by the deterministic md5-derived fake transport,
+    so the DuckDB oracle can reproduce every output string (md5 is
+    md5 in both engines; flag booleans are hex-digit parity).  A green
+    row certifies the enrichment plumbing: batching, schema append,
+    one-row-per-input discipline, the reference's python-dict flag
+    format."""
+    from magi_etl_spark.operators.enrich import (
+        AI_SCHEMA_SUFFIX,
+        enrich_with,
+        fake_media_summary,
+    )
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    return enrich_with(d, fake_media_summary, AI_SCHEMA_SUFFIX)
+
+
+@ext2_query(
+    "q126_enrich_poster",
+    oracle="""
+    SELECT doc_id,
+           'https://img.example.org/doc/' || CAST(doc_id AS VARCHAR)
+               || '/poster.png' AS poster_url
+    FROM documents
+    WHERE doc_id % 7 <> 0
+    """,
+)
+def q126_enrich_poster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scrape-enrichment stage (reference F4: og:image poster
+    lookup) with the HTTP transport injected as a deterministic fake:
+    docs whose id is divisible by 7 serve HTML WITHOUT the og:image
+    meta tag (extraction must yield NULL), the rest serve a page whose
+    og:image URL is a pure function of the id.  The output filters to
+    the found posters; the oracle predicts them directly.  Certifies
+    the injected-transport plumbing and the real regex meta-tag
+    extraction — including the miss path."""
+    from magi_etl_spark.operators.enrich import enrich_with, make_poster_enricher
+
+    def fetch_html(url: str) -> str:
+        doc_id = int(url.rsplit("/", 1)[-1])
+        if doc_id % 7 == 0:
+            return "<html><head><title>no poster here</title></head></html>"
+        return (
+            "<html><head><meta property=\"og:image\" "
+            f"content=\"https://img.example.org/doc/{doc_id}/poster.png\"/>"
+            "</head></html>"
+        )
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.lit("https://docs.example.org/"), F.col("doc_id")).alias("url"),
+    )
+    enriched = enrich_with(
+        d, make_poster_enricher(fetch_html), "poster_url string"
+    )
+    return enriched.where(F.col("poster_url").isNotNull()).select(
+        "doc_id", "poster_url"
+    )
