@@ -1,0 +1,141 @@
+"""Data-selection scoring: DSIR-style importance weights and n-gram
+novelty.
+
+``dsir_scores`` implements the hashed n-gram importance-resampling
+estimator (Xie et al. 2023, "Data Selection for Language Models via
+Importance Resampling"): features are words hashed into ``n_buckets``
+buckets, a target corpus and the raw corpus each induce a smoothed
+bucket distribution, and a document's score is the mean log-likelihood
+ratio of its tokens — high scores mean "looks like the target domain".
+Selection is then a threshold or weighted sample over the scores.
+
+Scale shape: two bucket histograms (map-side-combined aggregates over
+exploded tokens; the bucket table is ``n_buckets`` rows — broadcast by
+construction), the token stream joined to the 256-row ratio table on
+the bucket key, one per-document mean.  Nothing collected; the hash is
+md5-prefix arithmetic so a SQL oracle reproduces it digit by digit.
+
+``ngram_novelty`` scores how much of a document is corpus-unique: the
+fraction of its distinct n-grams appearing in no other document — the
+complement of the boilerplate signal (q120's top n-grams), useful as a
+diversity objective during selection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_WORD_RE = "[a-z]+"
+_HEX = "0123456789abcdef"
+
+
+def _tokens(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), 0)
+
+
+def _bucket(col: Column, n_buckets: int = 256) -> Column:
+    """Hash a string into [0, n_buckets): the first two md5 hex digits
+    read positionally (engine-portable — no hex-cast differences),
+    modulo ``n_buckets``."""
+    h = F.md5(col)
+    d1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    d2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return (d1 * 16 + d2) % n_buckets
+
+
+def dsir_scores(
+    raw: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_buckets: int = 256,
+    smoothing: float = 0.5,
+) -> DataFrame:
+    """``(id_col, n_tokens, dsir_score)`` for every document of ``raw``
+    with at least one token: the mean over tokens of
+    ``ln(p_target(bucket) / p_raw(bucket))`` under add-``smoothing``
+    bucket distributions.  Positive = target-like."""
+    def hist(df: DataFrame, name: str) -> DataFrame:
+        toks = df.select(
+            F.explode(_tokens(F.col(text_col))).alias("tok")
+        ).select(_bucket(F.col("tok"), n_buckets).alias("bucket"))
+        return toks.groupBy("bucket").agg(F.count(F.lit(1)).alias(name))
+
+    t = hist(target, "c_t")
+    r = hist(raw, "c_r")
+    # outer join over the bucket domain: absent buckets get count 0
+    spark = raw.sparkSession
+    domain = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
+    ratio = (
+        domain.join(t, "bucket", "left")
+        .join(r, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("c_t"), F.lit(0)).alias("c_t"),
+            F.coalesce(F.col("c_r"), F.lit(0)).alias("c_r"),
+        )
+    )
+    tot = ratio.agg(
+        F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r")
+    )
+    w = ratio.join(F.broadcast(tot)).select(
+        "bucket",
+        (
+            F.log(
+                (F.col("c_t") + F.lit(smoothing))
+                / (F.col("n_t") + F.lit(smoothing) * F.lit(float(n_buckets)))
+            )
+            - F.log(
+                (F.col("c_r") + F.lit(smoothing))
+                / (F.col("n_r") + F.lit(smoothing) * F.lit(float(n_buckets)))
+            )
+        ).alias("w"),
+    )
+    stream = raw.select(
+        F.col(id_col), F.explode(_tokens(F.col(text_col))).alias("tok")
+    ).select(id_col, _bucket(F.col("tok"), n_buckets).alias("bucket"))
+    return (
+        stream.join(F.broadcast(w), "bucket")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.avg("w").alias("dsir_score"),
+        )
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``(id_col, n_distinct_grams, novel_frac)``: the fraction of the
+    document's DISTINCT word n-grams that appear in no other document
+    (document frequency 1).  Documents with fewer than ``n`` tokens
+    are dropped.  Shape: one (doc, gram)-distinct frame feeds both the
+    gram document-frequency aggregate and the per-doc rollup — a keyed
+    self-agg, no pair joins."""
+    toks = _tokens(F.col(text_col))
+    size = F.size(toks)
+    grams = F.transform(
+        F.slice(toks, 1, F.greatest(size - F.lit(n - 1), F.lit(0))),
+        lambda x, i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    dg = (
+        df.select(F.col(id_col), F.explode(grams).alias("gram"))
+        .distinct()
+    )
+    dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        dg.join(dfreq, "gram")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_grams"),
+            (
+                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                / F.count(F.lit(1))
+            ).alias("novel_frac"),
+        )
+    )

@@ -514,3 +514,108 @@ def q126_enrich_poster(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enriched.where(F.col("poster_url").isNotNull()).select(
         "doc_id", "poster_url"
     )
+
+
+@ext2_query(
+    "q127_dsir_importance",
+    oracle="""
+    WITH tok_raw AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents
+    ),
+    bucketed AS MATERIALIZED (
+        SELECT doc_id, tok,
+               ((strpos('0123456789abcdef', substr(md5(tok), 1, 1)) - 1) * 16
+                + strpos('0123456789abcdef', substr(md5(tok), 2, 1)) - 1)
+                   % 256 AS bucket
+        FROM tok_raw
+    ),
+    hist_t AS MATERIALIZED (
+        SELECT b.bucket, COUNT(*) AS c_t
+        FROM bucketed b JOIN documents d ON b.doc_id = d.doc_id
+        WHERE d.lang = 'en' GROUP BY 1
+    ),
+    hist_r AS MATERIALIZED (
+        SELECT bucket, COUNT(*) AS c_r FROM bucketed GROUP BY 1
+    ),
+    domain AS MATERIALIZED (SELECT unnest(range(0, 256)) AS bucket),
+    ratio AS MATERIALIZED (
+        SELECT dm.bucket,
+               COALESCE(t.c_t, 0) AS c_t, COALESCE(r.c_r, 0) AS c_r
+        FROM domain dm
+        LEFT JOIN hist_t t ON dm.bucket = t.bucket
+        LEFT JOIN hist_r r ON dm.bucket = r.bucket
+    ),
+    tot AS MATERIALIZED (
+        SELECT SUM(c_t) AS n_t, SUM(c_r) AS n_r FROM ratio
+    ),
+    w AS MATERIALIZED (
+        SELECT bucket,
+               ln((c_t + 0.5) / (n_t + 0.5 * 256.0))
+               - ln((c_r + 0.5) / (n_r + 0.5 * 256.0)) AS w
+        FROM ratio CROSS JOIN tot
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(w.w), 6) AS dsir_score
+    FROM bucketed b JOIN w ON b.bucket = w.bucket
+    GROUP BY b.doc_id
+    """,
+)
+def q127_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights for data selection (Xie et al.
+    2023): hashed-unigram bucket distributions for the TARGET domain
+    (here: the English slice) vs the raw corpus, each document scored
+    by its tokens' mean log-likelihood ratio — the "looks like the
+    target" signal importance resampling thresholds on.  The md5-prefix
+    bucket hash is positional arithmetic, so the oracle reproduces it
+    digit by digit; the 256-row ratio table rides as a broadcast."""
+    from magi_etl_spark.operators.importance import dsir_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    out = dsir_scores(d, d.where(F.col("lang") == "en"), n_buckets=256)
+    return out.select(
+        "doc_id", "n_tokens", F.round("dsir_score", 6).alias("dsir_score")
+    )
+
+
+@ext2_query(
+    "q128_ngram_novelty",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
+        FROM documents
+    ),
+    dg AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               tk[j] || ' ' || tk[j + 1] || ' ' || tk[j + 2] AS gram
+        FROM toks, LATERAL unnest(range(1, len(tk) - 1)) AS t(j)
+    ),
+    dfreq AS MATERIALIZED (
+        SELECT gram, COUNT(*) AS df FROM dg GROUP BY 1
+    )
+    SELECT dg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct_grams,
+           ROUND(SUM(CASE WHEN f.df = 1 THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS novel_frac
+    FROM dg JOIN dfreq f ON dg.gram = f.gram
+    GROUP BY dg.doc_id
+    """,
+)
+def q128_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty: the fraction of a document's
+    distinct trigrams that no other document contains — the diversity
+    complement of the q120 boilerplate recon, a selection objective
+    that penalizes template text without an LM.  One distinct
+    (doc, gram) frame feeds both the document-frequency aggregate and
+    the per-doc rollup; no pair joins anywhere."""
+    from magi_etl_spark.operators.importance import ngram_novelty
+
+    d = load_table(spark, sf_dir, "documents")
+    out = ngram_novelty(d, n=3)
+    return out.select(
+        "doc_id",
+        "n_distinct_grams",
+        F.round("novel_frac", 6).alias("novel_frac"),
+    )

@@ -1,0 +1,75 @@
+"""DSIR importance scoring and n-gram novelty vs exact Python
+replications on hand fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import re
+
+import pytest
+
+
+def _bucket(tok: str, n: int = 256) -> int:
+    h = hashlib.md5(tok.encode()).hexdigest()
+    return (int(h[0], 16) * 16 + int(h[1], 16)) % n
+
+
+def test_dsir_scores_match_python_replication(spark):
+    from magi_etl_spark.operators.importance import dsir_scores
+
+    texts = {
+        0: "the cat sat on the mat",
+        1: "le chat est sur le tapis",
+        2: "the dog ate the cat food",
+    }
+    rows = [(i, t, "en" if i != 1 else "fr") for i, t in texts.items()]
+    df = spark.createDataFrame(rows, "doc_id int, text string, lang string")
+    out = {
+        r["doc_id"]: r
+        for r in dsir_scores(df, df.where("lang = 'en'"), n_buckets=256).collect()
+    }
+    # exact replication
+    tok = {i: re.findall(r"[a-z]+", t.lower()) for i, t in texts.items()}
+    c_t: dict[int, int] = {}
+    c_r: dict[int, int] = {}
+    for i, ts in tok.items():
+        for w in ts:
+            b = _bucket(w)
+            c_r[b] = c_r.get(b, 0) + 1
+            if i != 1:
+                c_t[b] = c_t.get(b, 0) + 1
+    n_t, n_r = sum(c_t.values()), sum(c_r.values())
+    s = 0.5
+
+    def w_of(b: int) -> float:
+        return math.log((c_t.get(b, 0) + s) / (n_t + s * 256)) - math.log(
+            (c_r.get(b, 0) + s) / (n_r + s * 256)
+        )
+
+    for i, ts in tok.items():
+        want = sum(w_of(_bucket(w)) for w in ts) / len(ts)
+        assert out[i]["n_tokens"] == len(ts)
+        assert out[i]["dsir_score"] == pytest.approx(want)
+    # the French doc reads as off-target, the English ones on-target
+    assert out[1]["dsir_score"] < out[0]["dsir_score"]
+    assert out[1]["dsir_score"] < 0 < out[0]["dsir_score"]
+
+
+def test_ngram_novelty_fractions(spark):
+    from magi_etl_spark.operators.importance import ngram_novelty
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d"),       # grams: "a b c", "b c d"
+            (1, "a b c x y"),     # grams: "a b c", "b c x", "c x y"
+            (2, "zz"),            # too short: dropped
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in ngram_novelty(df, n=3).collect()}
+    assert out[0]["n_distinct_grams"] == 2
+    assert out[0]["novel_frac"] == pytest.approx(1 / 2)  # "a b c" is shared
+    assert out[1]["n_distinct_grams"] == 3
+    assert out[1]["novel_frac"] == pytest.approx(2 / 3)
+    assert 2 not in out
