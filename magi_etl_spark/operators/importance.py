@@ -139,3 +139,62 @@ def ngram_novelty(
             ).alias("novel_frac"),
         )
     )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document duplicated-span profile — the bounded, shingle-based
+    variant of exact substring deduplication (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a
+    token position is *duplicated* when the ``n``-token shingle
+    starting there occurs in more than one document, and consecutive
+    duplicated positions form a span.  Output ``(id_col, n_shingles,
+    n_dup, max_dup_run)`` — ``max_dup_run + n - 1`` bounds the longest
+    copied token span, the quantity span-removal filters threshold on.
+
+    Shape: positional shingles (array expressions, no joins), one
+    shingle-keyed document-frequency aggregate joined back on the
+    shingle, then a per-document gaps-and-islands window (keyed
+    shuffle) for the longest run.  All-integer output."""
+    toks = _tokens(F.col(text_col))
+    size = F.size(toks)
+    shingles = F.transform(
+        F.slice(toks, 1, F.greatest(size - F.lit(n - 1), F.lit(0))),
+        lambda x, i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    pos = df.select(
+        F.col(id_col), F.posexplode(shingles).alias("k", "shingle")
+    )
+    # distinct docs per shingle; a shingle repeated WITHIN one document
+    # does not make that document a copy of another
+    dfreq = pos.select(id_col, "shingle").distinct().groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    flagged = pos.join(dfreq, "shingle").select(
+        id_col, "k", (F.col("df") > 1).alias("dup")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(id_col).orderBy("k")
+    runs = (
+        flagged.where("dup")
+        .withColumn("island", F.col("k") - F.row_number().over(w))
+        .groupBy(id_col, "island")
+        .agg(F.count(F.lit(1)).alias("run"))
+        .groupBy(id_col)
+        .agg(F.max("run").alias("max_dup_run"))
+    )
+    base = flagged.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup"),
+    )
+    return base.join(runs, id_col, "left").select(
+        id_col,
+        "n_shingles",
+        F.col("n_dup").cast("long").alias("n_dup"),
+        F.coalesce(F.col("max_dup_run"), F.lit(0)).cast("long").alias("max_dup_run"),
+    )

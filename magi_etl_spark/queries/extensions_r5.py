@@ -619,3 +619,55 @@ def q128_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_distinct_grams",
         F.round("novel_frac", 6).alias("novel_frac"),
     )
+
+
+@ext2_query(
+    "q129_duplicated_spans",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
+        FROM documents
+    ),
+    pos AS MATERIALIZED (
+        SELECT doc_id, j - 1 AS k,
+               tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2] || ' '
+                     || tk[j+3] || ' ' || tk[j+4] AS shingle
+        FROM toks, LATERAL unnest(range(1, len(tk) - 3)) AS t(j)
+    ),
+    dfreq AS MATERIALIZED (
+        SELECT shingle, COUNT(*) AS df
+        FROM (SELECT DISTINCT doc_id, shingle FROM pos) GROUP BY 1
+    ),
+    flagged AS MATERIALIZED (
+        SELECT p.doc_id, p.k, f.df > 1 AS dup
+        FROM pos p JOIN dfreq f ON p.shingle = f.shingle
+    ),
+    runs AS MATERIALIZED (
+        SELECT doc_id, MAX(run) AS max_dup_run FROM (
+            SELECT doc_id, island, COUNT(*) AS run FROM (
+                SELECT doc_id, k,
+                       k - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY k)
+                           AS island
+                FROM flagged WHERE dup
+            ) GROUP BY doc_id, island
+        ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN b.dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+           CAST(COALESCE(MAX(r.max_dup_run), 0) AS BIGINT) AS max_dup_run
+    FROM flagged b LEFT JOIN runs r ON b.doc_id = r.doc_id
+    GROUP BY b.doc_id
+    """,
+)
+def q129_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-span profile per document (the bounded shingle
+    variant of Lee et al. exact substring dedup): 5-token shingle
+    document frequencies flag copied positions, and a gaps-and-islands
+    window finds each document's longest copied run — the quantity
+    span-removal filters threshold on.  All-integer output; documents
+    shorter than five tokens drop out on both sides."""
+    from magi_etl_spark.operators.importance import duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return duplicated_spans(d, n=5)

@@ -73,3 +73,25 @@ def test_ngram_novelty_fractions(spark):
     assert out[1]["n_distinct_grams"] == 3
     assert out[1]["novel_frac"] == pytest.approx(2 / 3)
     assert 2 not in out
+
+
+def test_duplicated_spans_hand_fixture(spark):
+    from magi_etl_spark.operators.importance import duplicated_spans
+
+    # doc 0 and 1 share the 7-token prefix "a b c d e f g" -> shingle
+    # starts 0..2 duplicated (3-run); doc 0's tail is unique.
+    df = spark.createDataFrame(
+        [
+            (0, "a b c d e f g h i j"),
+            (1, "a b c d e f g z z z"),
+            (2, "totally different words here now"),
+            (3, "tiny doc"),  # < 5 tokens: dropped
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in duplicated_spans(df, n=5).collect()}
+    assert out[0]["n_shingles"] == 6 and out[1]["n_shingles"] == 6
+    assert out[0]["n_dup"] == 3 and out[0]["max_dup_run"] == 3
+    assert out[1]["n_dup"] == 3 and out[1]["max_dup_run"] == 3
+    assert out[2]["n_dup"] == 0 and out[2]["max_dup_run"] == 0
+    assert 3 not in out

@@ -268,6 +268,29 @@ def main() -> None:
 
         return run
 
+    def dsir(d):
+        from magi_etl_spark.operators.importance import dsir_scores
+
+        return lambda: dsir_scores(d, d.where(F.col("lang") == "en"))
+
+    def novelty(d):
+        from magi_etl_spark.operators.importance import ngram_novelty
+
+        # replication makes every gram cross-copy duplicated (df >= N),
+        # so novel_frac collapses to 0 — the full distinct/df/rollup
+        # path still runs at the replicated scale
+        return lambda: ngram_novelty(d, n=3)
+
+    def png_pipeline(d):
+        from magi_etl_spark.operators.multimodal import (
+            extract_features,
+            synthesize_test_images,
+        )
+
+        return lambda: extract_features(
+            synthesize_test_images(d.select("doc_id")), on_error="raise"
+        )
+
     def fuzzy(p):
         # linkage shape: N part rows against a FIXED 64-name dictionary —
         # candidates grow linearly with the big side
@@ -309,6 +332,9 @@ def main() -> None:
         ("bigram_lm", bigram(docs1), bigram(docsN)),
         ("top_ngrams", ngrams(docs1), ngrams(docsN)),
         ("oot_split", oot(events1), oot(eventsN)),
+        ("dsir", dsir(docs1), dsir(docsN)),
+        ("ngram_novelty", novelty(docs1), novelty(docsN)),
+        ("png_pipeline", png_pipeline(docs1), png_pipeline(docsN)),
     ):
         if only is not None and label not in only:
             continue
