@@ -671,3 +671,71 @@ def q129_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return duplicated_spans(d, n=5)
+
+
+@ext2_query(
+    "q130_merge_into",
+    oracle="""
+    WITH t0 AS MATERIALIZED (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c
+        FROM orders
+    ),
+    upd AS MATERIALIZED (
+        SELECT o_orderkey, o_custkey, 'M' AS o_orderstatus,
+               price_c + 111 AS price_c, (o_orderkey % 5 = 0) AS del
+        FROM t0 WHERE o_orderkey % 3 = 0
+    ),
+    ins AS MATERIALIZED (
+        SELECT o_orderkey + 10000000 AS o_orderkey, o_custkey,
+               'N' AS o_orderstatus, CAST(4242 AS BIGINT) AS price_c,
+               FALSE AS del
+        FROM t0 WHERE o_orderkey % 7 = 0
+    ),
+    src AS MATERIALIZED (
+        SELECT * FROM upd UNION ALL SELECT * FROM ins
+    )
+    SELECT t.o_orderkey,
+           COALESCE(s.o_custkey, t.o_custkey) AS o_custkey,
+           COALESCE(s.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+           COALESCE(s.price_c, t.price_c) AS price_c
+    FROM t0 t LEFT JOIN src s ON t.o_orderkey = s.o_orderkey
+    WHERE s.o_orderkey IS NULL OR NOT s.del
+    UNION ALL
+    SELECT o_orderkey, o_custkey, o_orderstatus, price_c FROM ins
+    """,
+)
+def q130_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The general three-clause MERGE in one statement over orders:
+    corrections (every 3rd key gets a bumped cent price and status
+    'M'), GDPR-style conditional deletes (the matched subset whose key
+    is also divisible by 5), and late-arrival inserts (every 7th key
+    re-landed in an offset key space) — the warehouse maintenance
+    shape Delta MERGE runs, expressed as ONE full-outer hash join with
+    every clause a projection of it.  The oracle decomposes the same
+    semantics into left-join + anti + union legs."""
+    from magi_etl_spark.operators.merge import merge_into
+
+    o = load_table(spark, sf_dir, "orders")
+    t0 = o.select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+    )
+    upd = t0.where(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        "o_custkey",
+        F.lit("M").alias("o_orderstatus"),
+        (F.col("price_c") + 111).alias("price_c"),
+        (F.col("o_orderkey") % 5 == 0).alias("_del"),
+    )
+    ins = t0.where(F.col("o_orderkey") % 7 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_custkey",
+        F.lit("N").alias("o_orderstatus"),
+        F.lit(4242).cast("long").alias("price_c"),
+        F.lit(False).alias("_del"),
+    )
+    src = upd.unionByName(ins)
+    return merge_into(t0, src, ["o_orderkey"], delete_col="_del")

@@ -95,3 +95,68 @@ def test_duplicated_spans_hand_fixture(spark):
     assert out[1]["n_dup"] == 3 and out[1]["max_dup_run"] == 3
     assert out[2]["n_dup"] == 0 and out[2]["max_dup_run"] == 0
     assert 3 not in out
+
+
+def test_merge_into_clauses(spark):
+    """All four merge branches on a hand fixture: update, conditional
+    delete, insert, pass-through — plus insert=False and the
+    delete-of-absent-key no-op."""
+    from magi_etl_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", 30)], "k int, s string, v int"
+    )
+    source = spark.createDataFrame(
+        [
+            (1, "A", 11, False),   # matched update
+            (2, "B", 22, True),    # matched delete
+            (4, "d", 40, False),   # insert
+            (5, "e", 50, True),    # delete of absent key: no-op
+        ],
+        "k int, s string, v int, del boolean",
+    )
+    out = {
+        r["k"]: (r["s"], r["v"])
+        for r in merge_into(target, source, ["k"], delete_col="del").collect()
+    }
+    assert out == {1: ("A", 11), 3: ("c", 30), 4: ("d", 40)}
+    # insert disabled: only update + passthrough remain
+    no_ins = {
+        r["k"]
+        for r in merge_into(
+            target, source, ["k"], delete_col="del", insert=False
+        ).collect()
+    }
+    assert no_ins == {1, 3}
+    # partial update: only v from source, s retained on matches
+    part = {
+        r["k"]: (r["s"], r["v"])
+        for r in merge_into(
+            target, source, ["k"], update_cols=["v"], delete_col="del"
+        ).collect()
+    }
+    assert part[1] == ("a", 11)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        merge_into(target, source, ["k"], update_cols=["nope"])
+
+
+def test_merge_into_insert_takes_all_shared_columns(spark):
+    """With a PARTIAL update set, inserted rows still take every shared
+    column from the source (the Delta INSERT-all clause) — only
+    matched updates are restricted to update_cols."""
+    from magi_etl_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame([(1, "a", 10)], "k int, s string, v int")
+    source = spark.createDataFrame(
+        [(1, "A", 11, False), (4, "d", 40, False)],
+        "k int, s string, v int, del boolean",
+    )
+    out = {
+        r["k"]: (r["s"], r["v"])
+        for r in merge_into(
+            target, source, ["k"], update_cols=["v"], delete_col="del"
+        ).collect()
+    }
+    assert out == {1: ("a", 11), 4: ("d", 40)}
