@@ -291,6 +291,45 @@ def main() -> None:
             synthesize_test_images(d.select("doc_id")), on_error="raise"
         )
 
+    def merge(e):
+        from magi_etl_spark.operators.merge import merge_into
+
+        def run():
+            base = e.select("event_id", "user_id", "event_type", "value")
+            src = base.where(F.col("event_id") % 3 == 0).select(
+                "event_id",
+                "user_id",
+                F.lit("merged").alias("event_type"),
+                (F.col("value") + 1).alias("value"),
+                (F.col("event_id") % 5 == 0).alias("_del"),
+            )
+            return merge_into(base, src, ["event_id"], delete_col="_del")
+
+        return run
+
+    def lshidx(d):
+        # INCREMENTAL axis: the increment is FIXED (the x1 docs slice)
+        # while the on-disk index history grows Nx — the ratio measures
+        # how the daily-increment pass degrades with corpus history,
+        # which the design says should be far sub-linear (only the
+        # band join touches history, and only in matching buckets).
+        # The index build itself is setup, not the timed pass.
+        import tempfile
+
+        from magi_etl_spark.operators.lsh_index import (
+            build_lsh_index,
+            incremental_lsh_pairs,
+        )
+
+        path = os.path.join(
+            tempfile.mkdtemp(prefix="magi_probe_lshidx_"), "idx"
+        )
+        build_lsh_index(d.where(F.col("doc_id") % 10 != 0), path)
+        inc = docs1.where(F.col("doc_id") % 10 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 99_000_000
+        )
+        return lambda: incremental_lsh_pairs(inc, path)
+
     def fuzzy(p):
         # linkage shape: N part rows against a FIXED 64-name dictionary —
         # candidates grow linearly with the big side
@@ -335,6 +374,8 @@ def main() -> None:
         ("dsir", dsir(docs1), dsir(docsN)),
         ("ngram_novelty", novelty(docs1), novelty(docsN)),
         ("png_pipeline", png_pipeline(docs1), png_pipeline(docsN)),
+        ("merge_into", merge(events1), merge(eventsN)),
+        ("lsh_index_increment", lshidx(docs1), lshidx(docsN)),
     ):
         if only is not None and label not in only:
             continue
