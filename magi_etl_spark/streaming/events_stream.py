@@ -368,3 +368,70 @@ def run_to_memory_append(stream_df: DataFrame, table_name: str) -> None:
         .start()
     )
     q.awaitTermination()
+
+
+def run_foreach_batch_lsh_index(
+    doc_stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    checkpoint_path: str,
+    n: int = 3,
+    n_hashes: int = 4,
+    band_size: int = 2,
+) -> None:
+    """Streaming near-duplicate detection against the PERSISTENT
+    MinHash-LSH index (``operators/lsh_index.py``): each micro-batch of
+    documents is signed ONCE, band-joined against the index to emit its
+    near-duplicate candidate pairs (appended to ``pairs_path``), and
+    committed into the index so the NEXT batch sees it — the daily-
+    increment dedup loop as a stream, with per-batch cost proportional
+    to the increment (the 8x-history scale probe shows the incremental
+    pass is flat in corpus history).
+
+    Idempotence: a checkpoint-replayed batch re-signs the same doc ids;
+    the index append supersedes re-delivered ids at query time (the
+    left-anti in ``incremental_lsh_pairs``), so candidate queries stay
+    correct — pairs_path appends are at-least-once, deduplicate
+    downstream on (doc_a, doc_b) when exactness matters (or route them
+    through the versioned sink for exactly-once)."""
+    import os
+
+    from magi_etl_spark.operators.lsh_index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        incremental_lsh_pairs,
+    )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            if not os.path.exists(os.path.join(index_path, "_lsh_params.json")):
+                # first batch bootstraps the index and has no history
+                # to pair against beyond itself
+                build_lsh_index(
+                    batch_df, index_path, n=n, n_hashes=n_hashes
+                )
+                pairs = incremental_lsh_pairs(
+                    batch_df, index_path, n=n, n_hashes=n_hashes,
+                    band_size=band_size,
+                )
+                pairs.write.mode("append").parquet(pairs_path)
+                return
+            pairs = incremental_lsh_pairs(
+                batch_df, index_path, n=n, n_hashes=n_hashes,
+                band_size=band_size,
+            )
+            pairs.write.mode("append").parquet(pairs_path)
+            append_to_lsh_index(
+                batch_df, index_path, n=n, n_hashes=n_hashes
+            )
+        finally:
+            batch_df.unpersist(blocking=False)
+
+    q = (
+        doc_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -121,3 +121,78 @@ def test_redelivered_id_supersedes_indexed_signature(spark, tmp_path):
         for r in incremental_lsh_pairs(redelivery, idx).collect()
     }
     assert got[(1, 3)] == 1.0  # scored against the NEW text, not the old
+
+
+def test_streaming_lsh_index_sink(spark, tmp_path):
+    """Streamed micro-batches sign once, pair against the persistent
+    index, and commit into it: the union of per-batch candidate pairs
+    equals a full recompute over all documents, a checkpoint-replayed
+    run adds nothing, and the index ends holding every signature."""
+    from pyspark.sql import functions as F
+
+    from magi_etl_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from magi_etl_spark.operators.lsh_index import read_lsh_index
+    from magi_etl_spark.streaming.events_stream import (
+        run_foreach_batch_lsh_index,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog"
+    batch_a = [(i, f"{base} variant {i % 2}") for i in range(6)]
+    batch_b = [(100 + i, f"{base} variant {i % 2}") for i in range(4)] + [
+        (200, "completely different text about spark physical plans")
+    ]
+    src = tmp_path / "docs"
+    src.mkdir()
+    spark.createDataFrame(batch_a, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "a"))
+    spark.createDataFrame(batch_b, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(str(src / "b"))
+    # flatten: one file per landing object so maxFilesPerTrigger batches
+    import glob
+    import shutil
+
+    for i, f in enumerate(sorted(glob.glob(str(src / "*" / "*.parquet")))):
+        shutil.move(f, str(src / f"batch_{i}.parquet"))
+    shutil.rmtree(src / "a"), shutil.rmtree(src / "b")
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    idx = str(tmp_path / "idx")
+    pairs_path = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+    run_foreach_batch_lsh_index(stream, idx, pairs_path, ckpt)
+
+    got = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in spark.read.parquet(pairs_path).collect()
+    }
+    all_docs = spark.createDataFrame(
+        batch_a + batch_b, "doc_id long, text string"
+    )
+    sigs = minhash_signatures(all_docs, "doc_id", "text", n=3, n_hashes=4)
+    want = {
+        (min(r["doc_a"], r["doc_b"]), max(r["doc_a"], r["doc_b"]))
+        for r in lsh_candidate_pairs(
+            sigs, [["m0", "m1"], ["m2", "m3"]]
+        ).collect()
+    }
+    assert got == want and want  # non-trivial pair set
+    # every signature committed
+    assert read_lsh_index(spark, idx).count() == all_docs.count()
+    # replay with no new input: checkpoint makes it a no-op
+    n_pairs = spark.read.parquet(pairs_path).count()
+    stream2 = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    run_foreach_batch_lsh_index(stream2, idx, pairs_path, ckpt)
+    assert spark.read.parquet(pairs_path).count() == n_pairs
