@@ -92,3 +92,44 @@ def temperature_mix(
     return weighted_mix(
         df, w, source_col, key_col, seed=seed, copy_col=copy_col
     )
+
+
+def weighted_sample_n_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    weight_col: str,
+    n: int,
+    id_col: str,
+    seed: str = "wsample",
+) -> DataFrame:
+    """Exactly-``n`` (or all, for smaller groups) WEIGHTED sample per
+    group — Efraimidis–Spirakis A-ES reservoir sampling, derandomized:
+    each row draws ``u = (hex32(md5(seed|id)) + 1) / 2^32`` and ranks
+    by the ES key ``ln(u) / w`` (the monotone log form of ``u^(1/w)``);
+    the top ``n`` keys per group are the sample, with inclusion
+    probability proportional to weight in the without-replacement
+    sense.  Deterministic, repartition-stable, engine-portable (the
+    same md5 arithmetic runs in a SQL oracle).
+
+    Rows with null or non-positive weight are excluded — a zero-weight
+    row must never be sampled, and ES is undefined for w <= 0.  One
+    keyed shuffle (the per-group top-n window, WindowGroupLimit-
+    planned); nothing collected."""
+    from pyspark.sql import Window as W
+
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    h = F.md5(F.concat(F.lit(f"{seed}|"), F.col(id_col).cast("string")))
+    # 8 hex digits = 32 bits: ample sampling entropy, and the parsed
+    # value fits BIGINT in every engine an oracle might run in
+    u32 = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    u = (u32 + 1).cast("double") / F.lit(float(2 ** 32))
+    key = F.log(u) / F.col(weight_col)
+    w = W.partitionBy(*group_cols).orderBy(F.desc("_es_key"), F.asc(id_col))
+    return (
+        df.where(F.col(weight_col).isNotNull() & (F.col(weight_col) > 0))
+        .withColumn("_es_key", key)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= n)
+        .drop("_es_key", "_rn")
+    )

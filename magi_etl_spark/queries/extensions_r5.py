@@ -739,3 +739,61 @@ def q130_merge_into(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     src = upd.unionByName(ins)
     return merge_into(t0, src, ["o_orderkey"], delete_col="_del")
+
+
+@ext2_query(
+    "q131_weighted_sample",
+    oracle="""
+    WITH keyed AS MATERIALIZED (
+        SELECT doc_id, lang, n_chars,
+               ln((CAST(concat('0x', substr(
+                       md5(concat('wsample|', CAST(doc_id AS VARCHAR))),
+                       1, 8)) AS BIGINT) + 1) / 4294967296.0)
+               / n_chars AS es_key
+        FROM documents
+        WHERE n_chars IS NOT NULL AND n_chars > 0
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+           CAST(rn AS INTEGER) AS rn
+    FROM (
+        SELECT doc_id, lang, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY es_key DESC, doc_id) AS rn
+        FROM keyed
+    ) WHERE rn <= 5
+    """,
+)
+def q131_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted without-replacement sampling, 5 documents per language
+    weighted by length — derandomized Efraimidis–Spirakis: the ES key
+    ``ln(u)/w`` ranks each row with an md5-derived uniform, so longer
+    documents are proportionally likelier, the draw is deterministic
+    and repartition-stable, and the identical arithmetic runs in the
+    oracle.  The rank column is re-derived on the output side so both
+    engines expose the same (doc, rank) rows."""
+    from pyspark.sql import Window as W
+
+    from magi_etl_spark.operators.sampling import weighted_sample_n_per_group
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    out = weighted_sample_n_per_group(
+        d, ["lang"], "n_chars", n=5, id_col="doc_id", seed="wsample"
+    )
+    # re-rank for a deterministic output rank column (the operator
+    # drops its internal key)
+    h = F.md5(F.concat(F.lit("wsample|"), F.col("doc_id").cast("string")))
+    u = (F.conv(F.substring(h, 1, 8), 16, 10).cast("long") + 1) / F.lit(
+        float(2 ** 32)
+    )
+    return out.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.row_number().over(
+            W.partitionBy("lang").orderBy(
+                (F.log(u) / F.col("n_chars")).desc(), F.asc("doc_id")
+            )
+        ).alias("rn"),
+    )

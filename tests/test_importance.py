@@ -160,3 +160,38 @@ def test_merge_into_insert_takes_all_shared_columns(spark):
         ).collect()
     }
     assert out == {1: ("a", 11), 4: ("d", 40)}
+
+
+def test_weighted_sample_matches_python_es_replication(spark):
+    import hashlib
+    import math
+
+    from magi_etl_spark.operators.sampling import weighted_sample_n_per_group
+
+    rows = [(i, "g%d" % (i % 2), float(1 + i % 10)) for i in range(40)]
+    rows.append((100, "g0", 0.0))   # zero weight: never sampled
+    rows.append((101, "g1", None))  # null weight: never sampled
+    df = spark.createDataFrame(rows, "id int, g string, w double")
+    got = {
+        (r["g"], r["id"])
+        for r in weighted_sample_n_per_group(
+            df, ["g"], "w", n=3, id_col="id", seed="wsample"
+        ).collect()
+    }
+
+    def es_key(i: int, w: float) -> float:
+        h = hashlib.md5(f"wsample|{i}".encode()).hexdigest()
+        u = (int(h[:8], 16) + 1) / 2 ** 32
+        return math.log(u) / w
+
+    want = set()
+    for g in ("g0", "g1"):
+        cands = [
+            (es_key(i, w), -i, i)
+            for i, gg, w in rows
+            if gg == g and w is not None and w > 0
+        ]
+        cands.sort(reverse=True)
+        want |= {(g, i) for _, _, i in cands[:3]}
+    assert got == want
+    assert ("g0", 100) not in got and ("g1", 101) not in got
