@@ -797,3 +797,75 @@ def q131_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("rn"),
     )
+
+
+def _bpe_pack_oracle(n_merges: int, budget: int) -> str:
+    return f"""
+    WITH RECURSIVE {_BPE_W0.strip().rstrip()},{_bpe_iter_ctes(n_merges)},
+    seg AS MATERIALIZED (
+        SELECT word, len(string_split(trim(sym), '  ')) AS n_syms
+        FROM w{n_merges}
+    ),
+    doc_toks AS MATERIALIZED (
+        SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    ),
+    counts AS MATERIALIZED (
+        SELECT d.doc_id, CAST(SUM(s.n_syms) AS BIGINT) AS n_tokens,
+               CAST(d.doc_id % 16 AS INTEGER) AS bucket
+        FROM doc_toks d JOIN seg s ON d.word = s.word
+        GROUP BY d.doc_id
+    ),
+    ordered AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY bucket ORDER BY doc_id) AS rn
+        FROM counts
+    ),
+    pack AS (
+        SELECT bucket, rn, doc_id, n_tokens,
+               0 AS seq_id, 0 AS seq_pos, n_tokens AS fill
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.bucket, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN p.fill + o.n_tokens <= {budget}
+                    THEN p.seq_id ELSE p.seq_id + 1 END,
+               CASE WHEN p.fill + o.n_tokens <= {budget}
+                    THEN p.seq_pos + 1 ELSE 0 END,
+               CASE WHEN p.fill + o.n_tokens <= {budget}
+                    THEN p.fill + o.n_tokens ELSE o.n_tokens END
+        FROM pack p JOIN ordered o ON o.bucket = p.bucket AND o.rn = p.rn + 1
+    )
+    SELECT bucket, doc_id, n_tokens,
+           CAST(seq_id AS INTEGER) AS seq_id, CAST(seq_pos AS INTEGER) AS seq_pos
+    FROM pack
+    """
+
+
+@ext2_query("q132_tokenize_and_pack", oracle=_bpe_pack_oracle(10, 2048))
+def q132_tokenize_and_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone tokenizer→packing composition: train 10 BPE merges,
+    tokenize the corpus (per-document token counts from the segmented
+    vocabulary join — q122's path), and next-fit-pack whole documents
+    into 2048-token training sequences bucketed by doc_id % 16 (q57's
+    applyInPandas packer).  The oracle replays BPE training as unrolled
+    MATERIALIZED CTEs and packing as the identical greedy recursion —
+    every (seq_id, seq_pos) assignment is hash-checked end to end,
+    tokenizer included."""
+    from magi_etl_spark.operators.bpe import bpe_encode_docs
+    from magi_etl_spark.operators.packing import pack_chunks
+
+    d = load_table(spark, sf_dir, "documents")
+    enc = bpe_encode_docs(d, n_merges=10).select(
+        "doc_id", F.lit(0).alias("chunk_idx"),
+        F.col("n_tokens").cast("int").alias("n_chunk_tokens"),
+    )
+    packed = pack_chunks(
+        enc, budget=2048, n_buckets=16, bucket_expr=F.col("doc_id") % 16
+    )
+    return packed.select(
+        "bucket",
+        "doc_id",
+        F.col("n_chunk_tokens").cast("long").alias("n_tokens"),
+        "seq_id",
+        "seq_pos",
+    )
