@@ -183,20 +183,26 @@ def main() -> None:
             indent=1,
             sort_keys=True,
         )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "runs_per_query": _RUNS,
-                "load_avg_before": [round(x, 2) for x in load_before],
-                "load_avg_after": [round(x, 2) for x in os.getloadavg()],
-            }
-        )
+    # Per-query timings live ONLY in BENCH_PLANS.json (above).  The r5
+    # headline still inlined the 74-entry timings dict (~2.4 KB) and
+    # outgrew the driver's ~2.1 KB tail capture for the second round
+    # running (BENCH_r05 parsed: null).  The headline line must stay
+    # under ~300 bytes and be the LAST stdout line.
+    headline = json.dumps(
+        {
+            "metric": "headline_query_wall_sec",
+            "value": total,
+            "unit": "sec",
+            "n_queries": len(timings),
+            "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            "runs_per_query": _RUNS,
+            "load_avg_before": [round(x, 2) for x in load_before],
+            "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+        }
     )
+    assert len(headline) < 300, f"headline line too long: {len(headline)}B"
+    sys.stderr.flush()
+    print(headline, flush=True)
     spark.stop()
 
 

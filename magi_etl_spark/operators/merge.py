@@ -50,15 +50,20 @@ def merge_into(
     missing = [c for c in upd if c not in source.columns]
     if missing:
         raise ValueError(f"update_cols absent from source: {missing}")
-    t = target.alias("t")
-    s = source.alias("s")
+    # Presence comes from pre-join marker columns, NOT key-null tests: a
+    # target row whose key is NULL never matches in the join (SQL NULL
+    # semantics, same as Delta), but it must still PASS THROUGH as an
+    # unmatched target row — a key-null presence test silently dropped
+    # it (r5 ADVICE item 1; same null-key class as stats._join_bounds).
+    t = target.withColumn("_t_present", F.lit(True)).alias("t")
+    s = source.withColumn("_s_present", F.lit(True)).alias("s")
     cond = None
     for k in keys:
         eq = F.col(f"t.{k}") == F.col(f"s.{k}")
         cond = eq if cond is None else cond & eq
     j = t.join(s, cond, "full_outer")
-    t_present = F.col(f"t.{keys[0]}").isNotNull()
-    s_present = F.col(f"s.{keys[0]}").isNotNull()
+    t_present = F.col("t._t_present").isNotNull()
+    s_present = F.col("s._s_present").isNotNull()
     deleting = (
         F.col(f"s.{delete_col}") if delete_col is not None else F.lit(False)
     )

@@ -51,6 +51,7 @@ def pq_train(
     seed: int = 7,
     oversample: int = 16,
     iterations: int = 10,
+    init: str = "fps",
 ) -> list[list[list[float]]]:
     """Deterministic PQ codebooks: ``m`` subspaces × ``k`` codes each.
     One distributed pass collects the ``oversample*k`` smallest
@@ -61,7 +62,15 @@ def pq_train(
     fine for coverage, terrible for quantization error — so the Lloyd
     sweeps pull centroids into the density; both stages are pure
     functions of (corpus, seed), so training is exactly reproducible.
-    Returns ``codebooks[m][k][d/m]``."""
+    Returns ``codebooks[m][k][d/m]``.
+
+    ``init="hash"`` takes the first ``k`` hash-ordered sample rows as
+    the codebook instead of farthest-point selection — combined with
+    ``iterations=0`` this makes the ENTIRE train→encode→ADC→refine path
+    SQL-expressible (the q106 DuckDB oracle reproduces it literally),
+    the same trade ``ivf_index_sampled(init="hash")`` makes for its
+    coarse quantizer; the Lloyd path keeps its recall bound in
+    tests/test_pq.py."""
     dim = len(
         df.select(as_double(F.col(vec_col)).alias("_v")).first()["_v"]
     )
@@ -76,13 +85,18 @@ def pq_train(
         .collect()
     )
     sample = np.array([[float(x) for x in r["_v"]] for r in cands])
+    if init not in ("fps", "hash"):
+        raise ValueError(f"unknown PQ init {init!r}")
     codebooks: list[list[list[float]]] = []
     for j in range(m):
         pts = sample[:, j * sub : (j + 1) * sub]
-        init = _farthest_point_select(
-            [{"_v": list(p)} for p in pts], k
-        )
-        cent = np.array([c["_v"] for c in init])
+        if init == "hash":
+            cent = pts[:k].copy()
+        else:
+            picked = _farthest_point_select(
+                [{"_v": list(p)} for p in pts], k
+            )
+            cent = np.array([c["_v"] for c in picked])
         for _ in range(iterations):
             d2 = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
             assign = d2.argmin(axis=1)

@@ -60,6 +60,16 @@ def _load_all() -> None:
         raise RuntimeError(f"extension queries shadow registered ones: {dup}")
     QUERIES.update(EXT_QUERIES)
     ORACLE.update(EXT_ORACLE)
+    # r6 rotation: the r5 staged registry (q117-q132, oracle-verified all
+    # through r5 by tests/test_extensions_r5.py) merges the same way —
+    # COVERAGE.md "Planned r6 window", rotation rule 1.
+    from magi_etl_spark.queries.extensions_r5 import EXT2_ORACLE, EXT2_QUERIES
+
+    dup2 = set(EXT2_QUERIES) & set(QUERIES)
+    if dup2:
+        raise RuntimeError(f"r5 extension queries shadow registered ones: {dup2}")
+    QUERIES.update(EXT2_QUERIES)
+    ORACLE.update(EXT2_ORACLE)
 
 
 _load_all()
@@ -78,70 +88,79 @@ _load_all()
 GATE_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # Round-5 window, exactly as pre-committed in COVERAGE.md ("Planned
-    # r5 window" + arithmetic note).  Rule 1: the nineteen staged r4
-    # operator-extension queries (merged from queries/extensions.py,
-    # oracle-verified every suite run through r4) have never had a
-    # driver row and go first.
-    "q95_salted_hot_join",
-    "q96_fuzzy_linkage",
-    "q97_snm_pairs",
-    "q98_rrf_fusion",
-    "q99_temperature_mix",
-    "q100_redact_pii",
-    "q101_expectation_suite",
-    "q102_incremental_extract",
-    "q103_winsorize",
-    "q105_paragraph_dedup",
-    "q107_join_estimate",
-    "q104_semantic_dedup",
-    "q106_pq_refine_topk",
-    "q108_group_sample_n",
-    "q109_unigram_logprob",
-    "q110_versioned_table",
-    "q111_tfidf_keywords",
-    "q112_semantic_decontaminate",
-    "q113_corpus_curation",
-    # The one red cell of r4: q89's gate row hashed a rounded double AVG
-    # against an INTERVAL-range oracle frame — both cross-engine variance
-    # channels, both removed this round (integer micro-unit average via
-    # bigint DIV, epoch-day RANGE oracle).  Failure rule: it stays in the
+    # Round-6 window, exactly as pre-committed in COVERAGE.md ("Planned
+    # r6 window").  Rule 1: the sixteen staged r5 operator-extension
+    # queries (merged from queries/extensions_r5.py, oracle-verified
+    # every suite run through r5) have never had a driver row and go
+    # first.
+    "q117_bpe_merges",
+    "q118_bpe_segment",
+    "q119_bigram_logprob",
+    "q120_top_ngrams",
+    "q121_oot_split",
+    "q122_bpe_encode_docs",
+    "q123_multimodal_features",
+    "q124_audio_features",
+    "q125_enrich_summary",
+    "q126_enrich_poster",
+    "q127_dsir_importance",
+    "q128_ngram_novelty",
+    "q129_duplicated_spans",
+    "q130_merge_into",
+    "q131_weighted_sample",
+    "q132_tokenize_and_pack",
+    # The one red cell of r5: q89's gate row failed on the oracle's
+    # uncast HUGEINT value_c column (DuckDB SUM(BIGINT) → int128 →
+    # float64 under the driver's typed fetch; the r5 avg/frame rework
+    # never touched that channel).  The outer SELECT now casts it to
+    # BIGINT and a repo-wide no-HUGEINT oracle lint guards the class
+    # (tests/test_oracle_types.py).  Failure rule: q89 stays in the
     # window until a green driver row lands.
     "q89_rolling_7d",
-    # New r5 gate queries (rule 1): the persistent-index family and
-    # PageRank get side-effect-safe gate shapes this round.
-    "q114_incremental_lsh_index",
-    "q115_incremental_ivf_index",
-    "q116_pagerank",
-    # Remaining slots (rule 3): the r4 tail, oldest-verified first, per
-    # the COVERAGE.md arithmetic note.
-    "q82_grouping_sets",
-    "q79_concurrent_fanout",
-    "q07_anti_join",
-    "q62_top_supplier",
-    "q67_range_join",
-    "q68_hypertable_rollup",
-    "q71_small_order_parts",
-    "q72_large_volume_customers",
-    "q73_table_diff",
-    "q74_daily_anomalies",
-    "q75_funnel",
-    "q76_retention_cohorts",
-    "q54_helix_generic",
-    "q83_event_gaps",
-    "q81_bloom_pruned_join",
-    "q02_filter_project",
-    "q45_nation_pair_volume",
-    "q17_minmax_normalize",
-    "q16_set_ops",
-    "q15_having_threshold",
-    "q49_chunking",
-    "q56_dataset_mix",
-    "q84_dataset_split",
-    "q57_sequence_packing",
-    "q61_corpus_percentiles",
-    "q64_stratified_sample",
-    "q70_pii_scan",
+    # Rule 2: q104/q106 were rows-only in r5 ("no_oracle" driver rows —
+    # not a green hash row) and both gained full hash oracles this round
+    # (r5 VERDICT item 6: recursive-CTE reachability for the SemDeDup
+    # component fixpoint; hash-init codebooks make the whole PQ path
+    # relational).  New oracle ⇒ back into the window.
+    "q104_semantic_dedup",
+    "q106_pq_refine_topk",
+    # Remaining slots (rule 3): the r5 tail, oldest-verified first —
+    # the fifteen engine-surface entries last gate-verified in r3, then
+    # r4-verified entries in their r4 window order (q50 and later
+    # rotate to r7 per the COVERAGE.md arithmetic note).
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q05_region_revenue",
+    "q06_semi_join",
+    "q08_full_outer_cast_keys",
+    "q09_top1_per_group",
+    "q10_topk_per_group",
+    "q11_sessionize",
+    "q12_conditional_agg",
+    "q13_distinct_derived_key",
+    "q14_json_extract",
+    "q18_week_buckets",
+    "q30_metric_query_events",
+    "q31_metric_query_unnest",
+    "q77_cached_metric_query",
+    "q32_simhash",
+    "q43_simhash_neardup",
+    "q33_kv_parse",
+    "q34_date_functions",
+    "q35_vector_stats",
+    "q36_rollup",
+    "q37_pivot",
+    "q38_srp_lsh_buckets",
+    "q39_token_cosine_pairs",
+    "q51_exact_token_cosine_pairs",
+    "q42_window_benchmark",
+    "q40_corpus_pipeline",
+    "q60_quantize_embeddings",
+    "q23_dedup_exact",
+    "q47_dedup_keep_best",
+    "q24_minhash_signatures",
+    # q25/q29 displaced to the r7 rotation by the two q104/q106
+    # re-entries above (COVERAGE.md r6 arithmetic note).
 ]
 
 

@@ -131,7 +131,7 @@ def q88_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE user_id % 20 = 0
         GROUP BY 1, 2
     )
-    SELECT user_id, day, value_c,
+    SELECT user_id, day, CAST(value_c AS BIGINT) AS value_c,
            CAST(SUM(value_c) OVER w AS BIGINT) AS rolling_sum_7d,
            CAST((SUM(value_c) OVER w * 10000) // (COUNT(value_c) OVER w)
                 AS BIGINT) AS rolling_avg_e4,
@@ -156,6 +156,18 @@ def q89_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     // agree), and the oracle frame ranges over integer epoch days,
     mirroring the Spark ``datediff(day, '1970-01-01')`` formulation
     exactly.  Per-repo determinism rule #1: no raw doubles in the hash.
+
+    r5 VERDICT root cause (the channel the reworks above never touched):
+    the CTE's ``SUM(BIGINT)`` returns DuckDB HUGEINT (int128), and the
+    outer SELECT re-emitted ``value_c`` UNCAST — the only HUGEINT-emitting
+    oracle in the repo, and the only driver hash failure two rounds
+    running.  HUGEINT converts to float64 through any pandas/Arrow fetch
+    path, so a typed-frame hasher sees ``123.0`` vs Spark's ``123`` while
+    a fetchall() cell compare sees equal ints.  The outer SELECT now casts
+    ``value_c`` to BIGINT, and two structural guards prevent recurrence:
+    ``tests/test_oracle_types.py`` lints every registered+staged oracle
+    for HUGEINT/UHUGEINT output columns, and the local harness compares
+    typed fetchdf frames in addition to fetchall values.
     """
     from magi_etl_spark.operators.timeseries import rolling_range_agg
 

@@ -54,6 +54,34 @@ def _norm_rows(cols, rows):
     return [c for c in sorted(cols)], out
 
 
+def _dtype_kind_mismatches(spark_df, con, sql) -> list[str]:
+    """Typed-frame channel check (r5 VERDICT item 2b): a ``fetchall()``
+    cell compare sees DuckDB HUGEINT ``123`` == Spark ``123``, but a
+    driver that hashes TYPED frames fetches HUGEINT as float64 and sees
+    ``123.0`` vs ``123`` — exactly how q89 failed two rounds while the
+    local harness stayed green.  Compare pandas dtype KINDS between
+    ``spark_df.toPandas()`` and DuckDB ``fetchdf()`` for the numeric/bool
+    kinds; columns containing nulls are skipped (both engines degrade
+    nullable ints to float64/object at their own discretion, which is a
+    shared fetch artifact, not an oracle defect)."""
+    import pandas as pd  # noqa: F401
+
+    sp = spark_df.toPandas()
+    dp = con.execute(sql).fetchdf()
+    strict = set("iufb")
+    bad: list[str] = []
+    for col in sp.columns:
+        if col not in dp.columns:
+            continue
+        sk, dk = sp[col].dtype.kind, dp[col].dtype.kind
+        if sk == dk or sk not in strict or dk not in strict:
+            continue
+        if sp[col].isna().any() or dp[col].isna().any():
+            continue
+        bad.append(f"{col}: spark dtype kind {sk!r} vs duckdb {dk!r}")
+    return bad
+
+
 def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, str]:
     s_cols = spark_df.columns
     s_rows = [tuple(r) for r in spark_df.collect()]
@@ -69,4 +97,9 @@ def compare(spark_df, con: duckdb.DuckDBPyConnection, sql: str) -> tuple[bool, s
     for i, (a, b) in enumerate(zip(sr, dr)):
         if a != b:
             return False, f"row {i} mismatch:\n  spark={a}\n  duck ={b}"
+    kind_bad = _dtype_kind_mismatches(spark_df, con, sql)
+    if kind_bad:
+        return False, "typed-frame dtype mismatch (driver hash channel): " + "; ".join(
+            kind_bad
+        )
     return True, f"ok ({len(sr)} rows)"

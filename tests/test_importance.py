@@ -162,6 +162,35 @@ def test_merge_into_insert_takes_all_shared_columns(spark):
     assert out == {1: ("a", 11), 4: ("d", 40)}
 
 
+def test_merge_into_null_key_rows_pass_through(spark):
+    """Delta MERGE semantics: a NULL join key never matches, so a
+    NULL-key target row is an UNMATCHED target row and must pass
+    through unchanged; a NULL-key source row is an unmatched source
+    row (inserted unless flagged for delete).  r5 ADVICE item 1: the
+    key-null presence test silently dropped the target row."""
+    from magi_etl_spark.operators.merge import merge_into
+
+    target = spark.createDataFrame(
+        [(1, "a", 10), (None, "nullkey", 99)], "k int, s string, v int"
+    )
+    source = spark.createDataFrame(
+        [(1, "A", 11, False), (None, "srcnull", 77, False)],
+        "k int, s string, v int, del boolean",
+    )
+    rows = merge_into(target, source, ["k"], delete_col="del").collect()
+    by_s = {r["s"]: (r["k"], r["v"]) for r in rows}
+    assert by_s["nullkey"] == (None, 99)  # target passthrough, not dropped
+    assert by_s["A"] == (1, 11)  # matched update untouched by the fix
+    assert by_s["srcnull"] == (None, 77)  # unmatched source insert
+    assert len(rows) == 3
+    # and with insert=False the NULL-key source row stays out while the
+    # NULL-key target row still survives
+    no_ins = {r["s"] for r in merge_into(
+        target, source, ["k"], delete_col="del", insert=False
+    ).collect()}
+    assert no_ins == {"nullkey", "A"}
+
+
 def test_weighted_sample_matches_python_es_replication(spark):
     import hashlib
     import math
