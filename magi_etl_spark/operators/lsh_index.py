@@ -72,7 +72,21 @@ def build_lsh_index(
 
 
 def read_lsh_index(spark: SparkSession, path: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(path, "signatures"))
+    """All committed signatures: the base ``signatures`` table plus any
+    per-batch increment directories (``increments/batch=N`` — written
+    idempotently by ``append_to_lsh_index(batch_id=...)``)."""
+    sigs = spark.read.parquet(os.path.join(path, "signatures"))
+    inc_root = os.path.join(path, "increments")
+    if os.path.isdir(inc_root):
+        batches = sorted(
+            os.path.join(inc_root, d)
+            for d in os.listdir(inc_root)
+            if d.startswith("batch=")
+        )
+        if batches:
+            inc = spark.read.option("basePath", inc_root).parquet(*batches)
+            sigs = sigs.unionByName(inc.select(*sigs.columns))
+    return sigs
 
 
 def incremental_lsh_pairs(
@@ -93,10 +107,16 @@ def incremental_lsh_pairs(
     new_sigs = minhash_signatures(
         new_docs, id_col, text_col, n=n, n_hashes=n_hashes
     ).withColumn("_new", F.lit(True))
-    # a re-delivered id supersedes its indexed signature
+    # a re-delivered id supersedes its indexed signature.  The reused
+    # frame is localCheckpoint-ed, not persist()-ed: an explicit persist
+    # stays registered in the cache manager until someone unpersists it,
+    # which leaked one cached frame per micro-batch in the streaming
+    # caller (r5 ADVICE item 2); checkpoint blocks are released by the
+    # ContextCleaner as soon as the frame goes out of scope, and the
+    # eager materialization also truncates the union lineage.
     sigs = old.join(
         new_sigs.select("doc_id"), "doc_id", "left_anti"
-    ).unionByName(new_sigs).persist()
+    ).unionByName(new_sigs).localCheckpoint(eager=True)
     bands = [
         [f"m{j}" for j in range(i, min(i + band_size, n_hashes))]
         for i in range(0, n_hashes, band_size)
@@ -136,9 +156,23 @@ def append_to_lsh_index(
     text_col: str = "text",
     n: int = 3,
     n_hashes: int = 4,
+    batch_id: int | None = None,
 ) -> None:
-    """Commit the increment's signatures (parquet append) so the next
-    increment's candidate pass sees them."""
+    """Commit the increment's signatures so the next increment's
+    candidate pass sees them.
+
+    With ``batch_id`` the write is IDEMPOTENT: the increment goes to
+    ``increments/batch=<id>`` in overwrite mode, so a checkpoint-
+    replayed streaming micro-batch rewrites the same directory instead
+    of appending duplicate signature rows into the index forever (r5
+    ADVICE item 3 — the standard foreachBatch exactly-once-per-batch
+    layout).  Without ``batch_id`` (one-shot batch callers) the legacy
+    parquet append to ``signatures`` is kept."""
     _check_params(index_path, n, n_hashes)
     sigs = minhash_signatures(new_docs, id_col, text_col, n=n, n_hashes=n_hashes)
-    sigs.write.mode("append").parquet(os.path.join(index_path, "signatures"))
+    if batch_id is None:
+        sigs.write.mode("append").parquet(os.path.join(index_path, "signatures"))
+    else:
+        sigs.write.mode("overwrite").parquet(
+            os.path.join(index_path, "increments", f"batch={int(batch_id)}")
+        )

@@ -124,6 +124,12 @@ _PRIORITY: list[str] = [
     # relational).  New oracle ⇒ back into the window.
     "q104_semantic_dedup",
     "q106_pq_refine_topk",
+    # Rule 2 (dependency re-entry): operators/lsh_index.py changed this
+    # round (r5 ADVICE items 2/3 — checkpoint-not-persist + idempotent
+    # per-batch increment appends), so q114's r5-green row no longer
+    # covers its sources; the gate-window dependency test flags it back
+    # into the window.
+    "q114_incremental_lsh_index",
     # Remaining slots (rule 3): the r5 tail, oldest-verified first —
     # the fifteen engine-surface entries last gate-verified in r3, then
     # r4-verified entries in their r4 window order (q50 and later
@@ -158,8 +164,7 @@ _PRIORITY: list[str] = [
     "q60_quantize_embeddings",
     "q23_dedup_exact",
     "q47_dedup_keep_best",
-    "q24_minhash_signatures",
-    # q25/q29 displaced to the r7 rotation by the two q104/q106
+    # q24/q25/q29 displaced to the r7 rotation by the q104/q106/q114
     # re-entries above (COVERAGE.md r6 arithmetic note).
 ]
 

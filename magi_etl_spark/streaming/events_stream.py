@@ -388,12 +388,17 @@ def run_foreach_batch_lsh_index(
     to the increment (the 8x-history scale probe shows the incremental
     pass is flat in corpus history).
 
-    Idempotence: a checkpoint-replayed batch re-signs the same doc ids;
-    the index append supersedes re-delivered ids at query time (the
-    left-anti in ``incremental_lsh_pairs``), so candidate queries stay
-    correct — pairs_path appends are at-least-once, deduplicate
-    downstream on (doc_a, doc_b) when exactness matters (or route them
-    through the versioned sink for exactly-once)."""
+    Idempotence (r5 ADVICE item 3): the INDEX append is exactly-once
+    per batch — every batch's signatures go to ``increments/batch=N``
+    in overwrite mode, so a checkpoint-replayed batch (crash on either
+    side of the pairs write) rewrites the same directory instead of
+    permanently duplicating signature rows.  The bootstrap writes an
+    EMPTY base index so even batch 0 commits through the idempotent
+    increment path.  pairs_path appends remain at-least-once —
+    deduplicate downstream on (doc_a, doc_b) when exactness matters (or
+    route them through the versioned sink for exactly-once); candidate
+    queries over the index itself stay correct either way (re-delivered
+    ids supersede via the left-anti in ``incremental_lsh_pairs``)."""
     import os
 
     from magi_etl_spark.operators.lsh_index import (
@@ -406,24 +411,20 @@ def run_foreach_batch_lsh_index(
         batch_df = batch_df.persist()
         try:
             if not os.path.exists(os.path.join(index_path, "_lsh_params.json")):
-                # first batch bootstraps the index and has no history
-                # to pair against beyond itself
+                # bootstrap: an empty base index (schema + params only);
+                # batch 0's rows then commit through the same idempotent
+                # increment path as every other batch
                 build_lsh_index(
-                    batch_df, index_path, n=n, n_hashes=n_hashes
+                    batch_df.limit(0), index_path, n=n, n_hashes=n_hashes
                 )
-                pairs = incremental_lsh_pairs(
-                    batch_df, index_path, n=n, n_hashes=n_hashes,
-                    band_size=band_size,
-                )
-                pairs.write.mode("append").parquet(pairs_path)
-                return
             pairs = incremental_lsh_pairs(
                 batch_df, index_path, n=n, n_hashes=n_hashes,
                 band_size=band_size,
             )
             pairs.write.mode("append").parquet(pairs_path)
             append_to_lsh_index(
-                batch_df, index_path, n=n, n_hashes=n_hashes
+                batch_df, index_path, n=n, n_hashes=n_hashes,
+                batch_id=batch_id,
             )
         finally:
             batch_df.unpersist(blocking=False)

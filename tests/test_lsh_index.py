@@ -85,6 +85,46 @@ def test_append_extends_the_index(spark, tmp_path):
     assert (10, 20) in got
 
 
+def test_batch_id_append_is_idempotent(spark, tmp_path):
+    """r5 ADVICE item 3: a checkpoint-replayed micro-batch re-runs the
+    index append; with ``batch_id`` the increment lands in an
+    overwrite-mode ``increments/batch=N`` directory, so the replay
+    rewrites instead of duplicating — and ``read_lsh_index`` unions the
+    base table with every committed increment."""
+    from magi_etl_spark.operators.lsh_index import (
+        append_to_lsh_index,
+        build_lsh_index,
+        incremental_lsh_pairs,
+        read_lsh_index,
+    )
+
+    idx = str(tmp_path / "idx")
+    build_lsh_index(
+        spark.createDataFrame(DOCS, "doc_id long, text string"), idx
+    )
+    new = spark.createDataFrame(NEW, "doc_id long, text string")
+    append_to_lsh_index(new, idx, batch_id=1)
+    append_to_lsh_index(new, idx, batch_id=1)  # replayed batch
+    assert read_lsh_index(spark, idx).count() == len(DOCS) + len(NEW)
+    # a distinct batch still extends the index
+    later = spark.createDataFrame(
+        [(20, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    append_to_lsh_index(later, idx, batch_id=2)
+    assert read_lsh_index(spark, idx).count() == len(DOCS) + len(NEW) + 1
+    # and increment signatures participate in candidate generation
+    probe = spark.createDataFrame(
+        [(30, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in incremental_lsh_pairs(probe, idx).collect()
+    }
+    assert (10, 30) in got and (20, 30) in got
+
+
 def test_parameter_mismatch_is_refused(spark, tmp_path):
     from magi_etl_spark.operators.lsh_index import (
         build_lsh_index,
