@@ -146,6 +146,77 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_doc_freq: int | float | None = None,
+    scope: CacheScope | None = None,
+) -> DataFrame:
+    """All ORDERED pairs with shingle-set containment
+    ``|A ∩ B| / |A| >= threshold`` — the asymmetric near-SUPERSET
+    detector Jaccard misses: a short document wholly quoted inside a
+    long one has low Jaccard (the union is large) but containment ≈ 1
+    from the quoted side.  Corpus dedup policies treat contained
+    documents as duplicates of their superset (Lee et al. 2022 §4
+    discusses exact-substring containment; this is the shingle-set
+    relaxation).
+
+    Output ``(doc_a, doc_b, n_common, n_a, containment)`` — directed:
+    doc_a is the (near-)contained side, both directions are emitted
+    when both clear the threshold.  Same postings-join scale shape and
+    ``max_doc_freq`` stop-shingle pruning as
+    :func:`ngram_jaccard_pairs` (pruning only lowers containment, so
+    survivors are true positives); intersection counts stay exact
+    integers, so the threshold cut is engine-portable."""
+    sets = persist_in(
+        with_shingles(df, id_col, text_col, n, scope=scope).where(
+            F.size("shingles") > 0
+        ),
+        scope,
+    )
+    sizes = sets.select("doc_id", F.size("shingles").alias("n_sh"))
+    ex = sets.select("doc_id", F.explode("shingles").alias("shingle"))
+    if max_doc_freq is not None:
+        dfreq = ex.groupBy("shingle").agg(F.count("*").alias("df"))
+        if isinstance(max_doc_freq, float) and max_doc_freq < 1.0:
+            ndocs = ex.agg(F.countDistinct("doc_id").alias("_nd"))
+            rare = (
+                dfreq.crossJoin(F.broadcast(ndocs))
+                .where(F.col("df") <= F.col("_nd") * F.lit(max_doc_freq))
+                .select("shingle")
+            )
+        else:
+            rare = dfreq.where(F.col("df") <= int(max_doc_freq)).select("shingle")
+        ex = ex.join(rare, "shingle")
+    a = ex.alias("a")
+    b = ex.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    cont = F.col("n_inter") / F.col("n_a")
+    return (
+        inter.join(sa, "doc_a")
+        .where(cont >= F.lit(threshold))
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_inter").cast("long").alias("n_common"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.round(cont, 6).alias("containment"),
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,

@@ -143,3 +143,38 @@ def weighted_mix(
     return out.withColumn(
         copy_col, F.explode(F.sequence(F.lit(1), F.col("_n_copies")))
     ).drop("_n_copies")
+
+
+def curriculum_order(
+    df: DataFrame,
+    stage_col: Column,
+    id_col: str,
+    seed: str = "curriculum",
+) -> DataFrame:
+    """Global curriculum position for every row: input columns +
+    ``stage`` and ``curriculum_pos`` (1-based), ordered by ascending
+    stage with a deterministic hash shuffle WITHIN each stage —
+    curriculum learning's canonical data order (easy→hard stages,
+    randomized inside a stage so batches stay i.i.d. within
+    difficulty; Bengio et al. 2009).
+
+    The global position intentionally avoids the single-partition
+    ``ORDER BY everything`` window: it reuses the range-partitioned
+    two-pass prefix sum (``operators/prefix.py``), so the ordering
+    scales with partitions.  ``stage_col`` is any integer difficulty
+    expression (a binned quality score, a length bucket); the
+    within-stage draw is the repo-standard md5 uniform, so the full
+    ordering is reproducible and SQL-expressible for oracles."""
+    from magi_etl_spark.operators.prefix import ranked_prefix_sum
+
+    staged = df.withColumn("stage", stage_col.cast("int")).withColumn(
+        "_draw", uniform_hex(F.col(id_col), seed)
+    )
+    ranked = ranked_prefix_sum(
+        staged.withColumn("_one", F.lit(1)),
+        [F.asc("stage"), F.asc("_draw"), F.asc(id_col)],
+        "_one",
+    )
+    return ranked.withColumnRenamed("rank", "curriculum_pos").drop(
+        "_draw", "_one", "cum"
+    )

@@ -305,6 +305,47 @@ def ivf_topk(
     )
 
 
+def hard_negatives(
+    df: DataFrame,
+    query: DataFrame,
+    lo: float,
+    hi: float,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query, the
+    top-``k`` corpus vectors whose cosine lies in the band
+    ``[lo, hi)`` — similar enough to be confusable, below the
+    positive threshold so they are (statistically) true negatives
+    (the in-batch-negatives upgrade every embedding-model pipeline
+    ships eventually; cf. DPR, Karpukhin et al. 2020).
+
+    Same scale shape as :func:`cosine_topk`: broadcast the bounded
+    query set, one map-side scoring scan of the corpus, per-query
+    top-k window over the band survivors only."""
+    from pyspark.sql import Window as W
+
+    corpus = df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
+    q = query.select(
+        F.col(id_col).alias("query_id"), as_double(F.col(vec_col)).alias("_q")
+    )
+    scored = (
+        corpus.crossJoin(F.broadcast(q))
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id", F.col(id_col), cosine(F.col("_v"), F.col("_q")).alias("_s")
+        )
+        .where((F.col("_s") >= F.lit(lo)) & (F.col("_s") < F.lit(hi)))
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("_s"), F.asc(id_col))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .select("query_id", id_col, F.round("_s", 6).alias("score"), "rn")
+    )
+
+
 def srp_lsh_buckets(
     df: DataFrame,
     n_planes: int = 8,

@@ -307,6 +307,46 @@ def main() -> None:
 
         return run
 
+    def spans(d):
+        from magi_etl_spark.operators.importance import duplicated_spans
+
+        # replication duplicates every shingle across copies (df >= N),
+        # so every position flags dup and the gaps-and-islands window
+        # runs over maximal runs — the worst-case span workload
+        return lambda: duplicated_spans(d, n=5)
+
+    def wsample(d):
+        from magi_etl_spark.operators.sampling import weighted_sample_n_per_group
+
+        # group count is FIXED (languages); per-group rows grow Nx, the
+        # honest axis for a per-group top-n window
+        return lambda: weighted_sample_n_per_group(
+            d.select("doc_id", "lang", "n_chars"),
+            ["lang"],
+            "n_chars",
+            n=5,
+            id_col="doc_id",
+            seed="wsample",
+        )
+
+    def tokpack(d):
+        from magi_etl_spark.operators.bpe import bpe_encode_docs
+        from magi_etl_spark.operators.packing import pack_chunks
+
+        # the q132 capstone end to end: train rides the (replication-
+        # invariant) word vocabulary, encode/pack ride the corpus
+        def run():
+            enc = bpe_encode_docs(d, n_merges=10).select(
+                "doc_id",
+                F.lit(0).alias("chunk_idx"),
+                F.col("n_tokens").cast("int").alias("n_chunk_tokens"),
+            )
+            return pack_chunks(
+                enc, budget=2048, n_buckets=16, bucket_expr=F.col("doc_id") % 16
+            )
+
+        return run
+
     def lshidx(d):
         # INCREMENTAL axis: the increment is FIXED (the x1 docs slice)
         # while the on-disk index history grows Nx — the ratio measures
@@ -375,6 +415,9 @@ def main() -> None:
         ("ngram_novelty", novelty(docs1), novelty(docsN)),
         ("png_pipeline", png_pipeline(docs1), png_pipeline(docsN)),
         ("merge_into", merge(events1), merge(eventsN)),
+        ("dup_spans", spans(docs1), spans(docsN)),
+        ("weighted_sample", wsample(docs1), wsample(docsN)),
+        ("tokenize_pack", tokpack(docs1), tokpack(docsN)),
         ("lsh_index_increment", lshidx(docs1), lshidx(docsN)),
     ):
         if only is not None and label not in only:
