@@ -1,0 +1,126 @@
+"""Distribution-drift and robust-outlier monitoring operators.
+
+A 100 TB pipeline that re-ingests daily needs cheap answers to "did
+this feed change shape" (drift between a baseline window and the
+current window) and "which points are wild" (outliers robust to the
+outliers themselves).  The reference's monitoring posture is schema/
+row-count checks at its task layer; these operators extend that to
+distributional checks, following the same deterministic-arithmetic
+discipline as the rest of the repo so DuckDB oracles can replay them.
+
+- ``psi_drift``: Population Stability Index over fixed-width bins with
+  add-one (Laplace) smoothing, per group.  PSI = sum over bins of
+  (p - q) * ln(p / q); the industry rule of thumb flags > 0.2.  Fixed
+  bin edges (not quantile bins) keep the operator one pass + one
+  bounded aggregation and make the arithmetic engine-portable.
+- ``mad_outliers``: robust z-score via median / MAD (median absolute
+  deviation), scaled by the 1.4826 normal-consistency constant.  Both
+  medians are exact ``percentile`` scalar aggregates broadcast back —
+  two 1-row frames, never a global sort.
+
+Scale shapes: ``psi_drift`` is one conditional-count aggregation over
+(group, bin) — bounded by |groups| * n_bins — plus broadcast joins of
+per-group totals; ``mad_outliers`` is two scalar aggregate passes and
+a map-side flag, state O(1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _bin(value: Column, lo: float, width: float, n_bins: int) -> Column:
+    """Fixed-width bin index clamped to [0, n_bins-1]."""
+    raw = F.floor((value - F.lit(lo)) / F.lit(width)).cast("int")
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
+
+
+def psi_drift(
+    df: DataFrame,
+    split_ts: str,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 350.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI between the baseline window (``ts < split_ts``) and the
+    current window (``ts >= split_ts``), per group.
+
+    Returns ``<group_col>, n_base, n_cur, psi`` (PSI rounded to 4).
+    Smoothed proportions ``(n_bin + 1) / (n_total + n_bins)`` keep
+    empty bins finite; every (group, bin) cell participates, present
+    in the data or not.
+    """
+    width = (hi - lo) / n_bins
+    split = F.lit(split_ts).cast("timestamp")
+    binned = df.select(
+        F.col(group_col),
+        _bin(F.col(value_col), lo, width, n_bins).alias("_bin"),
+        (F.col(ts_col) < split).alias("_is_base"),
+    )
+    cells = binned.groupBy(group_col, "_bin").agg(
+        F.sum(F.col("_is_base").cast("long")).alias("_nb"),
+        F.sum((~F.col("_is_base")).cast("long")).alias("_nc"),
+    )
+    # densify: every (group, bin) pair, so empty bins still contribute
+    # their smoothed mass.  |groups| x n_bins rows — broadcast-sized.
+    grid = (
+        df.select(group_col)
+        .distinct()
+        .select(
+            group_col, F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("_bin")
+        )
+    )
+    dense = grid.join(cells, [group_col, "_bin"], "left").fillna(
+        0, subset=["_nb", "_nc"]
+    )
+    totals = dense.groupBy(group_col).agg(
+        F.sum("_nb").cast("long").alias("n_base"),
+        F.sum("_nc").cast("long").alias("n_cur"),
+    )
+    with_tot = dense.join(F.broadcast(totals), group_col)
+    p = (F.col("_nb") + 1) / (F.col("n_base") + n_bins)
+    q = (F.col("_nc") + 1) / (F.col("n_cur") + n_bins)
+    return (
+        with_tot.withColumn("_term", (p - q) * F.log(p / q))
+        .groupBy(group_col, "n_base", "n_cur")
+        .agg(F.round(F.sum("_term"), 4).alias("psi"))
+        .select(group_col, "n_base", "n_cur", "psi")
+    )
+
+
+def mad_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    threshold: float = 3.0,
+) -> DataFrame:
+    """Robust outlier flags: ``key_cols..., <value_col>, robust_z,
+    is_outlier`` where ``robust_z = (x - median) / (1.4826 * MAD)``
+    (rounded to 4) and ``is_outlier = |robust_z| > threshold``.
+
+    Exact medians via two scalar ``percentile`` aggregates (the second
+    over |x - median|), each broadcast back as a 1-row frame.  A MAD of
+    zero (over half the values identical) yields robust_z = 0 and no
+    flags rather than a division blow-up.
+    """
+    med = df.agg(
+        F.expr(f"percentile({value_col}, 0.5)").alias("_med")
+    )
+    with_med = df.crossJoin(F.broadcast(med))
+    mad = with_med.agg(
+        F.expr(f"percentile(abs({value_col} - _med), 0.5)").alias("_mad")
+    )
+    scale = F.lit(1.4826) * F.col("_mad")
+    z = F.when(F.col("_mad") == 0, F.lit(0.0)).otherwise(
+        (F.col(value_col) - F.col("_med")) / scale
+    )
+    return (
+        with_med.crossJoin(F.broadcast(mad))
+        .withColumn("robust_z", F.round(z, 4))
+        .withColumn("is_outlier", F.abs(F.col("robust_z")) > threshold)
+        .select(*key_cols, value_col, "robust_z", "is_outlier")
+    )

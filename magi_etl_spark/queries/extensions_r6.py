@@ -337,3 +337,357 @@ def q138_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "doc_id", "lang", "stage", F.col("curriculum_pos").cast("long").alias("curriculum_pos")
     )
+
+
+# --- behavior analytics -------------------------------------------------------
+
+
+@ext3_query(
+    "q139_funnel",
+    oracle="""
+    WITH s0 AS (
+        SELECT user_id, MIN(ts) AS t FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    s1 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s0 ON e.user_id = s0.user_id
+        WHERE e.event_type = 'click' AND e.ts >= s0.t
+          AND e.ts <= s0.t + INTERVAL 43200 SECOND
+        GROUP BY e.user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= s1.t
+          AND e.ts <= s1.t + INTERVAL 43200 SECOND
+        GROUP BY e.user_id
+    ),
+    c AS (
+        SELECT 0 AS stage_idx, 'view' AS stage,
+               CAST((SELECT COUNT(*) FROM s0) AS BIGINT) AS n_users
+        UNION ALL
+        SELECT 1, 'click', CAST((SELECT COUNT(*) FROM s1) AS BIGINT)
+        UNION ALL
+        SELECT 2, 'purchase', CAST((SELECT COUNT(*) FROM s2) AS BIGINT)
+    )
+    SELECT c.stage_idx, c.stage, c.n_users,
+           CASE WHEN p.n_users IS NULL THEN 1.0
+                WHEN p.n_users = 0 THEN 0.0
+                ELSE ROUND(c.n_users / CAST(p.n_users AS DOUBLE), 4)
+           END AS conv_from_prev,
+           CASE WHEN f.n_users = 0 THEN 0.0
+                ELSE ROUND(c.n_users / CAST(f.n_users AS DOUBLE), 4)
+           END AS conv_from_first
+    FROM c
+    LEFT JOIN c p ON p.stage_idx = c.stage_idx - 1
+    CROSS JOIN (SELECT n_users FROM c WHERE stage_idx = 0) f
+    """,
+)
+def q139_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel with a 12-hour conversion
+    window: per-user first-touch chaining, one groupBy + one user-keyed
+    join per stage, conversion ratios from joining the |stages|-row
+    count frame to itself (no unpartitioned window).  Reference analog:
+    the session/user conversion aggregates of tasks.py's product layer."""
+    from magi_etl_spark.operators.behavior import funnel_stages
+
+    e = load_table(spark, sf_dir, "events")
+    return funnel_stages(
+        e, ["view", "click", "purchase"], max_gap_s=43200
+    )
+
+
+@ext3_query(
+    "q140_cohort_retention",
+    oracle="""
+    WITH first AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    act AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    j AS (
+        SELECT f.cohort_week,
+               CAST(date_diff('day', f.cohort_week, a.wk) / 7 AS INTEGER)
+                   AS week_offset
+        FROM act a JOIN first f ON a.user_id = f.user_id
+        WHERE date_diff('day', f.cohort_week, a.wk) BETWEEN 0 AND 28
+    ),
+    per AS (
+        SELECT cohort_week, week_offset,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM j GROUP BY cohort_week, week_offset
+    )
+    SELECT p.cohort_week, p.week_offset, p.n_users,
+           ROUND(p.n_users / CAST(s.n_users AS DOUBLE), 4) AS retention
+    FROM per p
+    JOIN (SELECT cohort_week, n_users FROM per WHERE week_offset = 0) s
+      ON p.cohort_week = s.cohort_week
+    """,
+)
+def q140_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention (offsets 0-4): first-touch cohorting,
+    distinct (user, week) activity, one user-keyed join, per-(cohort,
+    offset) counts normalized by the broadcast offset-0 cohort size."""
+    from magi_etl_spark.operators.behavior import cohort_retention
+
+    e = load_table(spark, sf_dir, "events")
+    return cohort_retention(e, max_offset=4)
+
+
+@ext3_query(
+    "q141_markov_transitions",
+    oracle="""
+    WITH seq AS (
+        SELECT event_type AS src_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS dst_type
+        FROM events
+    ),
+    c AS (
+        SELECT src_type, dst_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+        FROM seq WHERE dst_type IS NOT NULL
+        GROUP BY src_type, dst_type
+    ),
+    t AS (
+        SELECT src_type, CAST(SUM(n_trans) AS BIGINT) AS total
+        FROM c GROUP BY src_type
+    )
+    SELECT c.src_type, c.dst_type, c.n_trans,
+           ROUND(c.n_trans / CAST(t.total AS DOUBLE), 4) AS prob
+    FROM c JOIN t ON c.src_type = t.src_type
+    """,
+)
+def q141_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (ts, event_id ordered so equal timestamps are
+    deterministic): per-user lead() window + (src, dst)-keyed counts,
+    row-normalized via a broadcast per-src total."""
+    from magi_etl_spark.operators.behavior import markov_transitions
+
+    e = load_table(spark, sf_dir, "events")
+    return markov_transitions(e)
+
+
+@ext3_query(
+    "q142_copurchase_lift",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    co AS (
+        SELECT a.it AS item_a, b2.it AS item_b,
+               CAST(COUNT(*) AS BIGINT) AS n_co
+        FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+        GROUP BY a.it, b2.it HAVING COUNT(*) >= 2
+    ),
+    pi AS (SELECT it, CAST(COUNT(*) AS BIGINT) AS n FROM b GROUP BY it),
+    nb AS (SELECT CAST(COUNT(DISTINCT bk) AS BIGINT) AS n_baskets FROM b)
+    SELECT co.item_a, co.item_b, co.n_co, pa.n AS n_a, pb.n AS n_b,
+           ROUND(nb.n_baskets * co.n_co
+                 / CAST(pa.n * pb.n AS DOUBLE), 4) AS lift
+    FROM co
+    JOIN pi pa ON co.item_a = pa.it
+    JOIN pi pb ON co.item_b = pb.it
+    CROSS JOIN nb
+    """,
+)
+def q142_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pairs: parts co-purchased in >= 2 orders with
+    lift vs independence.  The pair enumeration joins on the BASKET id
+    (per-order sizes bounded by the data model), so pair state is
+    linear-ish in rows, never |parts|^2."""
+    from magi_etl_spark.operators.association import copurchase_pairs
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return copurchase_pairs(li, min_co=2)
+
+
+# --- drift / outlier monitoring ----------------------------------------------
+
+
+@ext3_query(
+    "q143_psi_drift",
+    oracle="""
+    WITH binned AS (
+        SELECT event_type,
+               least(greatest(CAST(floor(value / 35.0) AS INTEGER), 0), 9)
+                   AS b,
+               (ts < TIMESTAMP '2024-01-16') AS is_base
+        FROM events
+    ),
+    cells AS (
+        SELECT event_type, b,
+               CAST(SUM(CASE WHEN is_base THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb,
+               CAST(SUM(CASE WHEN is_base THEN 0 ELSE 1 END) AS BIGINT)
+                   AS nc
+        FROM binned GROUP BY event_type, b
+    ),
+    grid AS (
+        SELECT t.event_type, gs.b
+        FROM (SELECT DISTINCT event_type FROM events) t,
+             (SELECT unnest(range(10)) AS b) gs
+    ),
+    dense AS (
+        SELECT g.event_type, g.b,
+               COALESCE(c.nb, 0) AS nb, COALESCE(c.nc, 0) AS nc
+        FROM grid g
+        LEFT JOIN cells c ON g.event_type = c.event_type AND g.b = c.b
+    ),
+    tot AS (
+        SELECT event_type, CAST(SUM(nb) AS BIGINT) AS n_base,
+               CAST(SUM(nc) AS BIGINT) AS n_cur
+        FROM dense GROUP BY event_type
+    )
+    SELECT d.event_type, t.n_base, t.n_cur,
+           ROUND(SUM(
+               ((d.nb + 1) / CAST(t.n_base + 10 AS DOUBLE)
+                - (d.nc + 1) / CAST(t.n_cur + 10 AS DOUBLE))
+               * ln(((d.nb + 1) / CAST(t.n_base + 10 AS DOUBLE))
+                    / ((d.nc + 1) / CAST(t.n_cur + 10 AS DOUBLE)))
+           ), 4) AS psi
+    FROM dense d JOIN tot t ON d.event_type = t.event_type
+    GROUP BY d.event_type, t.n_base, t.n_cur
+    """,
+)
+def q143_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the event value distribution,
+    first half of January vs second, per event type: 10 fixed-width
+    bins over [0, 350), add-one smoothing, densified so empty bins
+    contribute their smoothed mass.  One conditional-count aggregation
+    bounded by |types| x 10."""
+    from magi_etl_spark.operators.drift import psi_drift
+
+    e = load_table(spark, sf_dir, "events")
+    return psi_drift(e, split_ts="2024-01-16", lo=0.0, hi=350.0, n_bins=10)
+
+
+@ext3_query(
+    "q144_mad_outliers",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               SUM(o_totalprice) AS rev
+        FROM orders GROUP BY day
+    ),
+    med AS (SELECT quantile_cont(rev, 0.5) AS m FROM daily),
+    mad AS (
+        SELECT quantile_cont(abs(rev - med.m), 0.5) AS d
+        FROM daily, med
+    )
+    SELECT daily.day, ROUND(daily.rev, 2) AS revenue,
+           ROUND(CASE WHEN mad.d = 0 THEN 0.0
+                      ELSE (daily.rev - med.m) / (1.4826 * mad.d)
+                 END, 4) AS robust_z,
+           abs(ROUND(CASE WHEN mad.d = 0 THEN 0.0
+                          ELSE (daily.rev - med.m) / (1.4826 * mad.d)
+                     END, 4)) > 3.0 AS is_outlier
+    FROM daily, med, mad
+    """,
+)
+def q144_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier flags on the daily order-revenue series: exact
+    median/MAD via two scalar percentile aggregates broadcast back,
+    |robust z| > 3 flags.  Never a global sort — the medians are 1-row
+    frames."""
+    from magi_etl_spark.operators.drift import mad_outliers
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("rev"))
+    out = mad_outliers(daily, ["day"], "rev", threshold=3.0)
+    return out.select(
+        "day",
+        F.round("rev", 2).alias("revenue"),
+        "robust_z",
+        "is_outlier",
+    )
+
+
+# --- embedding projection / RFM ----------------------------------------------
+
+
+def _rp_oracle() -> str:
+    from magi_etl_spark.operators.projection import projection_sign_list_sql
+
+    cols = ",\n           ".join(
+        "ROUND(list_dot_product(CAST(embedding AS DOUBLE[]), "
+        + projection_sign_list_sql("rp", j, 64)
+        + f") / sqrt(8.0), 3) + 0.0 AS p{j}"
+        for j in range(8)
+    )
+    return f"SELECT vec_id, label,\n           {cols}\n    FROM embeddings"
+
+
+@ext3_query("q145_random_projection", oracle=_rp_oracle())
+def q145_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss sign random projection of the 64-dim
+    embeddings to 8 dims (JL-normalized, rounded to 3): the projection
+    matrix is md5-derived so the oracle rebuilds it with a list
+    comprehension, and both sides fold dimensions left-to-right so the
+    float arithmetic matches exactly.  Pure map — zero shuffles."""
+    from magi_etl_spark.operators.projection import random_projection
+
+    em = load_table(spark, sf_dir, "embeddings")
+    return random_projection(em, "embedding", out_dim=8).select(
+        "vec_id", "label", *[f"p{j}" for j in range(8)]
+    )
+
+
+@ext3_query(
+    "q146_rfm_segments",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(date_diff('day', DATE '1970-01-01',
+                    CAST(MAX(o_orderdate) AS DATE)) AS DOUBLE) AS recency,
+               CAST(COUNT(*) AS DOUBLE) AS frequency,
+               ROUND(SUM(o_totalprice), 2) AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    q AS (
+        SELECT quantile_cont(recency, [0.25, 0.5, 0.75]) AS qr,
+               quantile_cont(frequency, [0.25, 0.5, 0.75]) AS qf,
+               quantile_cont(monetary, [0.25, 0.5, 0.75]) AS qm
+        FROM per
+    ),
+    scored AS (
+        SELECT CAST(1 + CAST(recency > qr[1] AS INTEGER)
+                      + CAST(recency > qr[2] AS INTEGER)
+                      + CAST(recency > qr[3] AS INTEGER) AS INTEGER)
+                   AS r_score,
+               CAST(1 + CAST(frequency > qf[1] AS INTEGER)
+                      + CAST(frequency > qf[2] AS INTEGER)
+                      + CAST(frequency > qf[3] AS INTEGER) AS INTEGER)
+                   AS f_score,
+               CAST(1 + CAST(monetary > qm[1] AS INTEGER)
+                      + CAST(monetary > qm[2] AS INTEGER)
+                      + CAST(monetary > qm[3] AS INTEGER) AS INTEGER)
+                   AS m_score,
+               monetary
+        FROM per, q
+    )
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(AVG(monetary), 2) AS avg_monetary
+    FROM scored GROUP BY r_score, f_score, m_score
+    """,
+)
+def q146_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation rollup: per-customer recency/frequency/monetary
+    scored 1-4 against GLOBAL quartiles from one scalar percentile
+    aggregate broadcast back — deliberately not ntile() over every
+    customer (an unpartitioned global sort).  Monetary is rounded to 2
+    before scoring so quartile-boundary comparisons are engine-exact."""
+    from magi_etl_spark.operators.behavior import rfm_segments
+
+    o = load_table(spark, sf_dir, "orders")
+    return rfm_segments(o)

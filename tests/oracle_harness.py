@@ -30,7 +30,9 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return round(v, 6)
+        # canonicalize -0.0: it compares == 0.0 but stringifies "-0.0",
+        # which would misalign the sorted-row pairing
+        return round(v, 6) + 0.0
     if isinstance(v, datetime):
         return v.isoformat()
     if isinstance(v, date):

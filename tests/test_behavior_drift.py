@@ -1,0 +1,267 @@
+"""Invariants the q139-q146 oracles can't express: funnel monotonicity
+and window semantics, retention bounds, Markov row-stochasticity, RFM
+score bounds, PSI non-negativity / zero-on-identical, MAD shift
+invariance and known-outlier detection, co-purchase lift on a hand
+fixture, and JL projection linearity / distance preservation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ts(day: int, hour: int = 0) -> dt.datetime:
+    return dt.datetime(2024, 1, day, hour)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string",
+    )
+
+
+def test_funnel_counts_are_monotone_and_windowed(spark):
+    from magi_etl_spark.operators.behavior import funnel_stages
+
+    rows = [
+        # user 1 completes in-window
+        (1, _ts(1, 0), "view"),
+        (1, _ts(1, 1), "click"),
+        (1, _ts(1, 2), "purchase"),
+        # user 2 clicks too late (gap > 2h)
+        (2, _ts(1, 0), "view"),
+        (2, _ts(1, 5), "click"),
+        # user 3 purchases BEFORE clicking — must not count at stage 3
+        (3, _ts(1, 0), "view"),
+        (3, _ts(1, 1), "purchase"),
+        (3, _ts(1, 2), "click"),
+    ]
+    out = {
+        r["stage"]: r
+        for r in funnel_stages(
+            _events(spark, rows), ["view", "click", "purchase"], max_gap_s=7200
+        ).collect()
+    }
+    assert out["view"]["n_users"] == 3
+    assert out["click"]["n_users"] == 2  # users 1, 3
+    assert out["purchase"]["n_users"] == 1  # only user 1
+    assert out["view"]["conv_from_prev"] == 1.0
+    counts = [out[s]["n_users"] for s in ("view", "click", "purchase")]
+    assert counts == sorted(counts, reverse=True)
+
+
+def test_funnel_unbounded_window_is_superset(spark):
+    from magi_etl_spark.operators.behavior import funnel_stages
+
+    rows = [(1, _ts(1), "view"), (1, _ts(20), "click")]
+    bounded = funnel_stages(
+        _events(spark, rows), ["view", "click"], max_gap_s=3600
+    ).collect()
+    unbounded = funnel_stages(_events(spark, rows), ["view", "click"]).collect()
+    by_stage = lambda rs: {r["stage"]: r["n_users"] for r in rs}  # noqa: E731
+    assert by_stage(bounded)["click"] == 0
+    assert by_stage(unbounded)["click"] == 1
+
+
+def test_cohort_retention_bounds(spark):
+    from magi_etl_spark.operators.behavior import cohort_retention
+
+    rows = [
+        (1, _ts(1), "view"),   # cohort week of Jan 1
+        (1, _ts(9), "view"),   # active at offset 1
+        (2, _ts(2), "view"),   # same cohort, never returns
+    ]
+    out = cohort_retention(_events(spark, rows), max_offset=4).collect()
+    at0 = [r for r in out if r["week_offset"] == 0]
+    assert len(at0) == 1 and at0[0]["retention"] == 1.0 and at0[0]["n_users"] == 2
+    at1 = [r for r in out if r["week_offset"] == 1]
+    assert len(at1) == 1 and at1[0]["n_users"] == 1 and at1[0]["retention"] == 0.5
+    assert all(0.0 <= r["retention"] <= 1.0 for r in out)
+
+
+def test_markov_rows_are_stochastic(spark):
+    from magi_etl_spark.operators.behavior import markov_transitions
+
+    rows = [
+        (1, _ts(1, 0), "a"),
+        (1, _ts(1, 1), "b"),
+        (1, _ts(1, 2), "a"),
+        (2, _ts(1, 0), "a"),
+        (2, _ts(1, 1), "a"),
+    ]
+    out = markov_transitions(_events(spark, rows)).collect()
+    # transitions: u1 a->b, b->a; u2 a->a  => from 'a': {b:1, a:1}
+    total = sum(r["n_trans"] for r in out)
+    assert total == 3  # (rows - users)
+    from collections import defaultdict
+
+    per_src = defaultdict(float)
+    for r in out:
+        per_src[r["src_type"]] += r["prob"]
+    for src, p in per_src.items():
+        assert abs(p - 1.0) < 1e-6, (src, p)
+
+
+def test_rfm_scores_bounded_and_partition_customers(spark):
+    from magi_etl_spark.operators.behavior import rfm_segments
+
+    rows = [
+        (i, 1 + (i % 20), "O", 100.0 * (1 + i % 7), _ts(1 + i % 25))
+        for i in range(200)
+    ]
+    orders = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp",
+    )
+    out = rfm_segments(orders).collect()
+    assert sum(r["n_customers"] for r in out) == 20
+    for r in out:
+        for c in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[c] <= 4
+
+
+def test_psi_zero_on_identical_and_nonnegative(spark):
+    from magi_etl_spark.operators.drift import psi_drift
+
+    # identical value distributions before/after the split => PSI == 0
+    rows = []
+    i = 0
+    for day in (1, 20):  # one baseline day, one current day
+        for v in (5.0, 50.0, 150.0, 340.0) * 25:
+            rows.append((i, 1, _ts(day), "t", v))
+            i += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    out = psi_drift(df, split_ts="2024-01-10").collect()
+    assert len(out) == 1
+    assert out[0]["psi"] == 0.0
+    assert out[0]["n_base"] == out[0]["n_cur"] == 100
+
+    # every PSI term (p-q)ln(p/q) >= 0, so PSI >= 0 on any input
+    rows2 = [
+        (i, 1, _ts(1 if i % 3 else 20), "t", float(i % 347)) for i in range(300)
+    ]
+    df2 = spark.createDataFrame(
+        rows2, "event_id long, user_id long, ts timestamp, "
+        "event_type string, value double"
+    )
+    assert all(r["psi"] >= 0.0 for r in psi_drift(df2, "2024-01-10").collect())
+
+
+def test_mad_outliers_shift_invariant_and_detects(spark):
+    from magi_etl_spark.operators.drift import mad_outliers
+
+    base = [float(100 + (i % 11)) for i in range(50)] + [1000.0]
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(base)], "k long, v double"
+    )
+    out = {r["k"]: r for r in mad_outliers(df, ["k"], "v").collect()}
+    assert out[50]["is_outlier"]  # the planted spike
+    assert sum(1 for r in out.values() if r["is_outlier"]) == 1
+
+    shifted = spark.createDataFrame(
+        [(i, v + 5000.0) for i, v in enumerate(base)], "k long, v double"
+    )
+    out2 = {r["k"]: r for r in mad_outliers(shifted, ["k"], "v").collect()}
+    for k in out:
+        assert out[k]["is_outlier"] == out2[k]["is_outlier"]
+        assert abs(out[k]["robust_z"] - out2[k]["robust_z"]) < 1e-6
+
+
+def test_mad_zero_mad_yields_no_flags(spark):
+    from magi_etl_spark.operators.drift import mad_outliers
+
+    df = spark.createDataFrame(
+        [(i, 7.0) for i in range(9)] + [(9, 8.0)], "k long, v double"
+    )
+    out = mad_outliers(df, ["k"], "v").collect()
+    assert all(not r["is_outlier"] for r in out)
+    assert all(r["robust_z"] == 0.0 for r in out)
+
+
+def test_copurchase_lift_hand_fixture(spark):
+    from magi_etl_spark.operators.association import copurchase_pairs
+
+    # baskets: {1,2} x3, {1,3} x1, {2,3} x1 => 5 baskets
+    rows = []
+    bk = 0
+    for items, n in (((1, 2), 3), ((1, 3), 1), ((2, 3), 1)):
+        for _ in range(n):
+            for it in items:
+                rows.append((bk, it))
+            bk += 1
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = {
+        (r["item_a"], r["item_b"]): r
+        for r in copurchase_pairs(df, min_co=1).collect()
+    }
+    r12 = out[(1, 2)]
+    # lift = N * n_co / (n_a * n_b) = 5*3 / (4*4)
+    assert r12["n_co"] == 3 and r12["n_a"] == 4 and r12["n_b"] == 4
+    assert abs(r12["lift"] - round(5 * 3 / 16, 4)) < 1e-9
+    assert (1, 3) in out and out[(1, 3)]["n_co"] == 1
+    # min_co filters
+    assert set(copurchase_pairs(df, min_co=2).select("item_a", "item_b")
+               .toPandas().itertuples(index=False, name=None)) == {(1, 2)}
+
+
+def test_copurchase_max_basket_drops_whale_baskets(spark):
+    from magi_etl_spark.operators.association import copurchase_pairs
+
+    rows = [(1, i) for i in range(20)] + [(2, 1), (2, 2), (3, 1), (3, 2)]
+    df = spark.createDataFrame(rows, "l_orderkey long, l_partkey long")
+    out = copurchase_pairs(df, min_co=1, max_basket=5).collect()
+    # basket 1 (20 items) dropped whole; only the pair from baskets 2,3
+    assert len(out) == 1 and out[0]["n_co"] == 2
+
+
+def test_random_projection_linearity_and_determinism(spark):
+    from magi_etl_spark.operators.projection import random_projection
+
+    v = [float((i * 7) % 13 - 6) for i in range(16)]
+    df = spark.createDataFrame(
+        [(1, v), (2, [2 * x for x in v])], "vec_id long, embedding array<double>"
+    )
+    out = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(4)]
+        for r in random_projection(
+            df, out_dim=4, scale=False, decimals=6
+        ).collect()
+    }
+    for a, b in zip(out[1], out[2]):
+        assert abs(2 * a - b) < 1e-4  # projection is linear
+    again = {
+        r["vec_id"]: [r[f"p{j}"] for j in range(4)]
+        for r in random_projection(
+            df, out_dim=4, scale=False, decimals=6
+        ).collect()
+    }
+    assert out == again
+
+
+def test_random_projection_preserves_norms_on_average(spark):
+    import math
+    import random
+
+    from magi_etl_spark.operators.projection import random_projection
+
+    rng = random.Random(7)
+    vecs = [
+        (i, [rng.gauss(0, 1) for _ in range(32)]) for i in range(64)
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    rows = random_projection(df, out_dim=16, decimals=6).collect()
+    ratios = []
+    for (i, v), r in zip(vecs, sorted(rows, key=lambda r: r["vec_id"])):
+        pn = math.sqrt(sum(r[f"p{j}"] ** 2 for j in range(16)))
+        vn = math.sqrt(sum(x * x for x in v))
+        ratios.append(pn / vn)
+    mean = sum(ratios) / len(ratios)
+    # E[||p||^2] = ||v||^2 under the JL normalization; concentration at
+    # out_dim=16 keeps the mean ratio near 1
+    assert 0.8 < mean < 1.2, mean

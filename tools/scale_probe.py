@@ -389,6 +389,122 @@ def main() -> None:
 
     partN_op = replicate(part1, ["p_partkey"], n, 10_000_000)
 
+    # --- r6 wave: sketches / containment / curriculum / hard negatives ---
+    def kmv(e):
+        from magi_etl_spark.operators.sketches import kmv_distinct
+
+        return lambda: kmv_distinct(e, ["event_type"], "user_id", k=64)
+
+    def hll(e):
+        from magi_etl_spark.operators.sketches import hll_distinct
+
+        return lambda: hll_distinct(e, ["event_type"], "user_id")
+
+    def cms(d):
+        from magi_etl_spark.operators.sketches import cms_counts
+
+        def run():
+            words = (
+                d.select(F.explode(F.split("text", r"\s+")).alias("w"))
+                .groupBy("w")
+                .agg(F.count("*").alias("n"))
+            )
+            return cms_counts(words, "w", "n")
+
+        return run
+
+    def containment(d):
+        from magi_etl_spark.operators.dedup import containment_pairs
+
+        # same wholesale-replication caveat as embedding_neardup: every
+        # copy's shingle set is identical, so cross-copy pairs grow n^2
+        # per duplicate family — exclude at 32x like the other
+        # deliberately-quadratic stressors
+        return lambda: containment_pairs(
+            d, "doc_id", "text", n=3, threshold=0.4, max_doc_freq=0.01
+        )
+
+    def curriculum(d):
+        from magi_etl_spark.operators.mixing import curriculum_order
+
+        return lambda: curriculum_order(
+            d.where(F.col("n_chars").isNotNull()).select(
+                "doc_id", "lang", "n_chars"
+            ),
+            F.least(F.floor(F.col("n_chars") / 500), F.lit(9)),
+            "doc_id",
+        )
+
+    def hardneg(em):
+        from magi_etl_spark.operators.similarity import hard_negatives
+
+        # fixed broadcast query side, one map-side scoring scan
+        return lambda: hard_negatives(
+            em, emb1.where(F.col("vec_id") < 3), lo=0.2, hi=0.3, k=5
+        )
+
+    # --- behavior / drift / association / projection wave ---------------
+    from magi_etl_spark.operators.behavior import (
+        cohort_retention,
+        funnel_stages,
+        markov_transitions,
+        rfm_segments,
+    )
+
+    def funnel_op(e):
+        # the real q139 operator (the older "funnel" family is the
+        # conditional-agg paraphrase kept for history comparability)
+        return lambda: funnel_stages(
+            e, ["view", "click", "purchase"], max_gap_s=43200
+        )
+
+    def cohort(e):
+        return lambda: cohort_retention(e, max_offset=4)
+
+    def markov(e):
+        # per-user window: replication grows USER COUNT, per-user state
+        # fixed — the honest axis for a keyed sequence window
+        return lambda: markov_transitions(e)
+
+    def psi(e):
+        from magi_etl_spark.operators.drift import psi_drift
+
+        return lambda: psi_drift(e, split_ts="2024-01-16")
+
+    def rproj(em):
+        from magi_etl_spark.operators.projection import random_projection
+
+        return lambda: random_projection(em, "embedding", out_dim=8).select(
+            "vec_id", *[f"p{j}" for j in range(8)]
+        )
+
+    lineitem1 = load_table(spark, sf, "lineitem")
+    lineitemN = replicate(lineitem1, ["l_orderkey"], n, 10_000_000)
+    orders_b = load_table(spark, sf, "orders")
+    ordersN_b = replicate(orders_b, ["o_orderkey", "o_custkey"], n, 10_000_000)
+
+    def copurchase(li):
+        from magi_etl_spark.operators.association import copurchase_pairs
+
+        # basket ids shift per copy, so baskets (and pairs) grow
+        # linearly — pair enumeration stays within-basket by key
+        return lambda: copurchase_pairs(li, min_co=2)
+
+    def mad(o):
+        from magi_etl_spark.operators.drift import mad_outliers
+
+        def run():
+            daily = o.groupBy(
+                F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+            ).agg(F.sum("o_totalprice").alias("rev"))
+            return mad_outliers(daily, ["day"], "rev")
+
+        return run
+
+    def rfm(o):
+        # custkey shifts per copy: GROUP COUNT grows, per-group fixed
+        return lambda: rfm_segments(o)
+
     timings: dict[str, float] = {}
     for label, d1, dn in (
         ("lsh_dedup", lsh(docs1), lsh(docsN)),
@@ -419,6 +535,20 @@ def main() -> None:
         ("weighted_sample", wsample(docs1), wsample(docsN)),
         ("tokenize_pack", tokpack(docs1), tokpack(docsN)),
         ("lsh_index_increment", lshidx(docs1), lshidx(docsN)),
+        ("kmv_sketch", kmv(events1), kmv(eventsN)),
+        ("hll_sketch", hll(events1), hll(eventsN)),
+        ("cms_sketch", cms(docs1), cms(docsN)),
+        ("containment", containment(docs1), containment(docsN)),
+        ("curriculum", curriculum(docs1), curriculum(docsN)),
+        ("hard_negatives", hardneg(emb1), hardneg(embN)),
+        ("funnel_op", funnel_op(events1), funnel_op(eventsN)),
+        ("cohort", cohort(events1), cohort(eventsN)),
+        ("markov", markov(events1), markov(eventsN)),
+        ("psi_drift", psi(events1), psi(eventsN)),
+        ("rp_projection", rproj(emb1), rproj(embN)),
+        ("copurchase", copurchase(lineitem1), copurchase(lineitemN)),
+        ("mad_outliers", mad(orders_b), mad(ordersN_b)),
+        ("rfm", rfm(orders_b), rfm(ordersN_b)),
     ):
         if only is not None and label not in only:
             continue
