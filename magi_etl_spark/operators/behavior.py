@@ -254,3 +254,59 @@ def rfm_segments(
             F.round(F.avg("monetary"), 2).alias("avg_monetary"),
         )
     )
+
+
+def last_touch_attribution(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    lookback_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Last-touch revenue attribution: each conversion event is
+    credited to the user's most recent preceding touch event (of any
+    type in ``touch_types``) no older than ``lookback_s`` seconds;
+    conversions with no in-window touch land in the ``'(none)'``
+    channel.
+
+    Returns ``channel, n_conversions, attributed_value`` (value summed
+    and rounded to 2).
+
+    Shape: one per-user window pass — ``last(..., ignorenulls=True)``
+    carries the latest touch (type, ts) forward over the (ts, tiebreak)
+    ordered event sequence — then a channel-keyed aggregate.  Per-user
+    partitions bound the window state; no self-join of events against
+    events (the naive lookback join is events x touches per user).
+    """
+    w = (
+        W.partitionBy(user_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    is_touch = F.col(type_col).isin(*touch_types)
+    touch_struct = F.when(
+        is_touch, F.struct(F.col(type_col).alias("t"), F.col(ts_col).alias("at"))
+    )
+    tagged = df.withColumn("_touch", F.last(touch_struct, ignorenulls=True).over(w))
+    conv = tagged.filter(F.col(type_col) == conversion_type)
+    in_window = F.col("_touch").isNotNull() & (
+        F.col(ts_col)
+        <= F.expr(f"timestampadd(SECOND, {int(lookback_s)}, _touch.at)")
+    )
+    return (
+        conv.select(
+            F.when(in_window, F.col("_touch.t"))
+            .otherwise(F.lit("(none)"))
+            .alias("channel"),
+            F.col(value_col).alias("_v"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count("*").cast("long").alias("n_conversions"),
+            F.round(F.sum("_v"), 2).alias("attributed_value"),
+        )
+    )

@@ -88,3 +88,76 @@ def pagerank(
     vertices.unpersist(blocking=False)
     links.unpersist(blocking=False)
     return ranks.select(F.col("v").alias("vertex"), "rank")
+
+
+def triangle_count(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node triangle participation over an UNDIRECTED simple graph
+    (edges in either orientation; self-loops dropped; duplicates
+    collapsed): ``node, degree, n_triangles, clustering`` where
+    ``clustering = 2 * n_triangles / (degree * (degree - 1))`` (rounded
+    to 4; 0.0 for degree-1 nodes), restricted to nodes with >= 1
+    triangle.
+
+    Scale shape — the degree-ordered orientation (Cohen 2009 /
+    Schank-Wagner "forward"): every undirected edge is oriented from
+    the lower-(degree, id) endpoint to the higher one, so every
+    vertex's OUT-degree is O(sqrt(m)) regardless of how skewed the raw
+    degree distribution is; wedge enumeration (the self-join of the
+    oriented adjacency on its source) is then sum(out_deg^2) <=
+    m * sqrt(m) instead of the sum(deg^2) blow-up a hub vertex causes
+    in the naive join.  Each triangle is discovered exactly once (its
+    lowest-ordered corner), then credited to all three corners with an
+    explode — one extra narrow shuffle, no double counting.
+    """
+    und = (
+        edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
+        .filter(F.col("_u") != F.col("_v"))
+        .select(
+            F.least("_u", "_v").alias("_a"), F.greatest("_u", "_v").alias("_b")
+        )
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("_a").alias("node"))
+        .unionAll(und.select(F.col("_b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("degree"))
+    )
+    # orient by (degree, node): lower endpoint -> higher endpoint
+    keyed = (
+        und.join(deg.select(F.col("node").alias("_a"), F.col("degree").alias("_da")), "_a")
+        .join(deg.select(F.col("node").alias("_b"), F.col("degree").alias("_db")), "_b")
+    )
+    fwd = F.struct("_da", "_a") < F.struct("_db", "_b")
+    oriented = keyed.select(
+        F.when(fwd, F.col("_a")).otherwise(F.col("_b")).alias("lo"),
+        F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("hi"),
+    )
+    # wedges at the lowest-ordered corner; closure via the undirected
+    # edge set (the closing edge may be oriented either way)
+    w1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
+    w2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
+    wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z"))
+    closed = wedges.join(
+        und.select(F.col("_a").alias("y"), F.col("_b").alias("z"))
+        .unionAll(und.select(F.col("_b").alias("y"), F.col("_a").alias("z"))),
+        ["y", "z"],
+    )
+    per_node = (
+        closed.select(
+            F.explode(F.array("x", "y", "z")).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count("*").cast("long").alias("n_triangles"))
+    )
+    return per_node.join(deg, "node").select(
+        "node",
+        "degree",
+        "n_triangles",
+        F.round(
+            2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1)),
+            4,
+        ).alias("clustering"),
+    )

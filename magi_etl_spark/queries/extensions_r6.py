@@ -691,3 +691,169 @@ def q146_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     o = load_table(spark, sf_dir, "orders")
     return rfm_segments(o)
+
+
+# --- graph / attribution / sketch algebra ------------------------------------
+
+
+@ext3_query(
+    "q147_triangle_count",
+    oracle="""
+    WITH b AS (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    e AS (
+        SELECT a.it AS u, b2.it AS v
+        FROM b a JOIN b b2 ON a.bk = b2.bk AND a.it < b2.it
+        GROUP BY u, v HAVING COUNT(*) >= 2
+    ),
+    tri AS (
+        SELECT e1.u AS ca, e1.v AS cb, e2.v AS cc
+        FROM e e1
+        JOIN e e2 ON e1.v = e2.u
+        JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    corners AS (
+        SELECT ca AS node FROM tri
+        UNION ALL SELECT cb FROM tri
+        UNION ALL SELECT cc FROM tri
+    ),
+    pn AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+        FROM corners GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        GROUP BY node
+    )
+    SELECT p.node, d.degree, p.n_triangles,
+           ROUND(2.0 * p.n_triangles / (d.degree * (d.degree - 1)), 4)
+               AS clustering
+    FROM pn p JOIN deg d ON p.node = d.node
+    """,
+)
+def q147_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counts + local clustering coefficient over the
+    co-purchase graph (parts co-occurring in >= 2 orders).  The Spark
+    side uses the degree-ordered forward algorithm — every wedge is
+    enumerated at its lowest-(degree, id) corner, bounding out-degrees
+    at O(sqrt(m)) under any skew — while the oracle's a<b<c two-join
+    enumeration checks the identical triangle set."""
+    from magi_etl_spark.operators.graph import triangle_count
+
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+    ).distinct()
+    a = baskets.select("bk", F.col("it").alias("u"))
+    b = baskets.select("bk", F.col("it").alias("v"))
+    edges = (
+        a.join(b, "bk")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("u", "v")
+    )
+    return triangle_count(edges, "u", "v")
+
+
+@ext3_query(
+    "q148_attribution",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_type, value, event_id,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN event_type END IGNORE NULLS)
+                   OVER w AS touch_t,
+               last_value(CASE WHEN event_type IN ('view', 'click')
+                               THEN ts END IGNORE NULLS)
+                   OVER w AS touch_at
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    conv AS (
+        SELECT CASE WHEN touch_at IS NOT NULL
+                     AND ts <= touch_at + INTERVAL 604800 SECOND
+                    THEN touch_t ELSE '(none)' END AS channel,
+               value
+        FROM tagged WHERE event_type = 'purchase'
+    )
+    SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           ROUND(SUM(value), 2) AS attributed_value
+    FROM conv GROUP BY channel
+    """,
+)
+def q148_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch revenue attribution: each purchase credits the user's
+    most recent view/click within a 7-day lookback ('(none)' channel
+    otherwise).  One per-user carry-forward window — never the naive
+    events-x-touches lookback self-join."""
+    from magi_etl_spark.operators.behavior import last_touch_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    return last_touch_attribution(
+        e, ["view", "click"], "purchase", lookback_s=604800
+    )
+
+
+@ext3_query(
+    "q149_kmv_set_overlap",
+    oracle="""
+    WITH h AS (
+        SELECT DISTINCT event_type AS g,
+               CAST(concat('0x', substr(md5(concat('kmv|',
+                    CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT) AS _h
+        FROM events WHERE event_type IN ('view', 'purchase')
+    ),
+    kept AS (
+        SELECT g, _h,
+               ROW_NUMBER() OVER (PARTITION BY g ORDER BY _h) AS rn
+        FROM h
+    ),
+    sa AS (SELECT list(_h ORDER BY _h) AS s FROM kept
+           WHERE g = 'view' AND rn <= 64),
+    sb AS (SELECT list(_h ORDER BY _h) AS s FROM kept
+           WHERE g = 'purchase' AND rn <= 64),
+    m AS (
+        SELECT sa.s AS a, sb.s AS b,
+               list_slice(list_sort(list_distinct(list_concat(sa.s, sb.s))),
+                          1, 64) AS u
+        FROM sa, sb
+    ),
+    est AS (
+        SELECT a, b, u,
+               CASE WHEN len(a) < 64 THEN CAST(len(a) AS DOUBLE)
+                    ELSE 63.0 / (CAST(a[64] AS DOUBLE) / 4294967296.0)
+               END AS ea,
+               CASE WHEN len(b) < 64 THEN CAST(len(b) AS DOUBLE)
+                    ELSE 63.0 / (CAST(b[64] AS DOUBLE) / 4294967296.0)
+               END AS eb,
+               CASE WHEN len(u) < 64 THEN CAST(len(u) AS DOUBLE)
+                    ELSE 63.0 / (CAST(u[64] AS DOUBLE) / 4294967296.0)
+               END AS eu,
+               len(list_filter(u, x -> list_contains(a, x)
+                                   AND list_contains(b, x)))
+                   / CAST(least(len(u), 64) AS DOUBLE) AS rho
+        FROM m
+    )
+    SELECT ROUND(ea, 4) AS est_a, ROUND(eb, 4) AS est_b,
+           ROUND(eu, 4) AS est_union,
+           ROUND(rho * eu, 4) AS est_intersection,
+           ROUND(rho, 4) AS jaccard
+    FROM est
+    """,
+)
+def q149_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch algebra: estimated audience overlap (union,
+    intersection, Jaccard) between the 'view' and 'purchase' user sets
+    from their 64-min signatures alone — the mergeable-sketch path a
+    100 TB segment-overlap question takes instead of a distinct-set
+    join.  The estimate math runs on two k-element arrays built by
+    scalar collect aggregates (bounded at 2k values by construction)."""
+    from magi_etl_spark.operators.sketches import kmv_set_overlap
+
+    e = load_table(spark, sf_dir, "events")
+    return kmv_set_overlap(e, "event_type", "user_id", "view", "purchase")

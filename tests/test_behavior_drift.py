@@ -265,3 +265,88 @@ def test_random_projection_preserves_norms_on_average(spark):
     # E[||p||^2] = ||v||^2 under the JL normalization; concentration at
     # out_dim=16 keeps the mean ratio near 1
     assert 0.8 < mean < 1.2, mean
+
+
+def test_triangle_count_hand_fixture(spark):
+    from magi_etl_spark.operators.graph import triangle_count
+
+    # K4 on {1,2,3,4} plus a pendant 5-1: 4 triangles, each K4 node in 3
+    edges = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(5, 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    out = {r["node"]: r for r in triangle_count(df).collect()}
+    assert set(out) == {1, 2, 3, 4}  # node 5 is in no triangle
+    for n in (2, 3, 4):
+        assert out[n]["n_triangles"] == 3 and out[n]["clustering"] == 1.0
+    assert out[1]["degree"] == 4 and out[1]["n_triangles"] == 3
+    assert out[1]["clustering"] == 0.5  # 2*3/(4*3)
+
+
+def test_triangle_count_orientation_invariance(spark):
+    from magi_etl_spark.operators.graph import triangle_count
+
+    fwd = [(1, 2), (2, 3), (3, 1)]
+    rev = [(2, 1), (3, 2), (1, 3), (1, 2)]  # reversed + a duplicate
+    a = sorted(map(tuple, triangle_count(
+        spark.createDataFrame(fwd, "src long, dst long")).collect()))
+    b = sorted(map(tuple, triangle_count(
+        spark.createDataFrame(rev, "src long, dst long")).collect()))
+    assert a == b
+    assert len(a) == 3 and all(r[2] == 1 for r in a)
+
+
+def test_attribution_last_touch_and_lookback(spark):
+    from magi_etl_spark.operators.behavior import last_touch_attribution
+
+    rows = [
+        # u1: view then click then purchase -> credited to click
+        (1, _ts(1, 0), "view", 0.0),
+        (1, _ts(1, 1), "click", 0.0),
+        (1, _ts(1, 2), "purchase", 10.0),
+        # u2: touch 10 days before purchase -> out of 7d lookback
+        (2, _ts(1, 0), "view", 0.0),
+        (2, _ts(11, 0), "purchase", 20.0),
+        # u3: purchase with no touch at all
+        (3, _ts(1, 0), "purchase", 40.0),
+    ]
+    df = spark.createDataFrame(
+        [(i, *r) for i, r in enumerate(rows)],
+        "event_id long, user_id long, ts timestamp, event_type string, "
+        "value double",
+    )
+    out = {
+        r["channel"]: r
+        for r in last_touch_attribution(
+            df, ["view", "click"], "purchase", lookback_s=7 * 86400
+        ).collect()
+    }
+    assert out["click"]["n_conversions"] == 1
+    assert out["click"]["attributed_value"] == 10.0
+    assert out["(none)"]["n_conversions"] == 2
+    assert out["(none)"]["attributed_value"] == 60.0
+    assert "view" not in out
+
+
+def test_kmv_set_overlap_exact_below_k(spark):
+    from magi_etl_spark.operators.sketches import kmv_set_overlap
+
+    # A = {0..29}, B = {20..49}: |A|=30 |B|=30 |A∪B|=50 |A∩B|=10
+    rows = [("a", v) for v in range(30)] + [("b", v) for v in range(20, 50)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = kmv_set_overlap(df, "g", "v", "a", "b", k=64).collect()[0]
+    assert out["est_a"] == 30.0 and out["est_b"] == 30.0
+    assert out["est_union"] == 50.0
+    assert out["est_intersection"] == 10.0
+    assert out["jaccard"] == round(10 / 50, 4)
+
+
+def test_kmv_set_overlap_estimate_band(spark):
+    from magi_etl_spark.operators.sketches import kmv_set_overlap
+
+    # overlapping ranges well above k: estimates within a loose band
+    rows = [("a", v) for v in range(3000)] + [
+        ("b", v) for v in range(1500, 4500)
+    ]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = kmv_set_overlap(df, "g", "v", "a", "b", k=256).collect()[0]
+    assert abs(out["est_union"] - 4500) / 4500 < 0.3
+    assert abs(out["jaccard"] - 1500 / 4500) < 0.15

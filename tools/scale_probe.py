@@ -505,6 +505,43 @@ def main() -> None:
         # custkey shifts per copy: GROUP COUNT grows, per-group fixed
         return lambda: rfm_segments(o)
 
+    def triangles(li):
+        from magi_etl_spark.operators.graph import triangle_count
+
+        # basket ids shift per copy: the co-purchase graph is n disjoint
+        # copies — edges, wedges, and triangles all grow linearly
+        def run():
+            baskets = li.select(
+                F.col("l_orderkey").alias("bk"), F.col("l_partkey").alias("it")
+            ).distinct()
+            a = baskets.select("bk", F.col("it").alias("u"))
+            b = baskets.select("bk", F.col("it").alias("v"))
+            edges = (
+                a.join(b, "bk")
+                .filter(F.col("u") < F.col("v"))
+                .groupBy("u", "v")
+                .agg(F.count("*").alias("_n"))
+                .filter(F.col("_n") >= 2)
+                .select("u", "v")
+            )
+            return triangle_count(edges, "u", "v")
+
+        return run
+
+    def attribution(e):
+        from magi_etl_spark.operators.behavior import last_touch_attribution
+
+        return lambda: last_touch_attribution(
+            e, ["view", "click"], "purchase", lookback_s=604800
+        )
+
+    def kmv_overlap(e):
+        from magi_etl_spark.operators.sketches import kmv_set_overlap
+
+        return lambda: kmv_set_overlap(
+            e, "event_type", "user_id", "view", "purchase"
+        )
+
     timings: dict[str, float] = {}
     for label, d1, dn in (
         ("lsh_dedup", lsh(docs1), lsh(docsN)),
@@ -549,6 +586,9 @@ def main() -> None:
         ("copurchase", copurchase(lineitem1), copurchase(lineitemN)),
         ("mad_outliers", mad(orders_b), mad(ordersN_b)),
         ("rfm", rfm(orders_b), rfm(ordersN_b)),
+        ("triangles", triangles(lineitem1), triangles(lineitemN)),
+        ("attribution", attribution(events1), attribution(eventsN)),
+        ("kmv_overlap", kmv_overlap(events1), kmv_overlap(eventsN)),
     ):
         if only is not None and label not in only:
             continue
