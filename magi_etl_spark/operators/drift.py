@@ -36,43 +36,59 @@ def _bin(value: Column, lo: float, width: float, n_bins: int) -> Column:
     return F.least(F.greatest(raw, F.lit(0)), F.lit(n_bins - 1))
 
 
-def psi_drift(
+def bin_counts(
     df: DataFrame,
-    split_ts: str,
-    group_col: str = "event_type",
-    ts_col: str = "ts",
-    value_col: str = "value",
-    lo: float = 0.0,
-    hi: float = 350.0,
-    n_bins: int = 10,
+    group_col: str,
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
 ) -> DataFrame:
-    """PSI between the baseline window (``ts < split_ts``) and the
-    current window (``ts >= split_ts``), per group.
+    """Fixed-width bin histogram per group: ``<group_col>, _bin, n``.
+    One conditional-count aggregation bounded by |groups| * n_bins —
+    the snapshot a drift monitor persists as its baseline."""
+    width = (hi - lo) / n_bins
+    return (
+        df.select(
+            F.col(group_col),
+            _bin(F.col(value_col), lo, width, n_bins).alias("_bin"),
+        )
+        .groupBy(group_col, "_bin")
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+
+
+def psi_between(
+    base_counts: DataFrame,
+    cur_counts: DataFrame,
+    group_col: str,
+    n_bins: int,
+) -> DataFrame:
+    """PSI per group between two ``bin_counts`` histograms.
 
     Returns ``<group_col>, n_base, n_cur, psi`` (PSI rounded to 4).
     Smoothed proportions ``(n_bin + 1) / (n_total + n_bins)`` keep
-    empty bins finite; every (group, bin) cell participates, present
-    in the data or not.
+    empty bins finite; every (group, bin) cell of either side's group
+    set participates, present in the data or not.
     """
-    width = (hi - lo) / n_bins
-    split = F.lit(split_ts).cast("timestamp")
-    binned = df.select(
-        F.col(group_col),
-        _bin(F.col(value_col), lo, width, n_bins).alias("_bin"),
-        (F.col(ts_col) < split).alias("_is_base"),
+    cells = (
+        base_counts.select(group_col, "_bin", F.col("n").alias("_nb"))
+        .join(
+            cur_counts.select(group_col, "_bin", F.col("n").alias("_nc")),
+            [group_col, "_bin"],
+            "full",
+        )
     )
-    cells = binned.groupBy(group_col, "_bin").agg(
-        F.sum(F.col("_is_base").cast("long")).alias("_nb"),
-        F.sum((~F.col("_is_base")).cast("long")).alias("_nc"),
+    groups = (
+        base_counts.select(group_col)
+        .unionByName(cur_counts.select(group_col))
+        .distinct()
     )
     # densify: every (group, bin) pair, so empty bins still contribute
     # their smoothed mass.  |groups| x n_bins rows — broadcast-sized.
-    grid = (
-        df.select(group_col)
-        .distinct()
-        .select(
-            group_col, F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("_bin")
-        )
+    grid = groups.select(
+        group_col,
+        F.explode(F.sequence(F.lit(0), F.lit(n_bins - 1))).alias("_bin"),
     )
     dense = grid.join(cells, [group_col, "_bin"], "left").fillna(
         0, subset=["_nb", "_nc"]
@@ -90,6 +106,31 @@ def psi_drift(
         .agg(F.round(F.sum("_term"), 4).alias("psi"))
         .select(group_col, "n_base", "n_cur", "psi")
     )
+
+
+def psi_drift(
+    df: DataFrame,
+    split_ts: str,
+    group_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 350.0,
+    n_bins: int = 10,
+) -> DataFrame:
+    """PSI between the baseline window (``ts < split_ts``) and the
+    current window (``ts >= split_ts``), per group — the one-shot
+    composition of ``bin_counts`` + ``psi_between`` (the streaming
+    monitor persists the baseline histogram and replays the same
+    comparison per micro-batch)."""
+    split = F.lit(split_ts).cast("timestamp")
+    base = bin_counts(
+        df.filter(F.col(ts_col) < split), group_col, value_col, lo, hi, n_bins
+    )
+    cur = bin_counts(
+        df.filter(F.col(ts_col) >= split), group_col, value_col, lo, hi, n_bins
+    )
+    return psi_between(base, cur, group_col, n_bins)
 
 
 def mad_outliers(

@@ -436,3 +436,75 @@ def run_foreach_batch_lsh_index(
         .start()
     )
     q.awaitTermination()
+
+
+def write_drift_baseline(
+    df: DataFrame,
+    baseline_path: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 350.0,
+    n_bins: int = 10,
+) -> None:
+    """Persist the fixed-width histogram a drift monitor compares
+    against (``operators/drift.bin_counts`` over a trusted reference
+    window).  |groups| x n_bins rows — re-baselining is cheap and
+    explicit, never implicit in the stream."""
+    from magi_etl_spark.operators.drift import bin_counts
+
+    bin_counts(df, group_col, value_col, lo, hi, n_bins).write.mode(
+        "overwrite"
+    ).parquet(baseline_path)
+
+
+def run_foreach_batch_drift_monitor(
+    event_stream: DataFrame,
+    baseline_path: str,
+    monitor_path: str,
+    checkpoint_path: str,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 350.0,
+    n_bins: int = 10,
+) -> None:
+    """Continuous distribution-drift monitoring: every micro-batch is
+    binned and PSI-scored against the persisted baseline histogram, and
+    the per-group scores land under ``monitor_path/batch=N`` — one
+    small parquet per batch, a queryable drift time series.
+
+    Per-batch cost is one conditional-count aggregation over the batch
+    plus a broadcast-sized join against the |groups| x n_bins baseline —
+    the monitor adds no corpus-sized state to the stream.  The write is
+    exactly-once per batch: a checkpoint-replayed batch overwrites its
+    own ``batch=N`` directory (the ``increments/batch=N`` idiom the LSH
+    index sink uses) instead of appending duplicate score rows.
+    """
+    from magi_etl_spark.operators.drift import bin_counts, psi_between
+
+    spark = event_stream.sparkSession
+    baseline = spark.read.parquet(baseline_path)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cur = bin_counts(batch_df, group_col, value_col, lo, hi, n_bins)
+        scores = psi_between(baseline, cur, group_col, n_bins)
+        scores.write.mode("overwrite").parquet(
+            os.path.join(monitor_path, f"batch={batch_id}")
+        )
+
+    q = (
+        event_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_drift_monitor(spark: SparkSession, monitor_path: str) -> DataFrame:
+    """The monitor's drift time series: every batch's per-group PSI
+    rows with their ``batch`` partition column."""
+    return spark.read.option("basePath", monitor_path).parquet(
+        os.path.join(monitor_path, "batch=*")
+    )
