@@ -53,6 +53,11 @@ def funnel_stages(
     Returns one row per stage: ``stage_idx, stage, n_users,
     conv_from_prev, conv_from_first`` (ratios rounded to 4; stage 0's
     ``conv_from_prev`` is 1.0 by convention).
+
+    NULL users: a NULL ``user_col`` group counts once at stage 0 but
+    can never progress (equi-joins drop NULL keys) — identical
+    semantics in Spark and SQL engines, so oracle parity holds; filter
+    NULLs upstream if the feed can contain them.
     """
     if not stages:
         raise ValueError("funnel_stages needs at least one stage")

@@ -410,3 +410,151 @@ def synthesize_test_audio(
             )
 
     return ids.select(id_col).mapInPandas(run, schema=out_schema)
+
+
+def average_hash(
+    media: DataFrame,
+    grid: int = 4,
+    decoder: Callable[[bytes], tuple[int, int, int, bytes]] | None = None,
+    media_type: str = "image",
+    on_error: str = "null",
+) -> DataFrame:
+    """Perceptual average-hash (aHash) of image payloads:
+    ``media_id, phash`` where ``phash`` packs ``grid x grid`` bits —
+    bit j set iff the nearest-neighbor-downsampled pixel j is at or
+    above the grid's mean — into a BIGINT (grid <= 8, so <= 64 bits).
+
+    The comparison is ALL-INTEGER (``pixel * grid^2 >= sum(pixels)``),
+    so the hash is engine-portable: for closed-form synthetic images
+    (``synthesize_test_images``) a SQL oracle predicts it without any
+    codec, which is how the gate query hash-checks the real
+    png_encode -> png_decode -> downsample path end to end.
+
+    Near-identical images (resize artifacts, recompression, small
+    overlays) land within a few bits of each other — pair with
+    ``phash_near_dup_pairs`` for the banded near-dup join.  Shape:
+    pure map over Arrow batches, no shuffle.
+    """
+    if grid > 8:
+        raise ValueError("grid > 8 would overflow the 64-bit phash")
+    dec = decoder or png_decode
+    cells = grid * grid
+    out_schema = "media_id long, phash long"
+
+    def one(payload: bytes) -> int | None:
+        try:
+            w, h, channels, samples = dec(payload)
+            if channels != 1:
+                # luma = integer mean of the channels (good enough for
+                # a perceptual bit mask; keeps the math integer)
+                samples = bytes(
+                    sum(samples[p * channels + c] for c in range(channels))
+                    // channels
+                    for p in range(w * h)
+                )
+            px = [
+                samples[(r * h // grid) * w + (c * w // grid)]
+                for r in range(grid)
+                for c in range(grid)
+            ]
+            total = sum(px)
+            bits = 0
+            for j, v in enumerate(px):
+                if v * cells >= total:
+                    bits |= 1 << j
+            return bits
+        except Exception:
+            if on_error == "raise":
+                raise
+            return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = [
+                one(p) if (t == media_type and p is not None) else None
+                for t, p in zip(pdf["media_type"], pdf["payload"])
+            ]
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "phash": hashes}
+            ).astype({"media_id": "int64", "phash": "object"})
+
+    return media.select("media_id", "media_type", "payload").mapInPandas(
+        run, schema=out_schema
+    )
+
+
+def phash_near_dup_pairs(
+    hashes: DataFrame,
+    max_dist: int = 2,
+    n_bands: int | None = None,
+    bits: int = 16,
+    id_col: str = "media_id",
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Image near-duplicate pairs by Hamming distance over perceptual
+    hashes: ``id_a, id_b, hamming`` (id_a < id_b, hamming <= max_dist).
+
+    Scale shape — banded blocking with a pigeonhole guarantee: the
+    ``bits``-bit hash splits into ``n_bands`` equal contiguous bands
+    (default: the smallest divisor of ``bits`` that is > ``max_dist``,
+    so every bit is covered and ``max_dist`` flips cannot touch all
+    bands); two hashes within ``max_dist`` bit flips MUST agree on at
+    least one band, so candidates come from |bands| keyed self-joins on
+    (band_idx, band_value) — never an all-pairs cross join — and the
+    exact ``bit_count(xor)`` filter runs per candidate.  Identical
+    hashes pair through every band; the final distinct collapses the
+    multiplicity.
+    """
+    if n_bands is None:
+        n_bands = next(
+            d for d in range(max_dist + 1, bits + 1) if bits % d == 0
+        )
+    if bits % n_bands != 0:
+        raise ValueError(
+            f"n_bands={n_bands} must divide bits={bits}: unequal bands "
+            "leave uncovered bits and break the pigeonhole recall "
+            "guarantee"
+        )
+    if n_bands <= max_dist:
+        raise ValueError(
+            f"n_bands={n_bands} <= max_dist={max_dist}: every band could "
+            "differ, breaking the pigeonhole recall guarantee"
+        )
+    band_bits = bits // n_bands
+    h = hashes.select(
+        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+    ).where(F.col(hash_col).isNotNull())
+    banded = h.select(
+        "_id",
+        "_h",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("_h", b * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
+                        .alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("_b"),
+    ).select("_id", "_h", "_b.band", "_b.key")
+    a = banded.select(
+        "band", "key", F.col("_id").alias("id_a"), F.col("_h").alias("_ha")
+    )
+    b = banded.select(
+        "band", "key", F.col("_id").alias("id_b"), F.col("_h").alias("_hb")
+    )
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("_ha").bitwiseXOR(F.col("_hb"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_dist)
+        .distinct()
+    )

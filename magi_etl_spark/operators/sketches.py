@@ -229,7 +229,10 @@ def kmv_set_overlap(
         F.lit(float(k - 1))
         / (F.element_at(merged, k).cast("double") / F.lit(float(2**32)))
     )
-    rho = in_both / F.least(n_union, F.lit(k))
+    # both sets empty => rho 0.0, not a division error (ANSI mode)
+    rho = F.when(n_union == 0, F.lit(0.0)).otherwise(
+        in_both / F.least(n_union, F.lit(k))
+    )
     return both.select(
         F.round(est(F.col("_sa"), F.size("_sa")), 4).alias("est_a"),
         F.round(est(F.col("_sb"), F.size("_sb")), 4).alias("est_b"),

@@ -857,3 +857,82 @@ def q149_kmv_set_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return kmv_set_overlap(e, "event_type", "user_id", "view", "purchase")
+
+
+# --- perceptual image hashing ------------------------------------------------
+
+_PHASH_CTE = """
+    hashes AS (
+        SELECT media_id, CAST(list_sum(
+            [CASE WHEN px[j + 1] * 16 >= tot
+                  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END
+             for j in range(16)]) AS BIGINT) AS phash
+        FROM (
+            SELECT media_id, px, list_sum(px) AS tot FROM (
+                SELECT doc_id AS media_id,
+                       [((doc_id * 31) +
+                         (((j // 4) * (3 + doc_id % 4) // 4)
+                           * (4 + doc_id % 5)
+                          + ((j % 4) * (4 + doc_id % 5) // 4)) * 7) % 256
+                        for j in range(16)] AS px
+                FROM documents
+            )
+        )
+    )
+"""
+
+
+@ext3_query(
+    "q150_image_phash",
+    oracle=f"""
+    WITH {_PHASH_CTE}
+    SELECT media_id, phash FROM hashes
+    """,
+)
+def q150_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash of one REAL synthetic PNG per document
+    id: the q123 closed-form trick applied to image near-dup — the
+    Spark side runs the real png_encode -> png_decode -> 4x4
+    nearest-neighbor downsample -> integer mean-threshold pipeline over
+    Arrow batches, while the oracle predicts the identical 16-bit hash
+    from the pixel law alone (all-integer comparisons, no codec)."""
+    from magi_etl_spark.operators.multimodal import (
+        average_hash,
+        synthesize_test_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    imgs = synthesize_test_images(d.select("doc_id"))
+    return average_hash(imgs, grid=4, on_error="raise")
+
+
+@ext3_query(
+    "q151_image_near_dup",
+    oracle=f"""
+    WITH {_PHASH_CTE}
+    SELECT a.media_id AS id_a, b.media_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+    FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= 2
+    """,
+)
+def q151_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs at Hamming distance <= 2 over the
+    q150 perceptual hashes: banded blocking (4 x 4-bit bands, the
+    pigeonhole guarantee covers every bit) feeds keyed self-joins, and
+    the exact bit_count(xor) filter runs per candidate — the oracle's
+    all-pairs scan checks the identical pair set, proving the banding
+    loses nothing."""
+    from magi_etl_spark.operators.multimodal import (
+        average_hash,
+        phash_near_dup_pairs,
+        synthesize_test_images,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    imgs = synthesize_test_images(d.select("doc_id"))
+    hashes = average_hash(imgs, grid=4, on_error="raise")
+    out = phash_near_dup_pairs(hashes, max_dist=2, bits=16)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
+    )
