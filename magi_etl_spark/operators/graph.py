@@ -135,14 +135,14 @@ def triangle_count(
         F.when(fwd, F.col("_a")).otherwise(F.col("_b")).alias("lo"),
         F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("hi"),
     )
-    # wedges at the lowest-ordered corner; closure via the undirected
-    # edge set (the closing edge may be oriented either way)
+    # wedges at the lowest-ordered corner; the y < z filter puts the
+    # closing edge in canonical (_a < _b) id order, so the closure join
+    # probes the undirected edge set directly — no doubled build side
     w1 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("y"))
     w2 = oriented.select(F.col("lo").alias("x"), F.col("hi").alias("z"))
     wedges = w1.join(w2, "x").filter(F.col("y") < F.col("z"))
     closed = wedges.join(
-        und.select(F.col("_a").alias("y"), F.col("_b").alias("z"))
-        .unionAll(und.select(F.col("_b").alias("y"), F.col("_a").alias("z"))),
+        und.select(F.col("_a").alias("y"), F.col("_b").alias("z")),
         ["y", "z"],
     )
     per_node = (

@@ -114,3 +114,152 @@ def robust_scale(
         .withColumn(out, scaled)
         .drop("_med", "_iqr")
     )
+
+
+def group_ols_trend(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS) from the closed-form
+    sufficient statistics: ``group_cols..., n, slope, intercept, r2``
+    (rounded to ``decimals``).
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2), intercept from the means,
+    r2 = squared Pearson correlation — everything derives from ONE
+    map-side-combined aggregation of {n, Sx, Sy, Sxy, Sxx, Syy}, so the
+    operator is a single keyed shuffle no matter how long each series
+    is.  The trend-detection question ("is this metric drifting up?")
+    every monitoring pass asks, as a grouped aggregate.
+
+    Degenerate groups (n < 2 or zero x-variance) return NULL slope/
+    intercept/r2 rather than dividing by zero; zero y-variance (a flat
+    series) returns slope 0 with r2 NULL (correlation undefined).
+    """
+    # cast BEFORE multiplying: integer inputs would overflow long in
+    # the cross products under ANSI mode at scale
+    x, y = F.col(x_col).cast("double"), F.col(y_col).cast("double")
+    sums = df.groupBy(*group_cols).agg(
+        F.count("*").cast("double").alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    n, sx, sy = F.col("_n"), F.col("_sx"), F.col("_sy")
+    vx = n * F.col("_sxx") - sx * sx
+    vy = n * F.col("_syy") - sy * sy
+    cov = n * F.col("_sxy") - sx * sy
+    slope = F.when((n >= 2) & (vx != 0), cov / vx)
+    intercept = F.when(
+        (n >= 2) & (vx != 0), (sy - (cov / vx) * sx) / n
+    )
+    r2 = F.when((n >= 2) & (vx != 0) & (vy != 0), (cov * cov) / (vx * vy))
+    return sums.select(
+        *group_cols,
+        n.cast("long").alias("n"),
+        F.round(slope, decimals).alias("slope"),
+        F.round(intercept, decimals).alias("intercept"),
+        F.round(r2, decimals).alias("r2"),
+    )
+
+
+def wilson_interval(
+    df: DataFrame,
+    group_cols: list[str],
+    success_col,
+    z: float = 1.96,
+    decimals: int = 4,
+) -> DataFrame:
+    """Per-group binomial proportion with the Wilson score interval:
+    ``group_cols..., n, n_success, rate, ci_lo, ci_hi`` (rounded).
+    ``success_col`` is a boolean Column or column name.
+
+    The Wilson interval stays inside [0, 1] and behaves at small n —
+    the right default for conversion-rate dashboards, and closed-form
+    (one conditional-count aggregate), so the SQL oracle replays it
+    exactly.
+    """
+    s = F.col(success_col) if isinstance(success_col, str) else success_col
+    agg = df.groupBy(*group_cols).agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(s.cast("long")).cast("long").alias("n_success"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("n_success") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+        / denom
+    )
+    return agg.select(
+        *group_cols,
+        "n",
+        "n_success",
+        F.round(p, decimals).alias("rate"),
+        F.round(center - half, decimals).alias("ci_lo"),
+        F.round(center + half, decimals).alias("ci_hi"),
+    )
+
+
+def ab_assign_and_compare(
+    df: DataFrame,
+    unit_col: str,
+    success_col,
+    salt: str = "ab",
+    z: float = 1.96,
+    decimals: int = 4,
+) -> DataFrame:
+    """Deterministic A/B analysis scaffold: units hash 50/50 into
+    'control'/'treatment' (md5 split — the repo-standard derandomized
+    draw, so assignment is reproducible in any engine), then per-variant
+    conversion with Wilson intervals plus the two-sample z statistic on
+    the pooled proportion.
+
+    Returns one row per variant: ``variant, n, n_success, rate, ci_lo,
+    ci_hi, z_stat`` (z_stat identical on both rows; its sign is
+    treatment minus control).  All closed-form — one aggregation, one
+    broadcast self-join of the 2-row variant frame.
+    """
+    s = F.col(success_col) if isinstance(success_col, str) else success_col
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}|"), F.col(unit_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    assigned = df.withColumn(
+        "variant",
+        F.when(h % 2 == 0, F.lit("control")).otherwise(F.lit("treatment")),
+    )
+    per = wilson_interval(assigned, ["variant"], s, z=z, decimals=decimals)
+    wide = (
+        per.groupBy()
+        .pivot("variant", ["control", "treatment"])
+        .agg(
+            F.first("n").alias("n"), F.first("n_success").alias("s")
+        )
+    )
+    pc = F.col("control_s") / F.col("control_n")
+    pt = F.col("treatment_s") / F.col("treatment_n")
+    pool = (F.col("control_s") + F.col("treatment_s")) / (
+        F.col("control_n") + F.col("treatment_n")
+    )
+    se = F.sqrt(
+        pool
+        * (1.0 - pool)
+        * (1.0 / F.col("control_n") + 1.0 / F.col("treatment_n"))
+    )
+    zstat = F.when(se == 0, F.lit(0.0)).otherwise((pt - pc) / se)
+    return per.crossJoin(
+        F.broadcast(wide.select(F.round(zstat, decimals).alias("z_stat")))
+    )

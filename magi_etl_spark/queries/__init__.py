@@ -130,42 +130,50 @@ _PRIORITY: list[str] = [
     # covers its sources; the gate-window dependency test flags it back
     # into the window.
     "q114_incremental_lsh_index",
+    # Rule 2 (dependency re-entries, flagged mid-round by
+    # tests/test_gate_window.py): the round-6 operator wave APPENDED to
+    # operators/{dedup,similarity,mixing,stats,graph}.py (containment
+    # pairs, hard negatives, curriculum ordering, OLS/Wilson/AB stats,
+    # triangle counting), so every tail query transitively importing
+    # those modules lost source-coverage for its last green driver row
+    # and must re-enter the window — additions, not edits, but the
+    # file-granular dependency rule doesn't (and shouldn't) distinguish.
+    "q24_minhash_signatures",
+    "q25_minhash_lsh_neardup",
+    "q27_embedding_topk",
+    "q28_embedding_neardup",
+    "q29_ngram_jaccard_pairs",
+    "q41_ivf_topk",
+    "q44_lsh_blocked_embedding_dedup",
+    "q50_exact_ngram_jaccard_pairs",
+    "q55_decontaminate",
+    "q56_dataset_mix",
+    "q59_dedup_clusters",
+    "q64_stratified_sample",
+    "q69_repetition_score",
+    "q84_dataset_split",
+    "q86_ivf_kmeans_topk",
+    "q98_rrf_fusion",
+    "q99_temperature_mix",
+    "q103_winsorize",
+    "q107_join_estimate",
+    "q108_group_sample_n",
+    "q112_semantic_decontaminate",
+    "q113_corpus_curation",
+    "q115_incremental_ivf_index",
+    "q116_pagerank",
+    "q23_dedup_exact",
+    "q47_dedup_keep_best",
+    "q38_srp_lsh_buckets",
     # Remaining slots (rule 3): the r5 tail, oldest-verified first —
-    # the fifteen engine-surface entries last gate-verified in r3, then
-    # r4-verified entries in their r4 window order (q50 and later
-    # rotate to r7 per the COVERAGE.md arithmetic note).
+    # engine-surface entries last gate-verified in r3.  The rest of the
+    # planned tail fill (q06 onward) rotates to r7, displaced by the 27
+    # dependency re-entries above; all remain covered every round by
+    # the local DuckDB-oracle sweep and the sf0.01 driver-contract
+    # probe.
     "q01_pricing_summary",
     "q03_top_orders",
     "q05_region_revenue",
-    "q06_semi_join",
-    "q08_full_outer_cast_keys",
-    "q09_top1_per_group",
-    "q10_topk_per_group",
-    "q11_sessionize",
-    "q12_conditional_agg",
-    "q13_distinct_derived_key",
-    "q14_json_extract",
-    "q18_week_buckets",
-    "q30_metric_query_events",
-    "q31_metric_query_unnest",
-    "q77_cached_metric_query",
-    "q32_simhash",
-    "q43_simhash_neardup",
-    "q33_kv_parse",
-    "q34_date_functions",
-    "q35_vector_stats",
-    "q36_rollup",
-    "q37_pivot",
-    "q38_srp_lsh_buckets",
-    "q39_token_cosine_pairs",
-    "q51_exact_token_cosine_pairs",
-    "q42_window_benchmark",
-    "q40_corpus_pipeline",
-    "q60_quantize_embeddings",
-    "q23_dedup_exact",
-    "q47_dedup_keep_best",
-    # q24/q25/q29 displaced to the r7 rotation by the q104/q106/q114
-    # re-entries above (COVERAGE.md r6 arithmetic note).
 ]
 
 

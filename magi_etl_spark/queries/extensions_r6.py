@@ -936,3 +936,195 @@ def q151_image_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id_a", "id_b", F.col("hamming").cast("int").alias("hamming")
     )
+
+
+# --- closed-form statistics --------------------------------------------------
+
+
+@ext3_query(
+    "q152_ols_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(date_diff('day', DATE '1995-01-01',
+                    CAST(date_trunc('day', o_orderdate) AS DATE)) AS DOUBLE)
+                   AS x,
+               ROUND(SUM(o_totalprice), 2) AS y
+        FROM orders
+        GROUP BY o_orderpriority, date_trunc('day', o_orderdate)
+    ),
+    sums AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+        FROM daily GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           ROUND(CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
+                      THEN (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                 END, 4) AS slope,
+           ROUND(CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
+                      THEN (sy - ((n * sxy - sx * sy)
+                                  / (n * sxx - sx * sx)) * sx) / n
+                 END, 4) AS intercept,
+           ROUND(CASE WHEN n >= 2 AND (n * sxx - sx * sx) <> 0
+                           AND (n * syy - sy * sy) <> 0
+                      THEN ((n * sxy - sx * sy) * (n * sxy - sx * sy))
+                           / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 END, 4) AS r2
+    FROM sums
+    """,
+)
+def q152_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority revenue trend: OLS slope/intercept/r2 of daily
+    revenue against days-since-1995 from one map-side-combined
+    sufficient-statistics aggregation — the grouped trend-detection
+    primitive.  Daily revenue is rounded to 2 before the regression so
+    both engines feed identical doubles into the closed form; x is a
+    small day index (not raw epoch days) to keep the n*Sxx - Sx^2
+    cancellation well-conditioned."""
+    from magi_etl_spark.operators.stats import group_ols_trend
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("day", "o_orderdate").cast("date").alias("_day"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    daily = daily.withColumn(
+        "x",
+        F.datediff("_day", F.lit("1995-01-01").cast("date")).cast("double"),
+    )
+    return group_ols_trend(daily, ["o_orderpriority"], "x", "y")
+
+
+@ext3_query(
+    "q153_wilson_ci",
+    oracle="""
+    WITH agg AS (
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_success
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n, n_success,
+           ROUND(n_success / CAST(n AS DOUBLE), 4) AS rate,
+           ROUND((n_success / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+                 / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+                 - 1.96 * sqrt((n_success / CAST(n AS DOUBLE))
+                       * (1.0 - n_success / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)
+                                          * CAST(n AS DOUBLE)))
+                   / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 4) AS ci_lo,
+           ROUND((n_success / CAST(n AS DOUBLE)
+                  + (1.96 * 1.96) / (2.0 * CAST(n AS DOUBLE)))
+                 / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE))
+                 + 1.96 * sqrt((n_success / CAST(n AS DOUBLE))
+                       * (1.0 - n_success / CAST(n AS DOUBLE))
+                       / CAST(n AS DOUBLE)
+                       + (1.96 * 1.96) / (4.0 * CAST(n AS DOUBLE)
+                                          * CAST(n AS DOUBLE)))
+                   / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)), 4) AS ci_hi
+    FROM agg
+    """,
+)
+def q153_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fulfilled-order rate per priority with the Wilson score interval
+    — the small-n-safe, [0,1]-bounded conversion-rate CI, entirely
+    closed-form from one conditional-count aggregate (the oracle
+    replays the identical IEEE arithmetic term by term)."""
+    from magi_etl_spark.operators.stats import wilson_interval
+
+    o = load_table(spark, sf_dir, "orders")
+    return wilson_interval(
+        o, ["o_orderpriority"], F.col("o_orderstatus") == "F"
+    )
+
+
+@ext3_query(
+    "q154_ab_compare",
+    oracle="""
+    WITH units AS (
+        SELECT user_id,
+               CAST(MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS converted
+        FROM events GROUP BY user_id
+    ),
+    assigned AS (
+        SELECT CASE WHEN CAST(concat('0x', substr(md5(concat('ab|',
+                         CAST(user_id AS VARCHAR))), 1, 8)) AS BIGINT)
+                         % 2 = 0
+                    THEN 'control' ELSE 'treatment' END AS variant,
+               converted
+        FROM units
+    ),
+    agg AS (
+        SELECT variant, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(converted) AS BIGINT) AS n_success
+        FROM assigned GROUP BY variant
+    ),
+    wide AS (
+        SELECT MAX(CASE WHEN variant = 'control' THEN n END) AS cn,
+               MAX(CASE WHEN variant = 'control' THEN n_success END) AS cs,
+               MAX(CASE WHEN variant = 'treatment' THEN n END) AS tn,
+               MAX(CASE WHEN variant = 'treatment' THEN n_success END) AS ts
+        FROM agg
+    ),
+    zs AS (
+        SELECT CASE WHEN sqrt(((cs + ts) / CAST(cn + tn AS DOUBLE))
+                        * (1.0 - (cs + ts) / CAST(cn + tn AS DOUBLE))
+                        * (1.0 / CAST(cn AS DOUBLE)
+                           + 1.0 / CAST(tn AS DOUBLE))) = 0
+                    THEN 0.0
+                    ELSE (ts / CAST(tn AS DOUBLE) - cs / CAST(cn AS DOUBLE))
+                         / sqrt(((cs + ts) / CAST(cn + tn AS DOUBLE))
+                            * (1.0 - (cs + ts) / CAST(cn + tn AS DOUBLE))
+                            * (1.0 / CAST(cn AS DOUBLE)
+                               + 1.0 / CAST(tn AS DOUBLE)))
+               END AS z_stat
+        FROM wide
+    )
+    SELECT a.variant, a.n, a.n_success,
+           ROUND(a.n_success / CAST(a.n AS DOUBLE), 4) AS rate,
+           ROUND((a.n_success / CAST(a.n AS DOUBLE)
+                  + (1.96 * 1.96) / (2.0 * CAST(a.n AS DOUBLE)))
+                 / (1.0 + (1.96 * 1.96) / CAST(a.n AS DOUBLE))
+                 - 1.96 * sqrt((a.n_success / CAST(a.n AS DOUBLE))
+                       * (1.0 - a.n_success / CAST(a.n AS DOUBLE))
+                       / CAST(a.n AS DOUBLE)
+                       + (1.96 * 1.96) / (4.0 * CAST(a.n AS DOUBLE)
+                                          * CAST(a.n AS DOUBLE)))
+                   / (1.0 + (1.96 * 1.96) / CAST(a.n AS DOUBLE)), 4)
+               AS ci_lo,
+           ROUND((a.n_success / CAST(a.n AS DOUBLE)
+                  + (1.96 * 1.96) / (2.0 * CAST(a.n AS DOUBLE)))
+                 / (1.0 + (1.96 * 1.96) / CAST(a.n AS DOUBLE))
+                 + 1.96 * sqrt((a.n_success / CAST(a.n AS DOUBLE))
+                       * (1.0 - a.n_success / CAST(a.n AS DOUBLE))
+                       / CAST(a.n AS DOUBLE)
+                       + (1.96 * 1.96) / (4.0 * CAST(a.n AS DOUBLE)
+                                          * CAST(a.n AS DOUBLE)))
+                   / (1.0 + (1.96 * 1.96) / CAST(a.n AS DOUBLE)), 4)
+               AS ci_hi,
+           ROUND(zs.z_stat, 4) AS z_stat
+    FROM agg a CROSS JOIN zs
+    """,
+)
+def q154_ab_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic A/B scaffold: users md5-hash 50/50 into control/
+    treatment, success = user ever purchased; per-variant conversion
+    with Wilson intervals plus the pooled two-sample z statistic — the
+    experiment-analysis readout as two aggregations and a broadcast
+    2-row pivot, reproducible in any engine because the assignment is
+    the hash, not an RNG."""
+    from magi_etl_spark.operators.stats import ab_assign_and_compare
+
+    e = load_table(spark, sf_dir, "events")
+    units = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("long")).alias(
+            "converted"
+        )
+    )
+    return ab_assign_and_compare(units, "user_id", F.col("converted") == 1)

@@ -484,9 +484,12 @@ def run_foreach_batch_drift_monitor(
     from magi_etl_spark.operators.drift import bin_counts, psi_between
 
     spark = event_stream.sparkSession
-    baseline = spark.read.parquet(baseline_path)
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        # re-read per batch: a DataFrame created once outside the loop
+        # caches its file listing, so a re-baseline mid-stream would be
+        # silently ignored (or crash on vacuumed files)
+        baseline = spark.read.parquet(baseline_path)
         cur = bin_counts(batch_df, group_col, value_col, lo, hi, n_bins)
         scores = psi_between(baseline, cur, group_col, n_bins)
         scores.write.mode("overwrite").parquet(

@@ -417,3 +417,53 @@ def test_phash_banding_guards(spark):
         phash_near_dup_pairs(df, max_dist=2, n_bands=3, bits=16)
     with _pytest.raises(ValueError, match="pigeonhole"):
         phash_near_dup_pairs(df, max_dist=4, n_bands=4, bits=16)
+
+
+def test_ols_recovers_exact_line(spark):
+    from magi_etl_spark.operators.stats import group_ols_trend
+
+    rows = [("g", float(x), 3.0 * x + 7.0) for x in range(20)]
+    rows += [("flat", float(x), 5.0) for x in range(10)]
+    rows += [("tiny", 1.0, 2.0)]  # n < 2
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in group_ols_trend(df, ["g"], "x", "y").collect()}
+    assert out["g"]["slope"] == 3.0 and out["g"]["intercept"] == 7.0
+    assert out["g"]["r2"] == 1.0
+    assert out["flat"]["slope"] == 0.0 and out["flat"]["r2"] is None
+    assert out["tiny"]["slope"] is None
+
+
+def test_wilson_interval_bounds_and_coverage(spark):
+    from pyspark.sql import functions as F
+
+    from magi_etl_spark.operators.stats import wilson_interval
+
+    rows = [("g", i < 30) for i in range(100)] + [("few", i < 1) for i in range(3)]
+    df = spark.createDataFrame(rows, "g string, s boolean")
+    out = {r["g"]: r for r in wilson_interval(df, ["g"], F.col("s")).collect()}
+    g = out["g"]
+    assert g["rate"] == 0.3
+    assert 0.0 <= g["ci_lo"] < 0.3 < g["ci_hi"] <= 1.0
+    # Wilson stays in [0,1] even at tiny n / extreme p
+    f = out["few"]
+    assert 0.0 <= f["ci_lo"] <= f["ci_hi"] <= 1.0
+
+
+def test_ab_assignment_is_deterministic_and_balanced(spark):
+    from pyspark.sql import functions as F
+
+    from magi_etl_spark.operators.stats import ab_assign_and_compare
+
+    df = spark.createDataFrame(
+        [(i, i % 5 == 0) for i in range(2000)], "user_id long, conv boolean"
+    )
+    out = {r["variant"]: r for r in ab_assign_and_compare(
+        df, "user_id", F.col("conv")).collect()}
+    assert set(out) == {"control", "treatment"}
+    n_c, n_t = out["control"]["n"], out["treatment"]["n"]
+    assert n_c + n_t == 2000
+    assert abs(n_c - n_t) < 200  # md5 split is ~50/50
+    assert out["control"]["z_stat"] == out["treatment"]["z_stat"]
+    again = {r["variant"]: r["n"] for r in ab_assign_and_compare(
+        df, "user_id", F.col("conv")).collect()}
+    assert again == {v: r["n"] for v, r in out.items()}

@@ -542,6 +542,58 @@ def main() -> None:
             e, "event_type", "user_id", "view", "purchase"
         )
 
+    def ols(o):
+        from magi_etl_spark.operators.stats import group_ols_trend
+
+        def run():
+            daily = o.groupBy(
+                "o_orderpriority",
+                F.date_trunc("day", "o_orderdate").cast("date").alias("_day"),
+            ).agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+            daily = daily.withColumn(
+                "x",
+                F.datediff(
+                    "_day", F.lit("1995-01-01").cast("date")
+                ).cast("double"),
+            )
+            return group_ols_trend(daily, ["o_orderpriority"], "x", "y")
+
+        return run
+
+    def ab(e):
+        from magi_etl_spark.operators.stats import ab_assign_and_compare
+
+        def run():
+            units = e.groupBy("user_id").agg(
+                F.max(
+                    (F.col("event_type") == "purchase").cast("long")
+                ).alias("converted")
+            )
+            return ab_assign_and_compare(
+                units, "user_id", F.col("converted") == 1
+            )
+
+        return run
+
+    def phash(d):
+        from magi_etl_spark.operators.multimodal import (
+            average_hash,
+            phash_near_dup_pairs,
+            synthesize_test_images,
+        )
+
+        # real encode+decode per row (Arrow-batched map); the banded
+        # pair join rides the hash table.  Replication caveat: copies
+        # share the 16-bit hash space, so pair families grow with the
+        # square of bucket occupancy — the banding contains it
+        def run():
+            imgs = synthesize_test_images(d.select("doc_id"))
+            return phash_near_dup_pairs(
+                average_hash(imgs), max_dist=2, bits=16
+            )
+
+        return run
+
     timings: dict[str, float] = {}
     for label, d1, dn in (
         ("lsh_dedup", lsh(docs1), lsh(docsN)),
@@ -589,6 +641,9 @@ def main() -> None:
         ("triangles", triangles(lineitem1), triangles(lineitemN)),
         ("attribution", attribution(events1), attribution(eventsN)),
         ("kmv_overlap", kmv_overlap(events1), kmv_overlap(eventsN)),
+        ("ols_trend", ols(orders_b), ols(ordersN_b)),
+        ("ab_compare", ab(events1), ab(eventsN)),
+        ("image_phash", phash(docs1), phash(docsN)),
     ):
         if only is not None and label not in only:
             continue
