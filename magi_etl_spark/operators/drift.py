@@ -165,3 +165,65 @@ def mad_outliers(
         .withColumn("is_outlier", F.abs(F.col("robust_z")) > threshold)
         .select(*key_cols, value_col, "robust_z", "is_outlier")
     )
+
+
+def benford_deviation(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    decimals: int = 4,
+) -> DataFrame:
+    """Benford's-law first-digit audit per group: ``group_cols..., n,
+    chi2, max_dev`` where ``chi2`` is Pearson's statistic against the
+    Benford expectation p(d) = log10(1 + 1/d) over digits 1-9 and
+    ``max_dev`` is the largest absolute proportion deviation (both
+    rounded).  Fabricated or systematically generated amounts jump out;
+    uniform synthetic data scores loudly too — the statistic is the
+    audit signal, not a verdict.
+
+    Rows whose value is NULL or < 1 in absolute terms are excluded
+    (they have no stable first digit).  One conditional-count aggregate
+    bounded by |groups| x 9 — the same shape as ``psi_drift``.
+    """
+    import math
+
+    # floor-then-stringify: a decimal cast would ROUND (9.7 -> "10" ->
+    # first digit 1), floor truncates (9.7 -> "9")
+    first = F.substring(
+        F.floor(F.abs(F.col(value_col))).cast("string"), 1, 1
+    ).cast("int")
+    digits = df.where(
+        F.col(value_col).isNotNull() & (F.abs(F.col(value_col)) >= 1)
+    ).select(*group_cols, first.alias("_d"))
+    cells = digits.groupBy(*group_cols, "_d").agg(
+        F.count("*").cast("double").alias("_c")
+    )
+    totals = cells.groupBy(*group_cols).agg(
+        F.sum("_c").alias("_n")
+    )
+    grid = totals.select(
+        *group_cols, "_n", F.explode(F.array(*[F.lit(d) for d in range(1, 10)])).alias("_d")
+    )
+    dense = grid.join(cells, [*group_cols, "_d"], "left").fillna(
+        0.0, subset=["_c"]
+    )
+    expected = F.element_at(
+        F.array(*[F.lit(math.log10(1 + 1 / d)) for d in range(1, 10)]),
+        F.col("_d"),
+    )
+    e = F.col("_n") * expected
+    term = (F.col("_c") - e) * (F.col("_c") - e) / e
+    dev = F.abs(F.col("_c") / F.col("_n") - expected)
+    return (
+        dense.groupBy(*group_cols, "_n")
+        .agg(
+            F.round(F.sum(term), decimals).alias("chi2"),
+            F.round(F.max(dev), decimals).alias("max_dev"),
+        )
+        .select(
+            *group_cols,
+            F.col("_n").cast("long").alias("n"),
+            "chi2",
+            "max_dev",
+        )
+    )

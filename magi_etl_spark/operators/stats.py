@@ -17,7 +17,7 @@ buffer, the sketch form is one bounded-memory pass; same plan shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
@@ -262,4 +262,100 @@ def ab_assign_and_compare(
     zstat = F.when(se == 0, F.lit(0.0)).otherwise((pt - pc) / se)
     return per.crossJoin(
         F.broadcast(wide.select(F.round(zstat, decimals).alias("z_stat")))
+    )
+
+
+def mutual_information(
+    df: DataFrame,
+    a_col,
+    b_col,
+    decimals: int = 4,
+) -> DataFrame:
+    """Mutual information (bits) between two categorical columns, plus
+    each marginal's Shannon entropy: one row ``mi, h_a, h_b, nmi``
+    (``nmi = mi / min(h_a, h_b)``, NULL when either entropy is 0).
+
+    MI = sum over (a, b) cells of p(a,b) * log2(p(a,b) / (p(a)p(b))) —
+    the dependence-detection / feature-selection primitive, computed
+    from one joint-count aggregation (|A| x |B| cells) with the
+    marginals derived by re-aggregating the SAME cell frame, so the
+    whole statistic is two narrow shuffles over bounded state.
+    """
+    a = a_col if not isinstance(a_col, str) else F.col(a_col)
+    b = b_col if not isinstance(b_col, str) else F.col(b_col)
+    cells = (
+        df.select(a.alias("_a"), b.alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    n = cells.agg(F.sum("_c").alias("_n"))
+    ma = cells.groupBy("_a").agg(F.sum("_c").alias("_ca"))
+    mb = cells.groupBy("_b").agg(F.sum("_c").alias("_cb"))
+    joined = (
+        cells.join(F.broadcast(ma), "_a")
+        .join(F.broadcast(mb), "_b")
+        .crossJoin(F.broadcast(n))
+    )
+    ln2 = F.lit(0.6931471805599453)
+    pj = F.col("_c") / F.col("_n")
+    mi_term = pj * F.log(F.col("_c") * F.col("_n") / (F.col("_ca") * F.col("_cb"))) / ln2
+    ha_term = (F.col("_ca") / F.col("_n")) * F.log(F.col("_ca") / F.col("_n")) / ln2
+    hb_term = (F.col("_cb") / F.col("_n")) * F.log(F.col("_cb") / F.col("_n")) / ln2
+    mi = joined.agg(F.sum(mi_term).alias("_mi"))
+    ha = ma.crossJoin(F.broadcast(n)).agg((-F.sum(ha_term)).alias("_ha"))
+    hb = mb.crossJoin(F.broadcast(n)).agg((-F.sum(hb_term)).alias("_hb"))
+    out = mi.crossJoin(F.broadcast(ha)).crossJoin(F.broadcast(hb))
+    nmi = F.when(
+        F.least("_ha", "_hb") > 0, F.col("_mi") / F.least("_ha", "_hb")
+    )
+    return out.select(
+        F.round("_mi", decimals).alias("mi"),
+        F.round("_ha", decimals).alias("h_a"),
+        F.round("_hb", decimals).alias("h_b"),
+        F.round(nmi, decimals).alias("nmi"),
+    )
+
+
+def concentration(
+    df: DataFrame,
+    group_cols: list[str],
+    key_col: str,
+    value_col: str,
+    top_k: int = 4,
+    decimals: int = 4,
+) -> DataFrame:
+    """Market-concentration audit per group: ``group_cols..., n_keys,
+    hhi, crk`` — the Herfindahl-Hirschman index (sum of squared value
+    shares across keys; 1/n_keys = even, 1.0 = monopoly) and the
+    top-``top_k`` concentration ratio (their combined share).
+
+    Per-key totals are one keyed aggregation; HHI folds them with a
+    second; CR_k ranks per group with a window over the per-key totals
+    frame — never over raw rows, and Catalyst pushes the rank filter
+    into a map-side ``WindowGroupLimit`` (verified in the physical
+    plan), so only ``top_k`` rows per group survive the shuffle even
+    when a group holds billions of keys.
+    """
+    per_key = df.groupBy(*group_cols, key_col).agg(
+        F.sum(F.col(value_col).cast("double")).alias("_v")
+    )
+    totals = per_key.groupBy(*group_cols).agg(
+        F.sum("_v").alias("_tot"), F.count("*").cast("long").alias("n_keys")
+    )
+    shared = per_key.join(F.broadcast(totals), [*group_cols])
+    share = F.col("_v") / F.col("_tot")
+    hhi = shared.groupBy(*group_cols, "n_keys").agg(
+        F.round(F.sum(share * share), decimals).alias("hhi")
+    )
+    w = W.partitionBy(*group_cols).orderBy(
+        F.desc("_v"), *[F.asc(key_col)]
+    )
+    crk = (
+        shared.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= top_k)
+        .groupBy(*group_cols)
+        .agg(F.round(F.sum(share), decimals).alias("crk"))
+    )
+    return hhi.join(crk, [*group_cols]).select(
+        *group_cols, "n_keys", "hhi", "crk"
     )

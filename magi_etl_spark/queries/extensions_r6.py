@@ -1128,3 +1128,168 @@ def q154_ab_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return ab_assign_and_compare(units, "user_id", F.col("converted") == 1)
+
+
+# --- distributional audit ----------------------------------------------------
+
+
+def _benford_oracle() -> str:
+    import math
+
+    # embed the exact Python-double Benford constants so both engines
+    # compare against bit-identical expectations
+    case = " ".join(
+        f"WHEN {d} THEN {math.log10(1 + 1 / d)!r}" for d in range(1, 10)
+    )
+    return f"""
+    WITH d AS (
+        SELECT o_orderpriority,
+               CAST(substr(CAST(CAST(floor(abs(o_totalprice)) AS BIGINT)
+                    AS VARCHAR), 1, 1) AS INTEGER) AS dgt
+        FROM orders
+        WHERE o_totalprice IS NOT NULL AND abs(o_totalprice) >= 1
+    ),
+    cells AS (
+        SELECT o_orderpriority, dgt, CAST(COUNT(*) AS DOUBLE) AS c
+        FROM d GROUP BY o_orderpriority, dgt
+    ),
+    tot AS (
+        SELECT o_orderpriority, SUM(c) AS n FROM cells
+        GROUP BY o_orderpriority
+    ),
+    grid AS (
+        SELECT t.o_orderpriority, t.n, gs.dgt
+        FROM tot t, (SELECT unnest(range(1, 10)) AS dgt) gs
+    ),
+    dense AS (
+        SELECT g.o_orderpriority, g.n, g.dgt,
+               COALESCE(c.c, 0.0) AS c,
+               CASE g.dgt {case} END AS exp_p
+        FROM grid g
+        LEFT JOIN cells c ON g.o_orderpriority = c.o_orderpriority
+                         AND g.dgt = c.dgt
+    )
+    SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+           ROUND(SUM((c - n * exp_p) * (c - n * exp_p) / (n * exp_p)), 4)
+               AS chi2,
+           ROUND(MAX(abs(c / n - exp_p)), 4) AS max_dev
+    FROM dense GROUP BY o_orderpriority, n
+    """
+
+
+@ext3_query("q155_benford_audit", oracle=_benford_oracle())
+def q155_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit audit of order amounts per priority: chi2
+    against the log10(1+1/d) expectation plus the largest proportion
+    deviation — the fabricated-amounts screen as one |groups| x 9
+    conditional-count aggregate.  The Benford constants are embedded as
+    identical Python doubles on both sides."""
+    from magi_etl_spark.operators.drift import benford_deviation
+
+    o = load_table(spark, sf_dir, "orders")
+    return benford_deviation(o, ["o_orderpriority"], "o_totalprice")
+
+
+@ext3_query(
+    "q156_mutual_information",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type AS a, hour(ts) AS b,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events GROUP BY event_type, hour(ts)
+    ),
+    nn AS (SELECT SUM(c) AS n FROM cells),
+    ma AS (SELECT a, SUM(c) AS ca FROM cells GROUP BY a),
+    mb AS (SELECT b, SUM(c) AS cb FROM cells GROUP BY b),
+    mi AS (
+        SELECT SUM(c.c / nn.n * ln(c.c * nn.n / (ma.ca * mb.cb))
+                   / 0.6931471805599453) AS mi
+        FROM cells c
+        JOIN ma ON c.a = ma.a
+        JOIN mb ON c.b = mb.b
+        CROSS JOIN nn
+    ),
+    ha AS (
+        SELECT -SUM(ca / nn.n * ln(ca / nn.n) / 0.6931471805599453) AS ha
+        FROM ma CROSS JOIN nn
+    ),
+    hb AS (
+        SELECT -SUM(cb / nn.n * ln(cb / nn.n) / 0.6931471805599453) AS hb
+        FROM mb CROSS JOIN nn
+    )
+    SELECT ROUND(mi.mi, 4) AS mi, ROUND(ha.ha, 4) AS h_a,
+           ROUND(hb.hb, 4) AS h_b,
+           ROUND(CASE WHEN least(ha.ha, hb.hb) > 0
+                      THEN mi.mi / least(ha.ha, hb.hb) END, 4) AS nmi
+    FROM mi, ha, hb
+    """,
+)
+def q156_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information (bits) between event type and hour of day,
+    with both marginal entropies and the normalized MI — the
+    dependence-detection primitive from one joint-count aggregation
+    plus broadcast marginals."""
+    from magi_etl_spark.operators.stats import mutual_information
+
+    e = load_table(spark, sf_dir, "events")
+    return mutual_information(e, "event_type", F.hour("ts"))
+
+
+@ext3_query(
+    "q157_revenue_concentration",
+    oracle="""
+    WITH per AS (
+        SELECT r.r_name, o.o_custkey, ROUND(SUM(o.o_totalprice), 2) AS v
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation nt ON c.c_nationkey = nt.n_nationkey
+        JOIN region r ON nt.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, o.o_custkey
+    ),
+    tot AS (
+        SELECT r_name, SUM(v) AS t, CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM per GROUP BY r_name
+    ),
+    hhi AS (
+        SELECT p.r_name,
+               ROUND(SUM((p.v / t.t) * (p.v / t.t)), 4) AS hhi
+        FROM per p JOIN tot t ON p.r_name = t.r_name
+        GROUP BY p.r_name
+    ),
+    rk AS (
+        SELECT r_name, o_custkey, v,
+               ROW_NUMBER() OVER (PARTITION BY r_name
+                                  ORDER BY v DESC, o_custkey) AS rn
+        FROM per
+    ),
+    crk AS (
+        SELECT rk.r_name, ROUND(SUM(rk.v / t.t), 4) AS crk
+        FROM rk JOIN tot t ON rk.r_name = t.r_name
+        WHERE rk.rn <= 4 GROUP BY rk.r_name
+    )
+    SELECT h.r_name, t.n_keys, h.hhi, c2.crk
+    FROM hhi h
+    JOIN tot t ON h.r_name = t.r_name
+    JOIN crk c2 ON h.r_name = c2.r_name
+    """,
+)
+def q157_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue concentration per region: Herfindahl-Hirschman index and
+    top-4 concentration ratio over per-customer revenue shares.  The
+    per-customer totals are rounded to 2 BEFORE ranking so the top-4
+    cut is identical in any engine; the rank window runs over the
+    bounded per-key frame, never raw orders."""
+    from magi_etl_spark.operators.stats import concentration
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    per = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .join(n, c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy("r_name", "o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
+    )
+    return concentration(per, ["r_name"], "o_custkey", "v", top_k=4)

@@ -467,3 +467,58 @@ def test_ab_assignment_is_deterministic_and_balanced(spark):
     again = {r["variant"]: r["n"] for r in ab_assign_and_compare(
         df, "user_id", F.col("conv")).collect()}
     assert again == {v: r["n"] for v, r in out.items()}
+
+
+def test_benford_truncates_first_digit_and_scores(spark):
+    from magi_etl_spark.operators.drift import benford_deviation
+
+    # 9.7 must count as digit 9 (truncation), not 1 (rounding to 10)
+    df = spark.createDataFrame(
+        [("g", 9.7)] * 10 + [("g", 0.5)] * 5,  # sub-1 values excluded
+        "g string, v double",
+    )
+    out = benford_deviation(df, ["g"], "v").collect()[0]
+    assert out["n"] == 10
+    # all mass on digit 9 => max deviation is 1 - log10(1 + 1/9)
+    import math
+
+    assert abs(out["max_dev"] - (1 - math.log10(1 + 1 / 9))) < 1e-3
+
+    # a perfect Benford sample scores ~0
+    rows = []
+    for d in range(1, 10):
+        rows += [("b", float(d) * 10)] * round(1000 * math.log10(1 + 1 / d))
+    df2 = spark.createDataFrame(rows, "g string, v double")
+    out2 = benford_deviation(df2, ["g"], "v").collect()[0]
+    assert out2["chi2"] < 2.0  # rounding residue only
+
+
+def test_mutual_information_independence_and_identity(spark):
+    from pyspark.sql import functions as F
+
+    from magi_etl_spark.operators.stats import mutual_information
+
+    # independent uniform: MI == 0
+    rows = [(a, b) for a in range(4) for b in range(6) for _ in range(5)]
+    df = spark.createDataFrame(rows, "a int, b int")
+    out = mutual_information(df, F.col("a"), F.col("b")).collect()[0]
+    assert out["mi"] == 0.0 and out["nmi"] == 0.0
+    assert abs(out["h_a"] - 2.0) < 1e-6  # log2(4)
+
+    # b == a: MI == H(a), NMI == 1
+    df2 = spark.createDataFrame([(a, a) for a in range(8)] * 4, "a int, b int")
+    out2 = mutual_information(df2, F.col("a"), F.col("b")).collect()[0]
+    assert out2["mi"] == out2["h_a"] == 3.0
+    assert out2["nmi"] == 1.0
+
+
+def test_concentration_monopoly_and_even_split(spark):
+    from magi_etl_spark.operators.stats import concentration
+
+    rows = [("mono", 1, 100.0)] + [("even", k, 25.0) for k in range(4)]
+    df = spark.createDataFrame(rows, "g string, k long, v double")
+    out = {r["g"]: r for r in concentration(df, ["g"], "k", "v", top_k=2).collect()}
+    assert out["mono"]["hhi"] == 1.0 and out["mono"]["crk"] == 1.0
+    assert out["even"]["hhi"] == 0.25  # 4 * (1/4)^2
+    assert out["even"]["crk"] == 0.5  # top 2 of 4 even keys
+    assert out["even"]["n_keys"] == 4

@@ -240,7 +240,7 @@ def test_monetization(mdfs, mcon):
         SELECT e.wiki_id, w.is_monetized,
                count(distinct analytics_id) AS users,
                count(distinct session_id) AS sessions,
-               sum(e.pageviews) AS pageviews
+               CAST(sum(e.pageviews) AS BIGINT) AS pageviews
         FROM base e LEFT JOIN dimension_wikis w ON e.wiki_id = w.wiki_id
         WHERE d BETWEEN {WSTART} AND {WEND} AND NOT (w.is_monetized = 1)
         GROUP BY 1, 2
@@ -274,7 +274,7 @@ def test_wiki_id_traffic(mdfs, mcon):
     out = wiki_id_traffic(mdfs["analytics_events"], ANCHOR, wiki_list=wl)
     sql = f"""
     SELECT wiki_id, count(distinct analytics_id) AS users,
-           count(distinct session_id) AS sessions, sum(pageviews) AS pageviews
+           count(distinct session_id) AS sessions, CAST(sum(pageviews) AS BIGINT) AS pageviews
     FROM base
     WHERE d BETWEEN {WSTART} AND {WEND} AND wiki_id > 0 AND wiki_id IS NOT NULL
       AND CAST(wiki_id AS VARCHAR) IN
@@ -292,7 +292,7 @@ def test_wikis_complete_and_dim(mdfs, mcon):
     sql = f"""
     WITH traffic AS (
         SELECT wiki_id, count(distinct analytics_id) AS users,
-               count(distinct session_id) AS sessions, sum(pageviews) AS pageviews
+               count(distinct session_id) AS sessions, CAST(sum(pageviews) AS BIGINT) AS pageviews
         FROM base
         WHERE d BETWEEN {WSTART} AND {WEND} AND wiki_id > 0 AND wiki_id IS NOT NULL
         GROUP BY 1
@@ -322,7 +322,7 @@ def test_page_breakdown_with_cap(mdfs, mcon):
         SELECT wiki_id, {page} AS page,
                count(distinct analytics_id) AS users_30_days,
                count(distinct session_id) AS sessions_30_days,
-               sum(pageviews) AS pageviews_30_days
+               CAST(sum(pageviews) AS BIGINT) AS pageviews_30_days
         FROM base
         WHERE d BETWEEN {WSTART} AND {WEND} AND wiki_id > 0 AND wiki_id IS NOT NULL
           AND page_url NOT LIKE '%turbopages.org%'
@@ -341,7 +341,7 @@ def test_top_wiki_id_per_group(mdfs, mcon):
     out = top_wiki_id_per_group(mdfs["analytics_events"], ANCHOR)
     sql = f"""
     WITH agg AS (
-        SELECT wiki_name AS wiki_group, wiki_id, sum(pageviews) AS pageviews
+        SELECT wiki_name AS wiki_group, wiki_id, CAST(sum(pageviews) AS BIGINT) AS pageviews
         FROM base WHERE d BETWEEN {WSTART} AND {WEND}
         GROUP BY 1, 2
     )

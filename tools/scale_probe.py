@@ -575,6 +575,32 @@ def main() -> None:
 
         return run
 
+    def benford(o):
+        from magi_etl_spark.operators.drift import benford_deviation
+
+        return lambda: benford_deviation(
+            o, ["o_orderpriority"], "o_totalprice"
+        )
+
+    def mutinfo(e):
+        from magi_etl_spark.operators.stats import mutual_information
+
+        return lambda: mutual_information(e, "event_type", F.hour("ts"))
+
+    def hhi(o):
+        from magi_etl_spark.operators.stats import concentration
+
+        # per-customer pre-aggregate bounds the ranked frame; custkey
+        # shifts per copy so keys (and the window's groups' state) grow
+        # linearly
+        def run():
+            per = o.groupBy(
+                F.lit("all").alias("seg"), "o_custkey"
+            ).agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
+            return concentration(per, ["seg"], "o_custkey", "v", top_k=4)
+
+        return run
+
     def phash(d):
         from magi_etl_spark.operators.multimodal import (
             average_hash,
@@ -644,6 +670,9 @@ def main() -> None:
         ("ols_trend", ols(orders_b), ols(ordersN_b)),
         ("ab_compare", ab(events1), ab(eventsN)),
         ("image_phash", phash(docs1), phash(docsN)),
+        ("benford", benford(orders_b), benford(ordersN_b)),
+        ("mutual_info", mutinfo(events1), mutinfo(eventsN)),
+        ("concentration", hhi(orders_b), hhi(ordersN_b)),
     ):
         if only is not None and label not in only:
             continue
