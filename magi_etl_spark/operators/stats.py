@@ -359,3 +359,49 @@ def concentration(
     return hhi.join(crk, [*group_cols]).select(
         *group_cols, "n_keys", "hhi", "crk"
     )
+
+
+def correlation_matrix(
+    df: DataFrame,
+    group_cols: list[str],
+    value_cols: list[str],
+    decimals: int = 4,
+) -> DataFrame:
+    """Pairwise Pearson correlations among ``value_cols`` per group in
+    long format: ``group_cols..., col_a, col_b, n, corr`` for every
+    unordered pair (col_a < col_b positionally) — the feature-redundancy
+    screen before training, from ONE map-side-combined aggregation of
+    all the sufficient statistics (k means + k squares + k*(k-1)/2
+    cross products), then a narrow unpivot of the single result row per
+    group.  Zero-variance columns yield NULL correlations.
+    """
+    cols = {c: F.col(c).cast("double") for c in value_cols}
+    aggs = [F.count("*").cast("double").alias("_n")]
+    for c, x in cols.items():
+        aggs.append(F.sum(x).alias(f"_s_{c}"))
+        aggs.append(F.sum(x * x).alias(f"_q_{c}"))
+    pairs = [
+        (a, b) for i, a in enumerate(value_cols) for b in value_cols[i + 1:]
+    ]
+    for a, b in pairs:
+        aggs.append(F.sum(cols[a] * cols[b]).alias(f"_x_{a}_{b}"))
+    sums = df.groupBy(*group_cols).agg(*aggs)
+    n = F.col("_n")
+
+    def corr(a: str, b: str):
+        va = n * F.col(f"_q_{a}") - F.col(f"_s_{a}") * F.col(f"_s_{a}")
+        vb = n * F.col(f"_q_{b}") - F.col(f"_s_{b}") * F.col(f"_s_{b}")
+        cov = n * F.col(f"_x_{a}_{b}") - F.col(f"_s_{a}") * F.col(f"_s_{b}")
+        return F.when((va > 0) & (vb > 0), cov / F.sqrt(va * vb))
+
+    out = None
+    for a, b in pairs:
+        row = sums.select(
+            *group_cols,
+            F.lit(a).alias("col_a"),
+            F.lit(b).alias("col_b"),
+            n.cast("long").alias("n"),
+            F.round(corr(a, b), decimals).alias("corr"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -109,3 +109,42 @@ def rolling_range_agg(
         F.avg(value_col).over(w).alias(f"rolling_avg_{days}d"),
         F.count(value_col).over(w).alias(f"rolling_n_{days}d"),
     )
+
+
+def dow_seasonal_index(
+    df: DataFrame,
+    group_cols: list[str],
+    day_col: str,
+    value_col: str,
+    decimals: int = 4,
+) -> DataFrame:
+    """Day-of-week seasonal indices per group — the first component of
+    a seasonal decomposition: ``group_cols..., dow (0=Monday..6),
+    n_days, factor`` where ``factor = mean(value | dow) / mean(value)``
+    (rounded; a flat series gets 1.0 everywhere).  Dividing a daily
+    series by its factor deseasonalizes it before trend fitting
+    (compose with ``stats.group_ols_trend``) or anomaly flagging
+    (``drift.mad_outliers``) — weekday/weekend cycles otherwise
+    dominate both.
+
+    Two narrow aggregations over the (already daily) frame plus a
+    broadcast of the per-group means; a zero group mean yields NULL
+    factors rather than a division error.
+    """
+    dow = F.weekday(F.col(day_col)).alias("dow")
+    per_dow = df.select(*group_cols, dow, F.col(value_col).alias("_v")).groupBy(
+        *group_cols, "dow"
+    ).agg(
+        F.count("*").cast("long").alias("n_days"),
+        F.avg("_v").alias("_dow_mean"),
+    )
+    overall = df.groupBy(*group_cols).agg(F.avg(value_col).alias("_mean"))
+    factor = F.when(
+        F.col("_mean") != 0, F.col("_dow_mean") / F.col("_mean")
+    )
+    return per_dow.join(F.broadcast(overall), [*group_cols]).select(
+        *group_cols,
+        "dow",
+        "n_days",
+        F.round(factor, decimals).alias("factor"),
+    )

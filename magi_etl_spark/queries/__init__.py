@@ -165,15 +165,18 @@ _PRIORITY: list[str] = [
     "q23_dedup_exact",
     "q47_dedup_keep_best",
     "q38_srp_lsh_buckets",
+    # dow_seasonal_index landed in operators/timeseries.py late in the
+    # round, flagging its importers: q89 was already in the window, q91
+    # re-enters here
+    "q91_gapfill_interpolate",
     # Remaining slots (rule 3): the r5 tail, oldest-verified first —
     # engine-surface entries last gate-verified in r3.  The rest of the
-    # planned tail fill (q06 onward) rotates to r7, displaced by the 27
+    # planned tail fill (q05 onward) rotates to r7, displaced by the 28
     # dependency re-entries above; all remain covered every round by
     # the local DuckDB-oracle sweep and the sf0.01 driver-contract
     # probe.
     "q01_pricing_summary",
     "q03_top_orders",
-    "q05_region_revenue",
 ]
 
 

@@ -1293,3 +1293,95 @@ def q157_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("o_totalprice"), 2).alias("v"))
     )
     return concentration(per, ["r_name"], "o_custkey", "v", top_k=4)
+
+
+# --- seasonal indices / correlation matrix -----------------------------------
+
+
+@ext3_query(
+    "q158_dow_seasonality",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderpriority,
+               CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS y
+        FROM orders GROUP BY o_orderpriority, date_trunc('day', o_orderdate)
+    ),
+    per AS (
+        SELECT o_orderpriority, CAST(isodow(day) - 1 AS INTEGER) AS dow,
+               CAST(COUNT(*) AS BIGINT) AS n_days, AVG(y) AS dmean
+        FROM daily GROUP BY o_orderpriority, isodow(day) - 1
+    ),
+    ov AS (
+        SELECT o_orderpriority, AVG(y) AS mean FROM daily
+        GROUP BY o_orderpriority
+    )
+    SELECT p.o_orderpriority, p.dow, p.n_days,
+           ROUND(CASE WHEN ov.mean <> 0 THEN p.dmean / ov.mean END, 4)
+               AS factor
+    FROM per p JOIN ov ON p.o_orderpriority = ov.o_orderpriority
+    """,
+)
+def q158_dow_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal indices of daily revenue per priority —
+    factor = mean(dow) / overall mean over the daily series (rounded
+    dailies so both engines average identical doubles).  Spark
+    ``weekday`` (0=Monday) mirrors DuckDB ``isodow - 1``."""
+    from magi_etl_spark.operators.timeseries import dow_seasonal_index
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority",
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+    return dow_seasonal_index(daily, ["o_orderpriority"], "day", "y")
+
+
+def _corr_oracle() -> str:
+    cols = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+    d = {c: f"CAST({c} AS DOUBLE)" for c in cols}
+    aggs = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    for c in cols:
+        aggs.append(f"SUM({d[c]}) AS s_{c}")
+        aggs.append(f"SUM({d[c]} * {d[c]}) AS q_{c}")
+    pairs = [(a, b) for i, a in enumerate(cols) for b in cols[i + 1:]]
+    for a, b in pairs:
+        aggs.append(f"SUM({d[a]} * {d[b]}) AS x_{a}_{b}")
+    selects = []
+    for a, b in pairs:
+        va = f"(n * q_{a} - s_{a} * s_{a})"
+        vb = f"(n * q_{b} - s_{b} * s_{b})"
+        cov = f"(n * x_{a}_{b} - s_{a} * s_{b})"
+        selects.append(
+            f"SELECT l_returnflag, '{a}' AS col_a, '{b}' AS col_b,\n"
+            f"       CAST(n AS BIGINT) AS n,\n"
+            f"       ROUND(CASE WHEN {va} > 0 AND {vb} > 0\n"
+            f"             THEN {cov} / sqrt({va} * {vb}) END, 4) AS corr\n"
+            f"FROM s"
+        )
+        # noqa: the union keeps pair order identical to the Spark side
+    body = "\nUNION ALL\n".join(selects)
+    agg_sql = ",\n               ".join(aggs)
+    return (
+        "WITH s AS (\n        SELECT l_returnflag,\n               "
+        + agg_sql
+        + "\n        FROM lineitem GROUP BY l_returnflag\n    )\n    "
+        + body
+    )
+
+
+@ext3_query("q159_corr_matrix", oracle=_corr_oracle())
+def q159_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation matrix (long format) among the four
+    lineitem numeric measures per return flag — the feature-redundancy
+    screen, from ONE aggregation of all sufficient statistics (4 sums,
+    4 squares, 6 cross products) then a narrow unpivot; the oracle is
+    generated from the same pair list so the expression trees match."""
+    from magi_etl_spark.operators.stats import correlation_matrix
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return correlation_matrix(
+        li,
+        ["l_returnflag"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+    )

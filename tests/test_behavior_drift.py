@@ -522,3 +522,35 @@ def test_concentration_monopoly_and_even_split(spark):
     assert out["even"]["hhi"] == 0.25  # 4 * (1/4)^2
     assert out["even"]["crk"] == 0.5  # top 2 of 4 even keys
     assert out["even"]["n_keys"] == 4
+
+
+def test_dow_seasonality_flat_series_is_all_ones(spark):
+    import datetime as _dt
+
+    from magi_etl_spark.operators.timeseries import dow_seasonal_index
+
+    days = [(_dt.date(2024, 1, 1) + _dt.timedelta(days=i)) for i in range(28)]
+    df = spark.createDataFrame(
+        [("g", d, 10.0) for d in days], "g string, day date, v double"
+    )
+    out = dow_seasonal_index(df, ["g"], "day", "v").collect()
+    assert len(out) == 7
+    assert all(r["factor"] == 1.0 and r["n_days"] == 4 for r in out)
+    assert sorted(r["dow"] for r in out) == list(range(7))
+
+
+def test_correlation_matrix_known_values(spark):
+    from magi_etl_spark.operators.stats import correlation_matrix
+
+    rows = [
+        ("g", float(i), 2.0 * i + 1, -3.0 * i, 5.0) for i in range(10)
+    ]
+    df = spark.createDataFrame(rows, "g string, a double, b double, c double, d double")
+    out = {
+        (r["col_a"], r["col_b"]): r["corr"]
+        for r in correlation_matrix(df, ["g"], ["a", "b", "c", "d"]).collect()
+    }
+    assert out[("a", "b")] == 1.0   # perfectly correlated
+    assert out[("a", "c")] == -1.0  # perfectly anti-correlated
+    assert out[("a", "d")] is None  # zero-variance column
+    assert len(out) == 6

@@ -601,6 +601,27 @@ def main() -> None:
 
         return run
 
+    def seasonality(o):
+        from magi_etl_spark.operators.timeseries import dow_seasonal_index
+
+        def run():
+            daily = o.groupBy(
+                "o_orderpriority",
+                F.date_trunc("day", "o_orderdate").cast("date").alias("day"),
+            ).agg(F.round(F.sum("o_totalprice"), 2).alias("y"))
+            return dow_seasonal_index(daily, ["o_orderpriority"], "day", "y")
+
+        return run
+
+    def corrmat(li):
+        from magi_etl_spark.operators.stats import correlation_matrix
+
+        return lambda: correlation_matrix(
+            li,
+            ["l_returnflag"],
+            ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        )
+
     def phash(d):
         from magi_etl_spark.operators.multimodal import (
             average_hash,
@@ -673,6 +694,8 @@ def main() -> None:
         ("benford", benford(orders_b), benford(ordersN_b)),
         ("mutual_info", mutinfo(events1), mutinfo(eventsN)),
         ("concentration", hhi(orders_b), hhi(ordersN_b)),
+        ("seasonality", seasonality(orders_b), seasonality(ordersN_b)),
+        ("corr_matrix", corrmat(lineitem1), corrmat(lineitemN)),
     ):
         if only is not None and label not in only:
             continue
