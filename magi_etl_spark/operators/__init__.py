@@ -8,7 +8,14 @@ analysis and ranking (quality, language-ID, PII scan/redaction,
 unigram-LM scoring, BM25, TF-IDF, RRF fusion), decontamination
 (n-gram + embedding-space), warehouse ETL (SCD2, CDC, upsert, gapfill,
 rolling, profiling, expectations, incremental extract, backfill,
-versioned tables), link analysis (connected components, PageRank), and
+versioned tables), link analysis (connected components, PageRank,
+degree-ordered triangle counting), behavior analytics (funnels, cohort
+retention, Markov transitions, RFM, last-touch attribution),
+drift/audit monitoring (PSI, MAD outliers, Benford screening),
+closed-form statistics (grouped OLS, Wilson intervals, A/B z-tests,
+mutual information, correlation matrices, concentration indices,
+seasonal indices), mergeable sketches (KMV + set algebra, HLL,
+Count-Min), embedding projection (JL), perceptual image hashing, and
 engine services (cardinality estimation, skew tooling, z-order /
 bucketed layout).  Each is a ``DataFrame -> DataFrame`` composition of
 built-in ops (SURVEY.md §2 + §2.14)."""

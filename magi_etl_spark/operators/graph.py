@@ -37,11 +37,20 @@ def pagerank(
     dst: str = "dst",
     damping: float = 0.85,
     iterations: int = 20,
+    reset_vertices: DataFrame | None = None,
 ) -> DataFrame:
     """``(vertex, rank)`` for every vertex in ``edges`` after
     ``iterations`` rounds of power iteration; ranks sum to 1.  Parallel
     edges count as parallel links (weight by multiplicity), matching
-    the classic formulation."""
+    the classic formulation.
+
+    With ``reset_vertices`` (a 1-column frame of vertex ids) the walk
+    is PERSONALIZED: teleports and dangling mass return uniformly to
+    the seed set instead of all vertices (rank init is the reset
+    distribution), so ranks measure proximity to the seeds — the
+    related-items / trust-propagation form.  Same per-iteration shape:
+    one shuffle join + one aggregation, dangling mass as a broadcast
+    1-row aggregate, eager localCheckpoint truncating lineage."""
     if not 0.0 < damping < 1.0:
         raise ValueError(f"damping must be in (0, 1), got {damping}")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -52,34 +61,51 @@ def pagerank(
         .persist()
     )
     n = vertices.count()
+    if reset_vertices is None:
+        reset = vertices.select("v", F.lit(1.0 / n).alias("_rp"))
+    else:
+        seed_col = reset_vertices.columns[0]
+        seeds = reset_vertices.select(F.col(seed_col).alias("v")).distinct()
+        n_seeds = seeds.count()
+        if n_seeds == 0:
+            raise ValueError("reset_vertices is empty")
+        reset = vertices.join(
+            seeds.withColumn("_s", F.lit(1)), "v", "left"
+        ).select(
+            "v",
+            F.when(F.col("_s").isNotNull(), F.lit(1.0 / n_seeds))
+            .otherwise(F.lit(0.0))
+            .alias("_rp"),
+        )
+    reset = reset.persist()
     out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     links = e.join(out_deg, "src").persist()
-    ranks = vertices.select("v", F.lit(1.0 / n).alias("rank"))
-    base = (1.0 - damping) / n
+    ranks = reset.select("v", F.col("_rp").alias("rank"))
     for _ in range(iterations):
         contribs = (
             links.join(ranks.withColumnRenamed("v", "src"), "src")
             .groupBy(F.col("dst").alias("v"))
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
         )
-        # dangling vertices (no out-edges) spread their rank uniformly;
-        # the mass rides the plan as a broadcast 1-row aggregate instead
-        # of a collected scalar, so each iteration is exactly one job
+        # dangling vertices (no out-edges) spread their rank over the
+        # reset distribution; the mass rides the plan as a broadcast
+        # 1-row aggregate instead of a collected scalar, so each
+        # iteration is exactly one job
         dangling = (
             ranks.join(out_deg.withColumnRenamed("src", "v"), "v", "left_anti")
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dmass"))
         )
         ranks = (
-            vertices.join(contribs, "v", "left")
+            reset.join(contribs, "v", "left")
             .crossJoin(F.broadcast(dangling))
             .select(
                 "v",
                 (
-                    F.lit(base)
+                    F.lit(1.0 - damping) * F.col("_rp")
                     + F.lit(damping)
                     * (
                         F.coalesce(F.col("contrib"), F.lit(0.0))
-                        + F.col("_dmass") / F.lit(float(n))
+                        + F.col("_dmass") * F.col("_rp")
                     )
                 ).alias("rank"),
             )
@@ -87,6 +113,7 @@ def pagerank(
         )
     vertices.unpersist(blocking=False)
     links.unpersist(blocking=False)
+    reset.unpersist(blocking=False)
     return ranks.select(F.col("v").alias("vertex"), "rank")
 
 

@@ -1385,3 +1385,190 @@ def q159_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["l_returnflag"],
         ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
     )
+
+
+# --- personalized PageRank / probabilistic linkage ---------------------------
+
+
+def _ppr_oracle(iterations: int, damping: float) -> str:
+    """Unrolled PERSONALIZED power iteration: identical CTE chain to
+    q116's oracle, except teleports and dangling mass return to the
+    seed-set reset distribution instead of all vertices."""
+    head = """
+    WITH edges AS MATERIALIZED (
+        SELECT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    vertices AS MATERIALIZED (
+        SELECT DISTINCT v FROM (
+            SELECT src AS v FROM edges UNION ALL SELECT dst AS v FROM edges
+        )
+    ),
+    seeds AS MATERIALIZED (
+        SELECT v FROM vertices WHERE v < 1000000 AND v % 50 = 0
+    ),
+    ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+    reset AS MATERIALIZED (
+        SELECT vert.v,
+               CASE WHEN s.v IS NOT NULL THEN 1.0 / ns.n ELSE 0.0 END AS rp
+        FROM vertices vert
+        LEFT JOIN seeds s ON vert.v = s.v
+        CROSS JOIN ns
+    ),
+    deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY 1),
+    r0 AS MATERIALIZED (SELECT v, rp AS rank FROM reset)"""
+    blocks = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        blocks.append(
+            f"""
+    d{i} AS MATERIALIZED (
+        SELECT COALESCE(SUM(r.rank), 0.0) AS mass
+        FROM {prev} r LEFT JOIN deg ON r.v = deg.src
+        WHERE deg.src IS NULL
+    ),
+    c{i} AS MATERIALIZED (
+        SELECT e.dst AS v, SUM(r.rank / deg.deg) AS contrib
+        FROM edges e
+        JOIN {prev} r ON e.src = r.v
+        JOIN deg ON e.src = deg.src
+        GROUP BY 1
+    ),
+    r{i} AS MATERIALIZED (
+        SELECT re.v,
+               {1.0 - damping!r} * re.rp
+               + {damping!r} * (COALESCE(c.contrib, 0.0) + d{i}.mass * re.rp)
+                   AS rank
+        FROM reset re
+        LEFT JOIN c{i} c ON re.v = c.v
+        CROSS JOIN d{i}
+    )"""
+        )
+        prev = f"r{i}"
+    return (
+        head
+        + ","
+        + ",".join(blocks)
+        + f"""
+    SELECT v AS vertex, ROUND(rank, 6) AS rank FROM {prev}
+    WHERE ROUND(rank, 6) > 0
+    """
+    )
+
+
+@ext3_query("q160_personalized_pagerank", oracle=_ppr_oracle(8, 0.85))
+def q160_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a customer seed set (every 50th
+    custkey) over the customer→supplier purchase graph: teleports and
+    dangling mass return to the seeds, so ranks measure purchase-graph
+    proximity to the seed cohort — the related-items / trust-
+    propagation form.  8 damped iterations; the oracle unrolls the
+    identical personalized update as chained CTEs; zero-rank vertices
+    (unreachable from the seeds) are filtered on both sides."""
+    from magi_etl_spark.operators.graph import pagerank
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    edges = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.col("o_custkey").alias("src"),
+        (F.col("l_suppkey") + 1000000).alias("dst"),
+    )
+    seeds = (
+        edges.select(F.col("src").alias("v"))
+        .union(edges.select(F.col("dst").alias("v")))
+        .distinct()
+        .where((F.col("v") < 1000000) & (F.col("v") % 50 == 0))
+    )
+    out = pagerank(edges, iterations=8, damping=0.85, reset_vertices=seeds)
+    return out.select("vertex", F.round("rank", 6).alias("rank")).where(
+        F.col("rank") > 0
+    )
+
+
+def _fs_oracle() -> str:
+    import math
+
+    w = {
+        "agree_bucket": (0.9, 0.1),
+        "agree_sign": (0.8, 0.3),
+        "agree_close": (0.95, 0.05),
+    }
+    terms = []
+    for col, (m, u) in w.items():
+        wa = math.log2(m / u)
+        wd = math.log2((1.0 - m) / (1.0 - u))
+        # CAST: DuckDB parses fixed-point literals as DECIMAL, and a
+        # DECIMAL sum would fetch as Decimal objects, not doubles
+        terms.append(
+            f"(CASE WHEN {col} THEN CAST({wa!r} AS DOUBLE)"
+            f" ELSE CAST({wd!r} AS DOUBLE) END)"
+        )
+    score = " + ".join(terms)
+    return f"""
+    WITH pairs AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+                   AS agree_bucket,
+               (a.c_acctbal >= 0) = (b.c_acctbal >= 0) AS agree_sign,
+               abs(a.c_acctbal - b.c_acctbal) <= 50.0 AS agree_close
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+    )
+    SELECT id_a, id_b, agree_bucket, agree_sign, agree_close,
+           ROUND({score}, 4) AS fs_score
+    FROM pairs
+    WHERE ROUND({score}, 4) >= 2.0
+    """
+
+
+@ext3_query("q161_fs_linkage", oracle=_fs_oracle())
+def q161_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic linkage over (nation, segment)-
+    blocked customer pairs: three account-balance agreement fields
+    scored with log2 match/unmatch weights (constants embedded as
+    identical Python doubles), pairs above +2 bits kept.  Candidate
+    generation is the keyed block join; scoring is a pure map."""
+    from magi_etl_spark.operators.linkage import fs_linkage_score
+
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("_nk"),
+        F.col("c_mktsegment").alias("_seg"),
+        F.col("c_acctbal").alias("_bal_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("_nk"),
+        F.col("c_mktsegment").alias("_seg"),
+        F.col("c_acctbal").alias("_bal_b"),
+    )
+    pairs = (
+        a.join(b, ["_nk", "_seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.floor(F.col("_bal_a") / 1000.0)
+                == F.floor(F.col("_bal_b") / 1000.0)
+            ).alias("agree_bucket"),
+            (
+                (F.col("_bal_a") >= 0) == (F.col("_bal_b") >= 0)
+            ).alias("agree_sign"),
+            (F.abs(F.col("_bal_a") - F.col("_bal_b")) <= 50.0).alias(
+                "agree_close"
+            ),
+        )
+    )
+    scored = fs_linkage_score(
+        pairs,
+        {
+            "agree_bucket": (0.9, 0.1),
+            "agree_sign": (0.8, 0.3),
+            "agree_close": (0.95, 0.05),
+        },
+    )
+    return scored.where(F.col("fs_score") >= 2.0)

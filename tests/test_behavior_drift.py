@@ -554,3 +554,58 @@ def test_correlation_matrix_known_values(spark):
     assert out[("a", "c")] == -1.0  # perfectly anti-correlated
     assert out[("a", "d")] is None  # zero-variance column
     assert len(out) == 6
+
+
+def test_personalized_pagerank_concentrates_on_seeds(spark):
+    from pyspark.sql import functions as F
+
+    from magi_etl_spark.operators.graph import pagerank
+
+    # chain 1 -> 2 -> 3 and an isolated pair 10 -> 11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src long, dst long"
+    )
+    seeds = spark.createDataFrame([(1,)], "v long")
+    out = {
+        r["vertex"]: r["rank"]
+        for r in pagerank(
+            edges, iterations=10, reset_vertices=seeds
+        ).collect()
+    }
+    # mass reaches only the seed's component (and is conserved); the
+    # within-chain ordering oscillates at finite iteration counts, so
+    # only positivity is asserted there
+    assert out[10] == 0.0 and out[11] == 0.0
+    assert out[1] > 0 and out[2] > 0 and out[3] > 0
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+
+    # seeds == all vertices degenerates to uniform-teleport pagerank
+    allv = spark.createDataFrame([(v,) for v in (1, 2, 3, 10, 11)], "v long")
+    a = {r["vertex"]: r["rank"] for r in pagerank(edges, iterations=5).collect()}
+    b = {
+        r["vertex"]: r["rank"]
+        for r in pagerank(edges, iterations=5, reset_vertices=allv).collect()
+    }
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12
+
+
+def test_fs_linkage_score_weights_and_nulls(spark):
+    import math
+
+    from magi_etl_spark.operators.linkage import fs_linkage_score
+
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (None, True)],
+        "f1 boolean, f2 boolean",
+    )
+    out = fs_linkage_score(
+        df, {"f1": (0.9, 0.1), "f2": (0.8, 0.4)}
+    ).collect()
+    w1a, w1d = math.log2(9.0), math.log2(0.1 / 0.9)
+    w2a, w2d = math.log2(2.0), math.log2(0.2 / 0.6)
+    got = sorted(r["fs_score"] for r in out)
+    want = sorted(
+        round(x, 4) for x in (w1a + w2a, w1a + w2d, 0.0 + w2a)
+    )
+    assert got == want

@@ -601,6 +601,73 @@ def main() -> None:
 
         return run
 
+    cust1 = load_table(spark, sf, "customer")
+    custN = replicate(cust1, ["c_custkey"], n, 10_000_000)
+
+    def ppr_probe(o, li):
+        from magi_etl_spark.operators.graph import pagerank
+
+        # orders replicate (custkeys shift), lineitem side stays x1:
+        # the graph gains vertices linearly; 3 iterations bound the
+        # probe (per-iteration cost is the measured axis)
+        def run():
+            edges = o.select("o_orderkey", "o_custkey").join(
+                li.select("l_orderkey", "l_suppkey"),
+                F.col("o_orderkey") == F.col("l_orderkey"),
+            ).select(
+                F.col("o_custkey").alias("src"),
+                (F.col("l_suppkey") + 900_000_000).alias("dst"),
+            )
+            seeds = edges.select(F.col("src").alias("v")).distinct().where(
+                F.col("v") % 50 == 0
+            )
+            return pagerank(
+                edges, iterations=3, reset_vertices=seeds
+            )
+
+        return run
+
+    def fs_probe(c):
+        from magi_etl_spark.operators.linkage import fs_linkage_score
+
+        # (nation, segment) blocks: replication multiplies block
+        # OCCUPANCY, so candidate pairs grow ~n^2 per block — the
+        # honest axis is the pure-map scoring cost per candidate, and
+        # the caveat is the blocking key's selectivity, as with every
+        # blocked-linkage family
+        def run():
+            a = c.select(
+                F.col("c_custkey").alias("id_a"),
+                F.col("c_nationkey").alias("_nk"),
+                F.col("c_mktsegment").alias("_seg"),
+                F.col("c_acctbal").alias("_ba"),
+            )
+            b = c.select(
+                F.col("c_custkey").alias("id_b"),
+                F.col("c_nationkey").alias("_nk"),
+                F.col("c_mktsegment").alias("_seg"),
+                F.col("c_acctbal").alias("_bb"),
+            )
+            pairs = (
+                a.join(b, ["_nk", "_seg"])
+                .filter(F.col("id_a") < F.col("id_b"))
+                .select(
+                    "id_a",
+                    "id_b",
+                    (F.abs(F.col("_ba") - F.col("_bb")) <= 50.0).alias(
+                        "agree_close"
+                    ),
+                    ((F.col("_ba") >= 0) == (F.col("_bb") >= 0)).alias(
+                        "agree_sign"
+                    ),
+                )
+            )
+            return fs_linkage_score(
+                pairs, {"agree_close": (0.95, 0.05), "agree_sign": (0.8, 0.3)}
+            ).where(F.col("fs_score") >= 2.0)
+
+        return run
+
     def seasonality(o):
         from magi_etl_spark.operators.timeseries import dow_seasonal_index
 
@@ -696,6 +763,8 @@ def main() -> None:
         ("concentration", hhi(orders_b), hhi(ordersN_b)),
         ("seasonality", seasonality(orders_b), seasonality(ordersN_b)),
         ("corr_matrix", corrmat(lineitem1), corrmat(lineitemN)),
+        ("ppr", ppr_probe(orders_b, lineitem1), ppr_probe(ordersN_b, lineitemN)),
+        ("fs_linkage", fs_probe(cust1), fs_probe(custN)),
     ):
         if only is not None and label not in only:
             continue
