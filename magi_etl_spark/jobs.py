@@ -143,6 +143,53 @@ def run_metric_query(spark: SparkSession, args) -> dict[str, str]:
     return {"metric_query": p, "cache_key": cfg.cache_key()}
 
 
+def run_audit(spark: SparkSession, args) -> dict[str, str]:
+    """Distributional audit pass over an events+orders catalog: PSI
+    drift of event values around ``--split-ts``, Benford first-digit
+    screening of order amounts, and median/MAD outlier flags on the
+    daily revenue series — the monitoring composition of
+    ``operators/drift.py``/``timeseries.py``, packaged as a scheduled
+    job with a one-file JSON summary for alerting."""
+    from magi_etl_spark.operators.drift import (
+        benford_deviation,
+        mad_outliers,
+        psi_drift,
+    )
+
+    events = _read(spark, args.data_dir, "events")
+    orders = _read(spark, args.data_dir, "orders")
+    psi = psi_drift(events, split_ts=args.split_ts)
+    benford = benford_deviation(orders, ["o_orderpriority"], "o_totalprice")
+    daily = orders.groupBy(
+        F.date_trunc("day", "o_orderdate").cast("date").alias("day")
+    ).agg(F.sum("o_totalprice").alias("revenue"))
+    outliers = mad_outliers(daily, ["day"], "revenue", threshold=3.0)
+
+    paths = {}
+    for name, df in (("psi", psi), ("benford", benford), ("outliers", outliers)):
+        p = os.path.join(args.out, name)
+        df.write.mode("overwrite").parquet(p)
+        paths[name] = p
+    psi_rows = spark.read.parquet(paths["psi"]).collect()
+    ben_rows = spark.read.parquet(paths["benford"]).collect()
+    n_out = (
+        spark.read.parquet(paths["outliers"]).where(F.col("is_outlier")).count()
+    )
+    summary = {
+        "max_psi": max((r["psi"] for r in psi_rows), default=None),
+        "drifted_groups": sorted(
+            r["event_type"] for r in psi_rows if r["psi"] > 0.2
+        ),
+        "max_benford_chi2": max((r["chi2"] for r in ben_rows), default=None),
+        "n_revenue_outliers": n_out,
+    }
+    sp = os.path.join(args.out, "audit_summary.json")
+    with open(sp, "w") as f:
+        json.dump(summary, f, sort_keys=True)
+    paths["summary"] = sp
+    return paths
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="magi-etl-spark")
     sub = ap.add_subparsers(dest="job", required=True)
@@ -166,6 +213,9 @@ def main(argv: list[str] | None = None) -> int:
     q.add_argument("--config", required=True)
     q.add_argument("--force-refresh", action="store_true")
 
+    a = sub.add_parser("audit", parents=[common])
+    a.add_argument("--split-ts", default="2024-01-16")
+
     args = ap.parse_args(argv)
     from magi_etl_spark.session import get_spark
     from magi_etl_spark.telemetry import RunTelemetry
@@ -176,6 +226,7 @@ def main(argv: list[str] | None = None) -> int:
         "monetization": run_monetization,
         "wiki-metadata": run_wiki_metadata,
         "metric-query": run_metric_query,
+        "audit": run_audit,
     }[args.job]
     # run-status telemetry (reference callbacks.py:103-136); in-memory
     # store here — hand RunTelemetry(store=redis_client) a shared store
