@@ -12,9 +12,13 @@ every scale).
 
 Usage: python tools/scale_probe.py [N] [--only fam1,fam2]   (default 8)
 Writes one JSON line: {"probe": ..., "scale": N, "timings": {...}}
-``--only`` restricts to the named families (embedding_neardup at 32x is
-a deliberately quadratic worst-case stressor — hours of runtime — so the
-32x sweep normally excludes it).
+``--only`` restricts to the named families.  Four families are
+deliberately quadratic under wholesale replication and are excluded
+from the 32x sweep (run them at 8x with output-size accounting, see
+COVERAGE.md): embedding_neardup and containment (every copy duplicates
+every shingle/vector family), image_phash (copies saturate the 16-bit
+hash space), fs_linkage (block occupancy grows n, so candidate pairs
+grow n^2).
 """
 
 from __future__ import annotations
