@@ -75,3 +75,44 @@ def copurchase_pairs(
             ).alias("lift"),
         )
     )
+
+
+def frequent_triples(
+    df: DataFrame,
+    basket_col: str = "l_orderkey",
+    item_col: str = "l_partkey",
+    min_support: int = 2,
+) -> DataFrame:
+    """A-priori step 3: item triples co-occurring in >= ``min_support``
+    baskets — ``item_a < item_b < item_c, n_co``.
+
+    The A-priori downward-closure prune runs FIRST: only items that are
+    themselves frequent (>= min_support baskets) enter the triple
+    enumeration, shrinking the within-basket join fan-out before any
+    pair is formed — the lever that keeps candidate growth polynomial
+    on heavy-tailed catalogs.  Enumeration then joins three copies of
+    the pruned basket frame on the basket id (per-basket C(k,3) state,
+    bounded by basket size), never item^3.
+    """
+    baskets = df.select(
+        F.col(basket_col).alias("_basket"), F.col(item_col).alias("_item")
+    ).distinct()
+    frequent = (
+        baskets.groupBy("_item")
+        .agg(F.count("*").alias("_n"))
+        .filter(F.col("_n") >= min_support)
+        .select("_item")
+    )
+    pruned = baskets.join(frequent, "_item")
+    a = pruned.select("_basket", F.col("_item").alias("item_a"))
+    b = pruned.select("_basket", F.col("_item").alias("item_b"))
+    c = pruned.select("_basket", F.col("_item").alias("item_c"))
+    return (
+        a.join(b, "_basket")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .join(c, "_basket")
+        .filter(F.col("item_b") < F.col("item_c"))
+        .groupBy("item_a", "item_b", "item_c")
+        .agg(F.count("*").cast("long").alias("n_co"))
+        .filter(F.col("n_co") >= min_support)
+    )

@@ -240,3 +240,73 @@ def kmv_set_overlap(
         F.round(rho * est_u, 4).alias("est_intersection"),
         F.round(rho, 4).alias("jaccard"),
     )
+
+
+def grid_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    quantiles: list[float],
+    lo: float,
+    hi: float,
+    n_bins: int = 128,
+    decimals: int = 4,
+) -> DataFrame:
+    """Mergeable fixed-grid quantile estimates per group:
+    ``group_cols..., q, est`` — one row per requested quantile, the
+    estimate linearly interpolated inside the histogram bucket where
+    the cumulative count crosses q * n (midpoint convention at exact
+    bucket boundaries is avoided by interpolating on the continuous
+    CDF).  Values are clamped into [lo, hi); out-of-range mass lands in
+    the edge buckets, biasing edge quantiles toward the clamp — size
+    the grid from known value bounds.
+
+    This is the percentile shape that SURVIVES merging: the state is
+    ``n_bins`` integers per group (map-side combined, union-mergeable
+    across days/partitions), unlike exact ``percentile`` (a per-group
+    sort buffer) — the trade Spark's own ``percentile_approx`` makes,
+    but on a deterministic grid an external engine can replay exactly.
+    Accuracy is bounded by the bucket width (hi - lo) / n_bins.
+    """
+    width = (hi - lo) / n_bins
+    b = F.least(
+        F.greatest(
+            F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(n_bins - 1),
+    )
+    cells = (
+        df.where(F.col(value_col).isNotNull())
+        .select(*group_cols, b.alias("_b"))
+        .groupBy(*group_cols, "_b")
+        .agg(F.count("*").cast("double").alias("_c"))
+    )
+    w = W.partitionBy(*group_cols).orderBy("_b")
+    cdf = cells.withColumn("_cum", F.sum("_c").over(w)).withColumn(
+        "_n", F.sum("_c").over(W.partitionBy(*group_cols))
+    )
+    out = None
+    for q in quantiles:
+        # the bucket where the CDF crosses q*n: smallest _b with
+        # _cum >= q*n; interpolate within it
+        target = F.lit(q) * F.col("_n")
+        hit = (
+            cdf.where(F.col("_cum") >= target)
+            .withColumn(
+                "_rn",
+                F.row_number().over(
+                    W.partitionBy(*group_cols).orderBy("_b")
+                ),
+            )
+            .where(F.col("_rn") == 1)
+        )
+        frac = (target - (F.col("_cum") - F.col("_c"))) / F.col("_c")
+        est = F.lit(lo) + (F.col("_b") + frac) * F.lit(width)
+        row = hit.select(
+            *group_cols,
+            F.lit(float(q)).alias("q"),
+            F.round(est, decimals).alias("est"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1572,3 +1572,88 @@ def q161_fs_linkage(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
     )
     return scored.where(F.col("fs_score") >= 2.0)
+
+
+# --- grid quantiles / frequent triples ---------------------------------------
+
+
+@ext3_query(
+    "q162_grid_quantiles",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type,
+               least(greatest(CAST(floor(value / 2.734375) AS INTEGER), 0),
+                     127) AS b,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM events WHERE value IS NOT NULL
+        GROUP BY event_type, least(greatest(CAST(floor(value / 2.734375)
+                 AS INTEGER), 0), 127)
+    ),
+    cdf AS (
+        SELECT event_type, b, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+               SUM(c) OVER (PARTITION BY event_type) AS n
+        FROM cells
+    ),
+    qs AS (
+        SELECT CAST(q AS DOUBLE) AS q
+        FROM (VALUES (0.5), (0.9), (0.99)) v(q)
+    ),
+    hit AS (
+        SELECT cdf.event_type, qs.q, cdf.b, cdf.c, cdf.cum, cdf.n,
+               ROW_NUMBER() OVER (PARTITION BY cdf.event_type, qs.q
+                                  ORDER BY cdf.b) AS rn
+        FROM cdf JOIN qs ON cdf.cum >= qs.q * cdf.n
+    )
+    SELECT event_type, q,
+           ROUND(0.0 + (b + (q * n - (cum - c)) / c) * 2.734375, 4) AS est
+    FROM hit WHERE rn = 1
+    """,
+)
+def q162_grid_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable fixed-grid quantile estimates (p50/p90/p99) of event
+    values per type: 128-bucket histogram + CDF interpolation — the
+    percentile shape whose state (128 integers per group) merges across
+    days/partitions, unlike exact percentile's per-group sort buffer.
+    The bucket width 350/128 = 2.734375 is exactly representable, so
+    the oracle replays the interpolation bit for bit."""
+    from magi_etl_spark.operators.sketches import grid_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    return grid_quantiles(
+        e, ["event_type"], "value", [0.5, 0.9, 0.99], lo=0.0, hi=350.0
+    )
+
+
+@ext3_query(
+    "q163_frequent_triples",
+    oracle="""
+    WITH b AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS bk, l_partkey AS it FROM lineitem
+    ),
+    freq AS MATERIALIZED (
+        SELECT it FROM b GROUP BY it HAVING COUNT(*) >= 2
+    ),
+    p AS MATERIALIZED (
+        SELECT b.bk, b.it FROM b JOIN freq ON b.it = freq.it
+    ),
+    t AS (
+        SELECT a.it AS item_a, b2.it AS item_b, c.it AS item_c
+        FROM p a
+        JOIN p b2 ON a.bk = b2.bk AND a.it < b2.it
+        JOIN p c ON a.bk = c.bk AND b2.it < c.it
+    )
+    SELECT item_a, item_b, item_c, CAST(COUNT(*) AS BIGINT) AS n_co
+    FROM t GROUP BY item_a, item_b, item_c
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q163_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A-priori frequent 3-itemsets over order baskets: frequent-item
+    pruning BEFORE the within-basket triple enumeration (downward
+    closure — the candidate-containment lever), then basket-keyed
+    3-way joins bounded by per-basket C(k,3)."""
+    from magi_etl_spark.operators.association import frequent_triples
+
+    li = load_table(spark, sf_dir, "lineitem")
+    return frequent_triples(li, min_support=2)
