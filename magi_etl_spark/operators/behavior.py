@@ -315,3 +315,60 @@ def last_touch_attribution(
             F.round(F.sum("_v"), 2).alias("attributed_value"),
         )
     )
+
+
+def top_event_paths(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    max_steps: int = 8,
+    k: int = 20,
+) -> DataFrame:
+    """The corpus's ``k`` most common user-day event paths: per (user,
+    calendar day), the first ``max_steps`` event types in time order
+    joined with ``>``, then ``path, n_user_days`` ranked
+    (count desc, path asc) for a deterministic cut.  The classic
+    product-analytics "what do sessions look like" sweep; capping at
+    ``max_steps`` keeps heavy users from generating unique-by-length
+    paths that never aggregate.
+
+    Shape: ONE keyed aggregate builds each user-day's ordered type list
+    (collect_list of (ts, tiebreak, type) structs, array_sort — struct
+    order gives the time-then-tiebreak sort without a window), a second
+    counts paths, and the cut is TakeOrdered.  Per-group state is
+    bounded by events-per-user-day; nothing corpus-sized is collected
+    or windowed."""
+    day = F.to_date(F.col(ts_col)).alias("_day")
+    per_day = (
+        df.select(
+            F.col(user_col).alias("_u"),
+            day,
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tiebreak_col).alias("tb"),
+                F.col(type_col).alias("et"),
+            ).alias("_s"),
+        )
+        .groupBy("_u", "_day")
+        .agg(
+            F.array_join(
+                F.slice(
+                    F.transform(
+                        F.array_sort(F.collect_list("_s")),
+                        lambda s: s["et"],
+                    ),
+                    1,
+                    max_steps,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        per_day.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), F.asc("path"))
+        .limit(k)
+    )

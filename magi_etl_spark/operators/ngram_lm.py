@@ -121,3 +121,57 @@ def top_ngrams(
         F.count_distinct(id_col).alias("doc_freq"),
     )
     return agg.orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(k)
+
+
+def kneser_ney_logprob_scores(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+) -> DataFrame:
+    """Mean per-bigram conditional log probability under an interpolated
+    Kneser-Ney bigram model trained on the corpus itself — the smoothing
+    the KenLM-style quality filters of large-corpus pipelines actually
+    use, where the backoff mass goes to CONTINUATION probability
+    (how many distinct contexts a word follows) rather than raw
+    frequency, so boilerplate tokens that appear often but only in one
+    template stop inflating fluency scores:
+
+        p(r | l) = max(c(l,r) - d, 0) / c(l)
+                   + (d * N1+(l,*) / c(l)) * (N1+(*,r) / N1+(*,*))
+
+    with ``d = discount``, ``N1+(l,*)`` the distinct continuations of
+    ``l``, ``N1+(*,r)`` the distinct left contexts of ``r``, and
+    ``N1+(*,*)`` the total bigram-type count.  Every scored bigram has
+    c >= 1 (the model is trained on the same corpus), so no zero-mass
+    branch is needed.  Output ``id_col, n_bigrams, mean_kn_logprob``;
+    documents with fewer than two tokens are dropped.
+
+    Scale: identical shape to :func:`bigram_logprob_scores` — all model
+    tables are bigram-type-sized keyed aggregates joined back on token
+    keys; the type total rides as a broadcast 1-row frame; nothing
+    collects."""
+    bg = doc_bigrams(df, id_col, text_col)
+    model = bg.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
+    left = model.groupBy("l").agg(
+        F.sum("c_lr").alias("c_l"), F.count(F.lit(1)).alias("n1p_l")
+    )
+    cont = model.groupBy("r").agg(F.count(F.lit(1)).alias("n1p_r"))
+    tot = model.agg(F.count(F.lit(1)).alias("n1p_tot"))
+    d = F.lit(discount)
+    p = (
+        F.greatest(F.col("c_lr") - d, F.lit(0.0)) / F.col("c_l")
+        + (d * F.col("n1p_l") / F.col("c_l"))
+        * (F.col("n1p_r") / F.col("n1p_tot"))
+    )
+    scored = (
+        bg.join(model, ["l", "r"])
+        .join(left, "l")
+        .join(cont, "r")
+        .join(F.broadcast(tot))
+        .select(F.col(id_col), F.log(p).alias("_lp"))
+    )
+    return scored.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.avg("_lp").alias("mean_kn_logprob"),
+    )

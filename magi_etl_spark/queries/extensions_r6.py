@@ -1657,3 +1657,120 @@ def q163_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = load_table(spark, sf_dir, "lineitem")
     return frequent_triples(li, min_support=2)
+
+
+# --- Kneser-Ney fluency / shard planning / event paths -----------------------
+
+
+@ext3_query(
+    "q164_kneser_ney",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
+        FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, tk[j] AS l, tk[j + 1] AS r
+        FROM toks, LATERAL unnest(range(1, len(tk))) AS t(j)
+    ),
+    model AS MATERIALIZED (
+        SELECT l, r, COUNT(*) AS c_lr FROM bg GROUP BY 1, 2
+    ),
+    lf AS MATERIALIZED (
+        SELECT l, SUM(c_lr) AS c_l, COUNT(*) AS n1p_l FROM model GROUP BY 1
+    ),
+    ct AS MATERIALIZED (
+        SELECT r, COUNT(*) AS n1p_r FROM model GROUP BY 1
+    ),
+    tot AS MATERIALIZED (SELECT COUNT(*) AS n1p_tot FROM model)
+    SELECT b.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ROUND(AVG(ln(
+               greatest(m.c_lr - 0.75, 0) / lf.c_l
+               + (0.75 * lf.n1p_l / lf.c_l)
+                 * (ct.n1p_r / CAST(tot.n1p_tot AS DOUBLE))
+           )), 6) AS mean_kn_logprob
+    FROM bg b
+    JOIN model m ON b.l = m.l AND b.r = m.r
+    JOIN lf ON b.l = lf.l
+    JOIN ct ON b.r = ct.r
+    CROSS JOIN tot
+    GROUP BY b.doc_id
+    """,
+)
+def q164_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram fluency scoring — the smoothing
+    KenLM-style corpus quality filters use: backoff mass goes to
+    CONTINUATION probability (distinct left contexts), so template
+    tokens that are frequent but context-locked stop inflating scores.
+    Model tables are bigram-type-sized keyed aggregates; the type total
+    is a broadcast scalar."""
+    from magi_etl_spark.operators.ngram_lm import kneser_ney_logprob_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    out = kneser_ney_logprob_scores(d, "doc_id", "text", discount=0.75)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("mean_kn_logprob", 6).alias("mean_kn_logprob"),
+    )
+
+
+@ext3_query(
+    "q165_shard_plan",
+    oracle="""
+    WITH s AS (
+        SELECT source, doc_id, n_chars,
+               SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id)
+                   - n_chars AS cum_excl
+        FROM documents
+    )
+    SELECT source,
+           CAST(floor(cum_excl / 20000.0) AS BIGINT) AS shard_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM s GROUP BY source, CAST(floor(cum_excl / 20000.0) AS BIGINT)
+    """,
+)
+def q165_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Balanced-output-shard planning: within each source, assign docs
+    to ~20k-char shards by exclusive-cumulative-size division — the
+    deterministic, engine-replayable layout plan that drives balanced
+    file writes (the plan is metadata-scale; the rewrite it drives is
+    the expensive part).  Per (source, shard): doc count + char total."""
+    from magi_etl_spark.operators.packing import shard_by_size
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = shard_by_size(d, ["source"], "n_chars", "doc_id", 20000)
+    return sh.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+@ext3_query(
+    "q166_top_event_paths",
+    oracle="""
+    WITH pd AS MATERIALIZED (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               array_to_string(list_slice(
+                   list(event_type ORDER BY ts, event_id), 1, 8), '>')
+                   AS path
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_user_days
+    FROM pd GROUP BY path
+    ORDER BY n_user_days DESC, path ASC LIMIT 20
+    """,
+)
+def q166_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 user-day event paths (first 8 event types in time order,
+    '>'-joined): the product-analytics session-shape sweep.  One keyed
+    aggregate per user-day (array_sort of (ts, id, type) structs — no
+    window), one path count, TakeOrdered cut."""
+    from magi_etl_spark.operators.behavior import top_event_paths
+
+    e = load_table(spark, sf_dir, "events")
+    return top_event_paths(
+        e, "user_id", "ts", "event_type", "event_id", max_steps=8, k=20
+    )
