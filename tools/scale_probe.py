@@ -712,6 +712,52 @@ def main() -> None:
 
         return run
 
+    def gridq(e):
+        from magi_etl_spark.operators.sketches import grid_quantiles
+
+        # rows grow, groups fixed (5 event types): the mergeable
+        # histogram state is 128 ints/group — the probe shows the
+        # map-side combine carrying the growth
+        return lambda: grid_quantiles(
+            e, ["event_type"], "value", [0.5, 0.9, 0.99], lo=0.0, hi=350.0
+        )
+
+    def triples(li):
+        from magi_etl_spark.operators.association import frequent_triples
+
+        # basket ids shift per copy: baskets (and per-basket C(k,3)
+        # candidates) grow linearly; the A-priori prune bounds fan-out
+        return lambda: frequent_triples(li, min_support=2)
+
+    def kn(d):
+        from magi_etl_spark.operators.ngram_lm import kneser_ney_logprob_scores
+
+        # replication duplicates text verbatim, so bigram TYPES are
+        # fixed while the scored doc stream grows linearly — the model
+        # joins ride vocabulary-sized frames at every scale
+        return lambda: kneser_ney_logprob_scores(d, "doc_id", "text")
+
+    def shardplan(d):
+        from magi_etl_spark.operators.packing import shard_by_size
+
+        # caveat: source count is fixed, so per-group window state
+        # grows linearly — acceptable because the operator targets
+        # file-manifest metadata frames, not data-scale rows
+        def run():
+            sh = shard_by_size(d, ["source"], "n_chars", "doc_id", 20000)
+            return sh.groupBy("source", "shard_id").agg(
+                F.count(F.lit(1)).alias("n_docs")
+            )
+
+        return run
+
+    def paths(e):
+        from magi_etl_spark.operators.behavior import top_event_paths
+
+        # user ids shift per copy: user-day groups grow linearly,
+        # per-group collect state bounded by events-per-user-day
+        return lambda: top_event_paths(e)
+
     timings: dict[str, float] = {}
     for label, d1, dn in (
         ("lsh_dedup", lsh(docs1), lsh(docsN)),
@@ -769,6 +815,11 @@ def main() -> None:
         ("corr_matrix", corrmat(lineitem1), corrmat(lineitemN)),
         ("ppr", ppr_probe(orders_b, lineitem1), ppr_probe(ordersN_b, lineitemN)),
         ("fs_linkage", fs_probe(cust1), fs_probe(custN)),
+        ("grid_quantiles", gridq(events1), gridq(eventsN)),
+        ("frequent_triples", triples(lineitem1), triples(lineitemN)),
+        ("kneser_ney", kn(docs1), kn(docsN)),
+        ("shard_plan", shardplan(docs1), shardplan(docsN)),
+        ("event_paths", paths(events1), paths(eventsN)),
     ):
         if only is not None and label not in only:
             continue
