@@ -1738,7 +1738,7 @@ def q165_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic, engine-replayable layout plan that drives balanced
     file writes (the plan is metadata-scale; the rewrite it drives is
     the expensive part).  Per (source, shard): doc count + char total."""
-    from magi_etl_spark.operators.packing import shard_by_size
+    from magi_etl_spark.operators.shards import shard_by_size
 
     d = load_table(spark, sf_dir, "documents")
     sh = shard_by_size(d, ["source"], "n_chars", "doc_id", 20000)
@@ -1774,3 +1774,32 @@ def q166_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_event_paths(
         e, "user_id", "ts", "event_type", "event_id", max_steps=8, k=20
     )
+
+
+@ext3_query(
+    "q167_phrase_search",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
+        FROM documents
+    ),
+    p AS MATERIALIZED (
+        SELECT doc_id, j AS pos, tk[j] AS tok
+        FROM toks, LATERAL unnest(range(1, len(tk) + 1)) AS t(j)
+    )
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM p a
+    JOIN p b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.tok = 'table' AND b.tok = 'scan'
+    GROUP BY a.doc_id
+    """,
+)
+def q167_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional-postings phrase search for 'table scan': each join
+    leg is filtered to ONE phrase token before joining (the selective
+    predicate reaches the scan), then keyed equi-joins on (doc, aligned
+    start) — postings-intersection cost, never corpus-token joins."""
+    from magi_etl_spark.operators.phrase import phrase_search
+
+    d = load_table(spark, sf_dir, "documents")
+    return phrase_search(d, "table scan", "doc_id", "text")

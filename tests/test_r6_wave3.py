@@ -111,7 +111,7 @@ def test_grid_quantiles_clamps_out_of_range(spark):
 
 
 def test_shard_by_size_bounds_and_contiguity(spark):
-    from magi_etl_spark.operators.packing import shard_by_size
+    from magi_etl_spark.operators.shards import shard_by_size
 
     rows = [("s", i, (i * 37) % 900 + 100) for i in range(200)]
     df = spark.createDataFrame(rows, "src string, fid long, bytes long")
@@ -180,3 +180,38 @@ def test_top_event_paths_caps_steps(spark):
     )
     out = top_event_paths(df, max_steps=3, k=5).collect()
     assert out[0]["path"] == "e>e>e"
+
+
+def test_phrase_search_overlaps_and_single_token(spark):
+    import pytest
+
+    from magi_etl_spark.operators.phrase import phrase_search
+
+    docs = spark.createDataFrame(
+        [
+            (1, "batch batch batch end"),     # overlapping: 2 matches
+            (2, "batch end batch"),            # non-adjacent: 0
+            (3, "Batch  BATCH!"),              # case/punct normalized: 1
+            (4, "no hits here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(docs, "batch batch").collect()}
+    assert out == {1: 2, 3: 1}
+    single = {r["doc_id"]: r["n_matches"]
+              for r in phrase_search(docs, "batch").collect()}
+    assert single == {1: 3, 2: 2, 3: 2}
+    with pytest.raises(ValueError):
+        phrase_search(docs, "   ")
+
+
+def test_phrase_search_three_words(spark):
+    from magi_etl_spark.operators.phrase import phrase_search
+
+    docs = spark.createDataFrame(
+        [(1, "a b c a b c"), (2, "a b x c")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r["n_matches"]
+           for r in phrase_search(docs, "a b c").collect()}
+    assert out == {1: 2}

@@ -738,7 +738,7 @@ def main() -> None:
         return lambda: kneser_ney_logprob_scores(d, "doc_id", "text")
 
     def shardplan(d):
-        from magi_etl_spark.operators.packing import shard_by_size
+        from magi_etl_spark.operators.shards import shard_by_size
 
         # caveat: source count is fixed, so per-group window state
         # grows linearly — acceptable because the operator targets
@@ -757,6 +757,13 @@ def main() -> None:
         # user ids shift per copy: user-day groups grow linearly,
         # per-group collect state bounded by events-per-user-day
         return lambda: top_event_paths(e)
+
+    def phrase(d):
+        from magi_etl_spark.operators.phrase import phrase_search
+
+        # postings legs are term-frequency-sized (filter precedes the
+        # join); match positions grow linearly with replication
+        return lambda: phrase_search(d, "table scan")
 
     timings: dict[str, float] = {}
     for label, d1, dn in (
@@ -820,6 +827,7 @@ def main() -> None:
         ("kneser_ney", kn(docs1), kn(docsN)),
         ("shard_plan", shardplan(docs1), shardplan(docsN)),
         ("event_paths", paths(events1), paths(eventsN)),
+        ("phrase_search", phrase(docs1), phrase(docsN)),
     ):
         if only is not None and label not in only:
             continue
