@@ -106,6 +106,24 @@ HEADLINE = [
     "q114_incremental_lsh_index",
     "q115_incremental_ivf_index",
     "q116_pagerank",
+    # r5 staged extensions, registered at the r6 rotation — same
+    # promotion rule as the r4 wave above
+    "q117_bpe_merges",
+    "q118_bpe_segment",
+    "q119_bigram_logprob",
+    "q120_top_ngrams",
+    "q121_oot_split",
+    "q122_bpe_encode_docs",
+    "q123_multimodal_features",
+    "q124_audio_features",
+    "q125_enrich_summary",
+    "q126_enrich_poster",
+    "q127_dsir_importance",
+    "q128_ngram_novelty",
+    "q129_duplicated_spans",
+    "q130_merge_into",
+    "q131_weighted_sample",
+    "q132_tokenize_and_pack",
 ]
 
 _RUNS = 2  # best-of-N: local-mode timings are noisy

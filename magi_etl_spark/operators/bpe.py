@@ -241,14 +241,34 @@ def bpe_apply(
     )
 
 
+def _train(
+    df: DataFrame, n_merges: int, text_col: str, trainer: str
+) -> DataFrame:
+    """Dispatch to a merge-table trainer.  ``local`` (the default for
+    the consumers below) is the production shape — 2 Spark jobs total;
+    ``distributed`` is the unrolled per-merge loop the q117 gate and
+    the SQL oracles replay.  Both produce IDENTICAL merge tables
+    (pinned by tests/test_bpe.py on the fixture AND sf corpora), so
+    downstream segmentation/encoding is trainer-agnostic."""
+    if trainer == "local":
+        return bpe_train_local(df, n_merges, text_col)
+    if trainer == "distributed":
+        return bpe_train(df, n_merges, text_col)
+    raise ValueError(f"unknown trainer {trainer!r}")
+
+
 def bpe_train_and_segment(
-    df: DataFrame, n_merges: int = 10, text_col: str = "text"
+    df: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+    trainer: str = "local",
 ) -> DataFrame:
     """Train ``n_merges`` merges, then segment the vocabulary with them:
     ``(word, freq, segmented)``.  The train loop re-derives the
     vocabulary internally; segmentation reuses the same single corpus
-    pass."""
-    merge_rows = bpe_train(df, n_merges, text_col).collect()
+    pass.  ``trainer="local"`` (default) trains driver-side in 2 Spark
+    jobs; the merge table is identical to the distributed loop's."""
+    merge_rows = _train(df, n_merges, text_col, trainer).collect()
     vocab = bpe_word_freqs(df, text_col)
     seg = bpe_apply(vocab, [(m["l"], m["r"]) for m in merge_rows])
     return seg.select("word", "freq", "segmented")
@@ -283,14 +303,16 @@ def bpe_encode_docs(
     n_merges: int = 10,
     id_col: str = "doc_id",
     text_col: str = "text",
+    trainer: str = "local",
 ) -> DataFrame:
     """Tokenize the CORPUS with a freshly trained BPE model:
     ``(id_col, n_words, n_tokens, token_ids)`` where ``token_ids`` is
     the document's full symbol-id sequence in reading order — the
     output shape sequence packing (``operators/packing.py``) consumes.
 
-    Scale shape: training rides the word vocabulary (see
-    ``bpe_train``); encoding is the word-vocabulary segmentation
+    Scale shape: training rides the word vocabulary (driver-side merge
+    loop by default — ``trainer="local"``, 2 Spark jobs total, identical
+    merge table to the distributed loop); encoding is the word-vocabulary segmentation
     JOINED back to the exploded token stream on the word key (the
     standard tokenizer-cache trick: each distinct word is segmented
     once, not once per occurrence), then one per-document ordered
@@ -301,7 +323,7 @@ def bpe_encode_docs(
     single-partition ``dense_rank`` window is safe ONLY because the
     symbol table is |alphabet|+|merges| rows; corpus-sized frames must
     use the range-partitioned prefix-sum rank instead."""
-    merges = bpe_train(df, n_merges, text_col)
+    merges = _train(df, n_merges, text_col, trainer)
     merge_list = [(m["l"], m["r"]) for m in merges.collect()]
     vocab = bpe_apply(bpe_word_freqs(df, text_col), merge_list)
     symtab = bpe_symbol_vocab(vocab)

@@ -121,8 +121,10 @@ def _bpe_segment_oracle(n_merges: int) -> str:
 
 @ext2_query("q118_bpe_segment", oracle=_bpe_segment_oracle(10))
 def q118_bpe_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The apply side of BPE: train 10 merges, then segment the whole
-    word vocabulary with them (chained column rewrites, one narrow
+    """The apply side of BPE: train 10 merges (driver-side merge loop —
+    the production shape, 2 Spark jobs, merge table pinned identical to
+    the distributed loop q117 gates), then segment the whole word
+    vocabulary with them (chained column rewrites, one narrow
     projection).  Output is every word's final segmentation — a green
     row certifies train AND apply end to end against the unrolled
     oracle."""
@@ -285,7 +287,9 @@ def _bpe_encode_oracle(n_merges: int) -> str:
 
 @ext2_query("q122_bpe_encode_docs", oracle=_bpe_encode_oracle(10))
 def q122_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end distributed tokenization: train 10 BPE merges, number
+    """End-to-end distributed tokenization: train 10 BPE merges
+    (driver-side merge loop — 2 Spark jobs, merge table pinned identical
+    to the distributed path), number
     the surviving symbols lexicographically, and encode EVERY document
     as its symbol-id sequence in reading order — the input shape
     sequence packing (q57) consumes.  Encoding uses the tokenizer-cache
