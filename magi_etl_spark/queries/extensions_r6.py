@@ -1803,3 +1803,247 @@ def q167_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return phrase_search(d, "table scan", "doc_id", "text")
+
+
+# --- session-4 wave: classifier / domain curation / governance ---------------
+
+
+@ext3_query(
+    "q168_seed_classifier",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents
+    ),
+    counts AS MATERIALIZED (
+        SELECT tok,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_pos,
+               SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c_neg
+        FROM toks WHERE source IN ('src0', 'src1') GROUP BY 1
+    ),
+    tot AS MATERIALIZED (
+        SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg,
+               COUNT(*) AS v_size
+        FROM counts
+    ),
+    model AS MATERIALIZED (
+        SELECT tok,
+               ln((c_pos + 0.5) / (n_pos + 0.5 * v_size))
+                   - ln((c_neg + 0.5) / (n_neg + 0.5 * v_size)) AS llr
+        FROM counts CROSS JOIN tot
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COUNT(m.llr) AS BIGINT) AS n_scored,
+           ROUND(AVG(m.llr), 6) AS mean_llr
+    FROM toks t LEFT JOIN model m ON t.tok = m.tok
+    GROUP BY t.doc_id
+    """,
+)
+def q168_seed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed-trained Naive-Bayes quality scoring (the fastText-filter
+    shape of CCNet / LLaMA corpus curation): 'src0' documents are the
+    positive seed, 'src1' the negative, and EVERY document gets the
+    mean token log-likelihood ratio under the add-0.5 multinomial
+    model.  Model = one seed-vocabulary aggregate with the class
+    totals broadcast; scoring = corpus token stream left-joined to the
+    vocabulary-keyed model, one per-doc mean.  Per-token LLRs are pure
+    IEEE arithmetic, so the oracle replays them digit for digit."""
+    from magi_etl_spark.operators.classifier import seed_classifier_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    out = seed_classifier_scores(
+        d, F.col("source") == "src0", F.col("source") == "src1"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_scored").cast("long").alias("n_scored"),
+        F.round("mean_llr", 6).alias("mean_llr"),
+    )
+
+
+@ext3_query(
+    "q169_domain_curation",
+    oracle="""
+    WITH per AS MATERIALIZED (
+        SELECT source, md5(text) AS fp,
+               len(regexp_extract_all(lower(text), '[a-z]+')) AS n_toks
+        FROM documents
+    ),
+    fpc AS MATERIALIZED (
+        SELECT source, fp, COUNT(*) AS c FROM per GROUP BY 1, 2
+    ),
+    j AS MATERIALIZED (
+        SELECT p.source, p.n_toks, (f.c > 1) AS is_dup
+        FROM per p JOIN fpc f ON p.source = f.source AND p.fp = f.fp
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           ROUND(AVG(n_toks), 6) AS mean_tokens,
+           CAST(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_docs,
+           ROUND(SUM(CASE WHEN is_dup THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS dup_frac,
+           (COUNT(*) >= 10
+            AND SUM(n_toks) >= 20 * COUNT(*)
+            AND 2 * SUM(CASE WHEN is_dup THEN 1 ELSE 0 END) <= COUNT(*))
+               AS kept
+    FROM j GROUP BY source
+    """,
+)
+def q169_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level curation verdicts (the C4/RefinedWeb host pass):
+    per-source volume, token mass, mean length, and exact-dup share,
+    plus a ``kept`` verdict computed with INTEGER arithmetic only
+    (``sum >= k*count``, ``2*dups <= docs``) so the boolean is exactly
+    SQL-reproducible.  One fingerprint aggregate + one domain rollup;
+    the verdict frame is distinct-domain-sized."""
+    from magi_etl_spark.operators.domains import curate_domains
+
+    d = load_table(spark, sf_dir, "documents")
+    return curate_domains(d, "source", "text", 10, 20)
+
+
+@ext3_query(
+    "q170_k_anonymity",
+    oracle="""
+    WITH q AS MATERIALIZED (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(floor(value / 50.0) AS BIGINT) AS vband
+        FROM events
+    )
+    SELECT event_type, day, vband,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           COUNT(*) < 5 AS suppressed
+    FROM q GROUP BY 1, 2, 3
+    """,
+)
+def q170_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity profile (k=5) over the quasi-identifier tuple
+    (event_type, day, 50-wide value band): every combination's group
+    size and suppression verdict — the governance gate run before an
+    event-level extract leaves the platform.  One keyed aggregate;
+    the row-level suppression filter (semi-join on surviving groups)
+    is ``k_anonymize``, exercised in tests."""
+    from magi_etl_spark.operators.anonymize import (
+        bucketize,
+        k_anonymity_profile,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        bucketize(F.col("value"), 50.0).alias("vband"),
+    )
+    return k_anonymity_profile(e, ["event_type", "day", "vband"], k=5)
+
+
+@ext3_query(
+    "q171_soft_dedup_weights",
+    oracle="""
+    WITH per AS MATERIALIZED (
+        SELECT doc_id, md5(text) AS fp,
+               len(regexp_extract_all(lower(text), '[a-z]+')) AS n_toks
+        FROM documents
+    ),
+    fc AS MATERIALIZED (
+        SELECT fp, COUNT(*) AS c FROM per GROUP BY 1
+    )
+    SELECT p.doc_id,
+           CAST(f.c AS BIGINT) AS cluster_size,
+           CAST(p.n_toks AS BIGINT) AS n_tokens,
+           1.0 / f.c AS weight,
+           p.n_toks * (1.0 / f.c) AS eff_tokens
+    FROM per p JOIN fc f ON p.fp = f.fp
+    """,
+)
+def q171_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft deduplication (down-weight, don't delete): every document's
+    exact-dup cluster size, reciprocal training weight, and effective
+    token count — the duplicate-aware sampling input that preserves
+    common documents' signal instead of dropping copies.  beta=1 keeps
+    every value a single IEEE division, digit-exact in SQL."""
+    from magi_etl_spark.operators.reweight import soft_dedup_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    return soft_dedup_weights(d, "doc_id", "text", beta=1.0)
+
+
+_Q172_ORD = (
+    "(CASE WHEN {a} IS NOT NULL THEN 1 ELSE 0 END) * 1000000000"
+    " + days * 10 + src_rank"
+)
+
+
+@ext3_query(
+    "q172_golden_records",
+    oracle=f"""
+    WITH t0 AS MATERIALIZED (
+        SELECT o_orderkey AS k, o_orderstatus AS status,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS price_c,
+               o_orderpriority AS prio,
+               CAST(o_orderdate AS DATE) AS d0
+        FROM orders
+    ),
+    v AS MATERIALIZED (
+        SELECT k, status, price_c, prio, d0 AS upd, 0 AS src_rank FROM t0
+        UNION ALL
+        SELECT k, 'U1', NULL, NULL, d0 + 10, 2 FROM t0 WHERE k % 3 = 0
+        UNION ALL
+        SELECT k, NULL, price_c + 77, NULL, d0 + 5, 1 FROM t0
+        WHERE k % 5 = 0
+    ),
+    o AS MATERIALIZED (
+        SELECT k, status, price_c, prio,
+               CAST(upd - DATE '1970-01-01' AS BIGINT) AS days, src_rank
+        FROM v
+    )
+    SELECT k AS o_orderkey,
+           arg_max(status, {_Q172_ORD.format(a='status')}) AS status,
+           arg_max(price_c, {_Q172_ORD.format(a='price_c')}) AS price_c,
+           arg_max(prio, {_Q172_ORD.format(a='prio')}) AS prio,
+           CAST(COUNT(*) AS BIGINT) AS n_versions
+    FROM o GROUP BY k
+    """,
+)
+def q172_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship over a three-system order feed (base
+    warehouse row, a CRM status correction on every 3rd key, a billing
+    reprice on every 5th): per attribute, latest-non-null wins with a
+    deterministic integer ordinal (non-null >> recency >> source
+    rank), every survivor a ``max_by`` inside ONE keyed aggregate —
+    the shuffle is paid once for all attributes.  The oracle replays
+    the same ordinal through ``arg_max``."""
+    from magi_etl_spark.operators.survivorship import golden_records
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("price_c"),
+        F.col("o_orderpriority").alias("prio"),
+        F.to_date("o_orderdate").alias("d0"),
+    )
+    base = o.select(
+        "k", "status", "price_c", "prio",
+        F.col("d0").alias("updated"), F.lit(0).alias("src_rank"),
+    )
+    crm = o.where(F.col("k") % 3 == 0).select(
+        "k", F.lit("U1").alias("status"),
+        F.lit(None).cast("long").alias("price_c"),
+        F.lit(None).cast("string").alias("prio"),
+        F.date_add("d0", 10).alias("updated"), F.lit(2).alias("src_rank"),
+    )
+    billing = o.where(F.col("k") % 5 == 0).select(
+        "k", F.lit(None).cast("string").alias("status"),
+        (F.col("price_c") + 77).alias("price_c"),
+        F.lit(None).cast("string").alias("prio"),
+        F.date_add("d0", 5).alias("updated"), F.lit(1).alias("src_rank"),
+    )
+    v = base.unionByName(crm).unionByName(billing)
+    g = golden_records(
+        v, "k", ["status", "price_c", "prio"], "updated", "src_rank"
+    )
+    return g.withColumnRenamed("k", "o_orderkey")

@@ -1,0 +1,259 @@
+"""Invariants the q168-q172 oracles can't express: classifier LLR
+antisymmetry and sign sanity, domain-curation verdict logic, the
+k-anonymity guarantee on the filtered rows, soft-dedup weight/mass
+conservation, and survivorship null/recency/priority rules."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# --- classifier --------------------------------------------------------------
+
+
+def _seed_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "good clean prose text", True),
+            (2, "good text prose flows", True),
+            (3, "spam spam buy pills", False),
+            (4, "buy spam pills now", False),
+        ],
+        "doc_id long, text string, is_pos boolean",
+    )
+
+
+def test_nb_model_llr_is_antisymmetric_under_label_swap(spark):
+    from magi_etl_spark.operators.classifier import nb_token_model
+
+    seeds = _seed_docs(spark)
+    fwd = {
+        r["tok"]: r["llr"] for r in nb_token_model(seeds, "is_pos").collect()
+    }
+    swapped = seeds.withColumn("is_pos", ~F.col("is_pos"))
+    rev = {
+        r["tok"]: r["llr"] for r in nb_token_model(swapped, "is_pos").collect()
+    }
+    assert set(fwd) == set(rev)
+    for tok, v in fwd.items():
+        assert rev[tok] == pytest.approx(-v, abs=1e-12)
+
+
+def test_nb_score_signs_separate_the_seed_classes(spark):
+    from magi_etl_spark.operators.classifier import (
+        nb_score,
+        nb_token_model,
+    )
+
+    seeds = _seed_docs(spark)
+    model = nb_token_model(seeds, "is_pos")
+    probe = spark.createDataFrame(
+        [(10, "good prose"), (11, "spam pills"), (12, "zzzunknown")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in nb_score(probe, model).collect()}
+    assert rows[10]["mean_llr"] > 0
+    assert rows[11]["mean_llr"] < 0
+    # a fully out-of-vocabulary document scores NULL, not 0
+    assert rows[12]["n_scored"] == 0 and rows[12]["mean_llr"] is None
+
+
+def test_seed_classifier_scores_every_document_once(spark):
+    from magi_etl_spark.operators.classifier import seed_classifier_scores
+
+    df = _seed_docs(spark).withColumn(
+        "source", F.when(F.col("is_pos"), "a").otherwise("b")
+    )
+    out = seed_classifier_scores(
+        df, F.col("source") == "a", F.col("source") == "b"
+    )
+    assert out.count() == 4
+    # seed documents' tokens are all in the model vocabulary
+    assert out.where("n_scored <> n_tokens").count() == 0
+
+
+# --- domain curation ---------------------------------------------------------
+
+
+def _domain_docs(spark):
+    rows = []
+    # healthy: 12 distinct docs of 25 tokens each
+    for i in range(12):
+        rows.append((100 + i, "healthy", " ".join(f"w{i}t{j}" for j in range(25))))
+    # dup-heavy: 12 docs, 8 of them the same text
+    for i in range(12):
+        t = "copy " * 30 if i < 8 else f"orig {i} " * 15
+        rows.append((200 + i, "dupfarm", t))
+    # tiny: 3 docs
+    for i in range(3):
+        rows.append((300 + i, "tiny", " ".join(f"x{j}" for j in range(30))))
+    # short-docs: 12 docs of 5 tokens
+    for i in range(12):
+        rows.append((400 + i, "short", f"a b c d e{i}"))
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_curate_domains_verdicts(spark):
+    from magi_etl_spark.operators.domains import curate_domains
+
+    v = {
+        r["source"]: r
+        for r in curate_domains(
+            _domain_docs(spark), "source", "text", 10, 20
+        ).collect()
+    }
+    assert v["healthy"]["kept"] is True
+    assert v["dupfarm"]["kept"] is False  # 8/12 exact dups
+    assert v["dupfarm"]["n_dup_docs"] == 8
+    assert v["tiny"]["kept"] is False  # below min_docs
+    assert v["short"]["kept"] is False  # mean tokens below 20
+
+
+def test_filter_to_kept_domains_drops_everything_else(spark):
+    from magi_etl_spark.operators.domains import (
+        curate_domains,
+        filter_to_kept_domains,
+    )
+
+    docs = _domain_docs(spark)
+    verdicts = curate_domains(docs, "source", "text", 10, 20)
+    kept = filter_to_kept_domains(docs, verdicts, "source")
+    assert {r["source"] for r in kept.select("source").distinct().collect()} == {
+        "healthy"
+    }
+    assert kept.count() == 12
+
+
+# --- k-anonymity -------------------------------------------------------------
+
+
+def _quasi_rows(spark):
+    rows = []
+    for i in range(7):
+        rows.append((i, "a", 1))  # group of 7: survives k=5
+    for i in range(3):
+        rows.append((10 + i, "a", 2))  # group of 3: suppressed
+    rows.append((20, "b", 1))  # singleton: suppressed
+    return spark.createDataFrame(rows, "row_id long, qa string, qb int")
+
+
+def test_k_anonymize_guarantee_holds_on_the_output(spark):
+    from magi_etl_spark.operators.anonymize import k_anonymize
+
+    out = k_anonymize(_quasi_rows(spark), ["qa", "qb"], k=5)
+    sizes = [
+        r["n"]
+        for r in out.groupBy("qa", "qb").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    assert sizes and all(n >= 5 for n in sizes)
+    assert out.count() == 7  # only the size-7 group survives
+
+
+def test_k_anonymity_profile_flags_match_group_sizes(spark):
+    from magi_etl_spark.operators.anonymize import k_anonymity_profile
+
+    prof = k_anonymity_profile(_quasi_rows(spark), ["qa", "qb"], k=5)
+    for r in prof.collect():
+        assert r["suppressed"] == (r["n_rows"] < 5)
+    assert prof.where("suppressed").count() == 2
+
+
+def test_bucketize_is_a_floor_bucket(spark):
+    from magi_etl_spark.operators.anonymize import bucketize
+
+    df = spark.range(1).select(
+        bucketize(F.lit(49.99), 50.0).alias("a"),
+        bucketize(F.lit(50.0), 50.0).alias("b"),
+        bucketize(F.lit(-0.01), 50.0).alias("c"),
+    )
+    r = df.collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (0, 1, -1)
+
+
+# --- soft-dedup weights ------------------------------------------------------
+
+
+def _dup_docs(spark):
+    rows = [
+        (1, "alpha beta gamma"),
+        (2, "alpha beta gamma"),
+        (3, "alpha beta gamma"),
+        (4, "delta epsilon"),
+        (5, "zeta"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_soft_dedup_weights_conserve_cluster_mass(spark):
+    from magi_etl_spark.operators.reweight import soft_dedup_weights
+
+    w = soft_dedup_weights(_dup_docs(spark), beta=1.0)
+    rows = {r["doc_id"]: r for r in w.collect()}
+    assert rows[1]["cluster_size"] == 3
+    for r in rows.values():
+        assert r["weight"] * r["cluster_size"] == pytest.approx(1.0, abs=1e-12)
+        assert r["eff_tokens"] <= r["n_tokens"]
+    # total effective doc mass = number of DISTINCT texts
+    assert sum(r["weight"] for r in rows.values()) == pytest.approx(3.0, abs=1e-12)
+
+
+def test_soft_dedup_beta_zero_is_identity(spark):
+    from magi_etl_spark.operators.reweight import soft_dedup_weights
+
+    w = soft_dedup_weights(_dup_docs(spark), beta=0.0)
+    assert w.where("weight <> 1.0").count() == 0
+
+
+def test_effective_corpus_size_rollup(spark):
+    from magi_etl_spark.operators.reweight import (
+        effective_corpus_size,
+        soft_dedup_weights,
+    )
+
+    r = effective_corpus_size(soft_dedup_weights(_dup_docs(spark))).collect()[0]
+    assert r["n_docs"] == 5
+    assert r["eff_docs"] == pytest.approx(3.0)
+    assert r["n_tokens"] == 3 * 3 + 2 + 1
+
+
+# --- survivorship ------------------------------------------------------------
+
+
+def _versions(spark):
+    d = dt.date
+    rows = [
+        # key 1: base has price, newer crm row has NULL price -> price
+        # survives from base (non-null beats recency); status from crm
+        (1, "O", 100, d(2024, 1, 1), 0),
+        (1, "U1", None, d(2024, 1, 11), 2),
+        # key 2: two non-null prices -> latest wins
+        (2, "O", 200, d(2024, 1, 1), 0),
+        (2, None, 277, d(2024, 1, 6), 1),
+        # key 3: same day, different src_rank -> higher rank wins
+        (3, "A", 300, d(2024, 1, 1), 0),
+        (3, "B", 301, d(2024, 1, 1), 1),
+        # key 4: all statuses NULL -> NULL survives
+        (4, None, 400, d(2024, 1, 1), 0),
+    ]
+    return spark.createDataFrame(
+        rows, "k long, status string, price_c long, updated date, src_rank int"
+    )
+
+
+def test_golden_records_rules(spark):
+    from magi_etl_spark.operators.survivorship import golden_records
+
+    g = {
+        r["k"]: r
+        for r in golden_records(
+            _versions(spark), "k", ["status", "price_c"], "updated", "src_rank"
+        ).collect()
+    }
+    assert g[1]["status"] == "U1" and g[1]["price_c"] == 100
+    assert g[2]["price_c"] == 277 and g[2]["status"] == "O"
+    assert g[3]["status"] == "B" and g[3]["price_c"] == 301
+    assert g[4]["status"] is None and g[4]["price_c"] == 400
+    assert g[1]["n_versions"] == 2 and g[4]["n_versions"] == 1
