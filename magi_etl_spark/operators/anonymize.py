@@ -42,6 +42,69 @@ def k_anonymity_profile(
     ).withColumn("suppressed", F.col("n_rows") < k)
 
 
+def l_diversity_profile(
+    df: DataFrame,
+    quasi_cols: Sequence[str | Column],
+    sensitive_col: str,
+    l: int,
+) -> DataFrame:
+    """l-diversity audit — k-anonymity's complement: a quasi-identifier
+    group is safe only when it contains at least ``l`` DISTINCT values
+    of the sensitive attribute (a size-100 group that is all one
+    diagnosis still leaks it).  ``(*quasi, n_rows, n_distinct,
+    diverse)`` in one keyed aggregate; the exact ``count_distinct`` is
+    the correctness mode, with ``operators/sketches.py`` the approx
+    path at extreme group counts."""
+    return df.groupBy(*quasi_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count_distinct(F.col(sensitive_col)).cast("long").alias(
+            "n_distinct"
+        ),
+    ).withColumn("diverse", F.col("n_distinct") >= l)
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_cols: Sequence[str | Column],
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> DataFrame:
+    """Differentially-private-STYLE noisy group counts with a
+    DERANDOMIZED Laplace draw: the noise is Laplace(1/epsilon) via
+    inverse-CDF over a uniform derived from md5(seed|group key) — the
+    same engine-portable derandomization trick as the weighted sampler
+    (Efraimidis-Spirakis, q131).  Deterministic noise is NOT
+    differential privacy (a true DP release needs fresh randomness per
+    release); this is the reproducible-pipeline variant used for
+    regression-testable privacy plumbing, with the seed as the
+    release nonce.  The uniform's 2^-32 granularity clamps the
+    inverse-CDF log away from its poles.
+
+    Output: ``(*group_cols, noisy_count)`` — the true count plus the
+    per-group noise, rounded to 6 decimals.  One keyed aggregate; the
+    noise is a projection over the group key, no extra pass."""
+    key = F.concat_ws("\x1f", *[F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in group_cols])
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), key)), 1, 8), 16, 10
+        ).cast("long")
+        / F.lit(4294967296.0)
+    )
+    x = u - F.lit(0.5)
+    b = F.lit(1.0 / float(epsilon))
+    noise = -b * F.signum(x) * F.log(
+        F.greatest(F.lit(1.0) - F.lit(2.0) * F.abs(x), F.lit(1.0 / 4294967296.0))
+    )
+    return (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .select(
+            *group_cols,
+            F.round(F.col("_n") + noise, 6).alias("noisy_count"),
+        )
+    )
+
+
 def k_anonymize(
     df: DataFrame, quasi_cols: Sequence[str], k: int
 ) -> DataFrame:

@@ -2047,3 +2047,77 @@ def q172_golden_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         v, "k", ["status", "price_c", "prio"], "updated", "src_rank"
     )
     return g.withColumnRenamed("k", "o_orderkey")
+
+
+@ext3_query(
+    "q173_l_diversity",
+    oracle="""
+    WITH q AS MATERIALIZED (
+        SELECT event_type,
+               CAST(floor(value / 100.0) AS BIGINT) AS vband, user_id
+        FROM events
+    )
+    SELECT event_type, vband,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+           COUNT(DISTINCT user_id) >= 3 AS diverse
+    FROM q GROUP BY 1, 2
+    """,
+)
+def q173_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-diversity audit (l=3) over (event_type, 100-wide value band)
+    with user_id as the sensitive attribute: group size, distinct
+    sensitive values, and the diversity verdict — the leak check
+    k-anonymity alone misses (a large group that is all one user
+    still identifies them).  One keyed exact-distinct aggregate."""
+    from magi_etl_spark.operators.anonymize import (
+        bucketize,
+        l_diversity_profile,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        bucketize(F.col("value"), 100.0).alias("vband"),
+        "user_id",
+    )
+    return l_diversity_profile(e, ["event_type", "vband"], "user_id", 3)
+
+
+@ext3_query(
+    "q174_dp_noisy_counts",
+    oracle="""
+    WITH g AS MATERIALIZED (
+        SELECT event_type, CAST(floor(value / 100.0) AS BIGINT) AS vband,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    n AS MATERIALIZED (
+        SELECT event_type, vband, n,
+               CAST(concat('0x', substr(md5(concat('dp|', event_type,
+                    chr(31), CAST(vband AS VARCHAR))), 1, 8)) AS BIGINT)
+                   / 4294967296.0 - 0.5 AS x
+        FROM g
+    )
+    SELECT event_type, vband,
+           ROUND(n + (-1.0) * sign(x)
+                 * ln(greatest(1.0 - 2.0 * abs(x), 1.0 / 4294967296.0)),
+                 6) AS noisy_count
+    FROM n
+    """,
+)
+def q174_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized-Laplace noisy group counts (epsilon=1) over the
+    same quasi grid as q173: inverse-CDF Laplace noise drawn from an
+    md5 uniform on the group key — reproducible privacy plumbing, the
+    q131 derandomization trick applied to a noise channel.  The
+    oracle replays the hex-uniform and the inverse CDF digit for
+    digit; the 2^-32 clamp keeps the log off its poles."""
+    from magi_etl_spark.operators.anonymize import (
+        bucketize,
+        dp_noisy_counts,
+    )
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type", bucketize(F.col("value"), 100.0).alias("vband")
+    )
+    return dp_noisy_counts(e, ["event_type", "vband"], epsilon=1.0, seed="dp")

@@ -161,6 +161,55 @@ def test_k_anonymity_profile_flags_match_group_sizes(spark):
     assert prof.where("suppressed").count() == 2
 
 
+def test_l_diversity_catches_homogeneous_groups(spark):
+    from magi_etl_spark.operators.anonymize import l_diversity_profile
+
+    rows = [(i, "a", 1, 100 + (i % 4)) for i in range(8)]  # 4 distinct users
+    rows += [(10 + i, "b", 1, 500) for i in range(6)]  # one user, 6 rows
+    df = spark.createDataFrame(
+        rows, "row_id long, qa string, qb int, user_id long"
+    )
+    prof = {
+        (r["qa"], r["qb"]): r
+        for r in l_diversity_profile(df, ["qa", "qb"], "user_id", 3).collect()
+    }
+    assert prof[("a", 1)]["diverse"] is True
+    assert prof[("a", 1)]["n_distinct"] == 4
+    # k-anonymous (6 rows) but NOT diverse — the case k alone misses
+    assert prof[("b", 1)]["n_rows"] == 6
+    assert prof[("b", 1)]["diverse"] is False
+
+
+def test_dp_noisy_counts_are_deterministic_per_seed_and_bounded(spark):
+    from magi_etl_spark.operators.anonymize import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 5)) for i in range(100)], "row_id long, g string"
+    )
+    a = {r["g"]: r["noisy_count"] for r in dp_noisy_counts(df, ["g"], 1.0, "s1").collect()}
+    b = {r["g"]: r["noisy_count"] for r in dp_noisy_counts(df, ["g"], 1.0, "s1").collect()}
+    c = {r["g"]: r["noisy_count"] for r in dp_noisy_counts(df, ["g"], 1.0, "s2").collect()}
+    assert a == b  # same seed -> identical release
+    assert a != c  # different seed (nonce) -> different noise
+    # Laplace(1) noise under the 2^-32 clamp is bounded by 32*ln(2)
+    for g, v in a.items():
+        assert abs(v - 20) <= 32 * 0.6931472 + 1e-6
+
+
+def test_dp_noise_shrinks_with_epsilon(spark):
+    from magi_etl_spark.operators.anonymize import dp_noisy_counts
+
+    df = spark.createDataFrame(
+        [(i, "g%d" % (i % 20)) for i in range(200)], "row_id long, g string"
+    )
+    loose = dp_noisy_counts(df, ["g"], 0.5, "s")
+    tight = dp_noisy_counts(df, ["g"], 5.0, "s")
+    dev = lambda frame: sum(
+        abs(r["noisy_count"] - 10) for r in frame.collect()
+    )
+    assert dev(tight) < dev(loose)  # b = 1/eps: bigger eps, less noise
+
+
 def test_bucketize_is_a_floor_bucket(spark):
     from magi_etl_spark.operators.anonymize import bucketize
 
