@@ -2121,3 +2121,114 @@ def q174_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", bucketize(F.col("value"), 100.0).alias("vband")
     )
     return dp_noisy_counts(e, ["event_type", "vband"], epsilon=1.0, seed="dp")
+
+
+@ext3_query(
+    "q175_curation_manifest",
+    oracle="""
+    WITH per AS MATERIALIZED (
+        SELECT doc_id, source, md5(text) AS fp,
+               len(regexp_extract_all(lower(text), '[a-z]+')) AS n_toks
+        FROM documents
+    ),
+    dom AS MATERIALIZED (
+        SELECT p.source
+        FROM per p JOIN (
+            SELECT source, fp, COUNT(*) AS c FROM per GROUP BY 1, 2
+        ) f ON p.source = f.source AND p.fp = f.fp
+        GROUP BY p.source
+        HAVING COUNT(*) >= 10
+           AND SUM(p.n_toks) >= 20 * COUNT(*)
+           AND 2 * SUM(CASE WHEN f.c > 1 THEN 1 ELSE 0 END) <= COUNT(*)
+    ),
+    kept AS MATERIALIZED (
+        SELECT d.doc_id, d.source, d.text
+        FROM documents d JOIN dom USING (source)
+    ),
+    fc AS MATERIALIZED (
+        SELECT md5(text) AS fp, COUNT(*) AS c FROM kept GROUP BY 1
+    ),
+    toks AS MATERIALIZED (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents
+    ),
+    counts AS MATERIALIZED (
+        SELECT tok,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_pos,
+               SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c_neg
+        FROM toks WHERE source IN ('src0', 'src1') GROUP BY 1
+    ),
+    tot AS MATERIALIZED (
+        SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg,
+               COUNT(*) AS v_size
+        FROM counts
+    ),
+    model AS MATERIALIZED (
+        SELECT tok,
+               ln((c_pos + 0.5) / (n_pos + 0.5 * v_size))
+                   - ln((c_neg + 0.5) / (n_neg + 0.5 * v_size)) AS llr
+        FROM counts CROSS JOIN tot
+    ),
+    scored AS MATERIALIZED (
+        SELECT kt.doc_id,
+               COUNT(*) AS n_tokens,
+               COUNT(m.llr) AS n_scored,
+               ROUND(AVG(m.llr), 6) AS mean_llr
+        FROM (SELECT k.doc_id, t.tok
+              FROM kept k JOIN toks t ON k.doc_id = t.doc_id) kt
+        LEFT JOIN model m ON kt.tok = m.tok
+        GROUP BY kt.doc_id
+    )
+    SELECT k.doc_id, k.source,
+           CAST(f.c AS BIGINT) AS cluster_size,
+           1.0 / f.c AS weight,
+           CAST(s.n_tokens AS BIGINT) AS n_tokens,
+           s.n_tokens * (1.0 / f.c) AS eff_tokens,
+           CAST(s.n_scored AS BIGINT) AS n_scored,
+           s.mean_llr
+    FROM kept k
+    JOIN fc f ON md5(k.text) = f.fp
+    JOIN scored s ON k.doc_id = s.doc_id
+    """,
+)
+def q175_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The governed-curation capstone: domain-level curation (integer-
+    exact verdicts) gates the corpus, the survivors get soft-dedup
+    reciprocal weights (cluster sizes recomputed WITHIN the kept set —
+    dropping a domain changes its survivors' clusters), and every kept
+    document carries its seed-classifier quality score — the
+    per-document training manifest a weighted sampler consumes.  No
+    float thresholds anywhere: verdicts are integer arithmetic, scores
+    are reported, not gated, so the kept-set is hash-stable."""
+    from magi_etl_spark.operators.classifier import seed_classifier_scores
+    from magi_etl_spark.operators.domains import (
+        curate_domains,
+        filter_to_kept_domains,
+    )
+    from magi_etl_spark.operators.reweight import soft_dedup_weights
+
+    d = load_table(spark, sf_dir, "documents")
+    verdicts = curate_domains(d, "source", "text", 10, 20)
+    kept = filter_to_kept_domains(d, verdicts, "source")
+    weights = soft_dedup_weights(kept, "doc_id", "text", beta=1.0)
+    scores = seed_classifier_scores(
+        d, F.col("source") == "src0", F.col("source") == "src1"
+    )
+    return (
+        kept.select("doc_id", "source")
+        .join(weights, "doc_id")
+        .join(
+            scores.select(
+                "doc_id",
+                F.col("n_scored").cast("long").alias("n_scored"),
+                F.round("mean_llr", 6).alias("mean_llr"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id", "source", "cluster_size", "weight",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            "eff_tokens", "n_scored", "mean_llr",
+        )
+    )

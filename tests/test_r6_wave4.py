@@ -268,6 +268,31 @@ def test_effective_corpus_size_rollup(spark):
     assert r["n_tokens"] == 3 * 3 + 2 + 1
 
 
+# --- curation manifest capstone ---------------------------------------------
+
+
+def test_curation_manifest_recomputes_clusters_within_the_kept_set(spark):
+    """Dropping a domain must change its survivors' cluster sizes: a
+    text duplicated across a kept and a dropped domain counts once."""
+    from magi_etl_spark.operators.domains import (
+        curate_domains,
+        filter_to_kept_domains,
+    )
+    from magi_etl_spark.operators.reweight import soft_dedup_weights
+
+    rows = []
+    shared = " ".join(f"tok{j}" for j in range(25))
+    for i in range(12):  # healthy domain; doc 100 shares text with tiny's
+        rows.append((100 + i, "keep", shared if i == 0 else f"doc{i} word " * 15))
+    rows.append((300, "tiny", shared))  # dropped (below min_docs)
+    docs = spark.createDataFrame(rows, "doc_id long, source string, text string")
+    verdicts = curate_domains(docs, "source", "text", 10, 20)
+    kept = filter_to_kept_domains(docs, verdicts, "source")
+    w = {r["doc_id"]: r for r in soft_dedup_weights(kept).collect()}
+    assert 300 not in w
+    assert w[100]["cluster_size"] == 1  # the cross-domain copy is gone
+
+
 # --- survivorship ------------------------------------------------------------
 
 
