@@ -190,6 +190,90 @@ def run_audit(spark: SparkSession, args) -> dict[str, str]:
     return paths
 
 
+def run_govern(spark: SparkSession, args) -> dict[str, str]:
+    """Governance pass over a documents+events catalog: the per-document
+    curation manifest (domain verdicts -> kept-set soft-dedup weights ->
+    seed-classifier scores), a k-anonymity suppression profile and an
+    l-diversity audit of the event extract, and a derandomized-Laplace
+    noisy-count release — the curation/privacy composition of
+    ``operators/{domains,reweight,classifier,anonymize}.py``, packaged
+    as a scheduled job with a one-file JSON summary for alerting."""
+    from magi_etl_spark.operators.anonymize import (
+        bucketize,
+        dp_noisy_counts,
+        k_anonymity_profile,
+        l_diversity_profile,
+    )
+    from magi_etl_spark.operators.classifier import seed_classifier_scores
+    from magi_etl_spark.operators.domains import (
+        curate_domains,
+        filter_to_kept_domains,
+    )
+    from magi_etl_spark.operators.reweight import soft_dedup_weights
+
+    docs = _read(spark, args.data_dir, "documents")
+    events = _read(spark, args.data_dir, "events")
+
+    verdicts = curate_domains(docs, "source", "text", args.min_docs, 20)
+    kept = filter_to_kept_domains(docs, verdicts, "source")
+    weights = soft_dedup_weights(kept, "doc_id", "text")
+    scores = seed_classifier_scores(
+        docs, F.col("source") == "src0", F.col("source") == "src1"
+    )
+    manifest = (
+        kept.select("doc_id", "source")
+        .join(weights, "doc_id")
+        .join(scores.select("doc_id", "n_scored", "mean_llr"), "doc_id")
+    )
+
+    quasi = events.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        bucketize(F.col("value"), 50.0).alias("vband"),
+        "user_id",
+    )
+    kanon = k_anonymity_profile(quasi, ["event_type", "day", "vband"], args.k)
+    ldiv = l_diversity_profile(
+        quasi, ["event_type", "vband"], "user_id", args.l_distinct
+    )
+    release = dp_noisy_counts(
+        events, ["event_type"], epsilon=args.epsilon, seed=args.nonce
+    )
+
+    paths = {}
+    for name, df in (
+        ("manifest", manifest),
+        ("domain_verdicts", verdicts),
+        ("k_anonymity", kanon),
+        ("l_diversity", ldiv),
+        ("dp_release", release),
+    ):
+        p = os.path.join(args.out, name)
+        df.write.mode("overwrite").parquet(p)
+        paths[name] = p
+    vrows = spark.read.parquet(paths["domain_verdicts"]).collect()
+    man = spark.read.parquet(paths["manifest"])
+    summary = {
+        "n_domains": len(vrows),
+        "kept_domains": sorted(r["source"] for r in vrows if r["kept"]),
+        "n_docs_kept": man.count(),
+        "eff_tokens_kept": round(
+            man.agg(F.sum("eff_tokens")).collect()[0][0] or 0.0, 3
+        ),
+        "n_suppressed_groups": spark.read.parquet(paths["k_anonymity"])
+        .where("suppressed")
+        .count(),
+        "n_nondiverse_groups": spark.read.parquet(paths["l_diversity"])
+        .where("NOT diverse")
+        .count(),
+    }
+    sp = os.path.join(args.out, "govern_summary.json")
+    with open(sp, "w") as f:
+        json.dump(summary, f, sort_keys=True)
+    paths["summary"] = sp
+    return paths
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="magi-etl-spark")
     sub = ap.add_subparsers(dest="job", required=True)
@@ -216,6 +300,13 @@ def main(argv: list[str] | None = None) -> int:
     a = sub.add_parser("audit", parents=[common])
     a.add_argument("--split-ts", default="2024-01-16")
 
+    g = sub.add_parser("govern", parents=[common])
+    g.add_argument("--min-docs", type=int, default=10)
+    g.add_argument("--k", type=int, default=5)
+    g.add_argument("--l-distinct", type=int, default=3)
+    g.add_argument("--epsilon", type=float, default=1.0)
+    g.add_argument("--nonce", default="release-0")
+
     args = ap.parse_args(argv)
     from magi_etl_spark.session import get_spark
     from magi_etl_spark.telemetry import RunTelemetry
@@ -227,6 +318,7 @@ def main(argv: list[str] | None = None) -> int:
         "wiki-metadata": run_wiki_metadata,
         "metric-query": run_metric_query,
         "audit": run_audit,
+        "govern": run_govern,
     }[args.job]
     # run-status telemetry (reference callbacks.py:103-136); in-memory
     # store here — hand RunTelemetry(store=redis_client) a shared store

@@ -511,3 +511,51 @@ def read_drift_monitor(spark: SparkSession, monitor_path: str) -> DataFrame:
     return spark.read.option("basePath", monitor_path).parquet(
         os.path.join(monitor_path, "batch=*")
     )
+
+
+def run_foreach_batch_dp_release(
+    event_stream: DataFrame,
+    release_path: str,
+    checkpoint_path: str,
+    group_cols: list[str] | None = None,
+    epsilon: float = 1.0,
+    seed: str = "dp",
+) -> None:
+    """Continuous privacy-budgeted count releases: every micro-batch's
+    group counts are published with derandomized Laplace noise
+    (``operators/anonymize.dp_noisy_counts``) under
+    ``release_path/batch=N``.
+
+    The noise nonce is ``seed|batch_id`` — each release draws FRESH
+    deterministic noise (the per-release-randomness requirement a
+    fixed seed would violate), while a checkpoint-replayed batch
+    regenerates the SAME noise and overwrites its own ``batch=N``
+    directory, so replays are byte-identical instead of double-spending
+    the privacy budget with a second draw.  Per-batch cost is one
+    keyed aggregate over the batch; no corpus-sized state."""
+    from magi_etl_spark.operators.anonymize import dp_noisy_counts
+
+    cols = list(group_cols or ["event_type"])
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        out = dp_noisy_counts(
+            batch_df, cols, epsilon=epsilon, seed=f"{seed}|{batch_id}"
+        )
+        out.write.mode("overwrite").parquet(
+            os.path.join(release_path, f"batch={batch_id}")
+        )
+
+    q = (
+        event_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_dp_releases(spark: SparkSession, release_path: str) -> DataFrame:
+    """Every published release with its ``batch`` partition column."""
+    return spark.read.option("basePath", release_path).parquet(
+        os.path.join(release_path, "batch=*")
+    )
