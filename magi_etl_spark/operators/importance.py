@@ -127,14 +127,24 @@ def ngram_novelty(
         df.select(F.col(id_col), F.explode(grams).alias("gram"))
         .distinct()
     )
-    dfreq = dg.groupBy("gram").agg(F.count(F.lit(1)).alias("df"))
+    # join only the SHARED grams back (df > 1): a gram that misses the
+    # join is novel by definition.  The shared-gram frame is typically
+    # a small fraction of the vocabulary, so the join's build side
+    # shrinks accordingly (AQE turns it into a broadcast when it fits)
+    # — same integer sums, same division, identical output.
+    shared = (
+        dg.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 1)
+        .select("gram", F.lit(True).alias("_shared"))
+    )
     return (
-        dg.join(dfreq, "gram")
+        dg.join(shared, "gram", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_distinct_grams"),
             (
-                F.sum(F.when(F.col("df") == 1, 1).otherwise(0))
+                F.sum(F.when(F.col("_shared").isNull(), 1).otherwise(0))
                 / F.count(F.lit(1))
             ).alias("novel_frac"),
         )
@@ -170,12 +180,21 @@ def duplicated_spans(
         F.col(id_col), F.posexplode(shingles).alias("k", "shingle")
     )
     # distinct docs per shingle; a shingle repeated WITHIN one document
-    # does not make that document a copy of another
-    dfreq = pos.select(id_col, "shingle").distinct().groupBy("shingle").agg(
-        F.count(F.lit(1)).alias("df")
+    # does not make that document a copy of another.  Only the SHARED
+    # shingles (doc-frequency > 1) join back — a position whose shingle
+    # misses the join is not duplicated, so the join's build side is
+    # the (small) copied-shingle set, not the whole vocabulary, and AQE
+    # broadcasts it when it fits.
+    shared = (
+        pos.select(id_col, "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 1)
+        .select("shingle", F.lit(True).alias("_shared"))
     )
-    flagged = pos.join(dfreq, "shingle").select(
-        id_col, "k", (F.col("df") > 1).alias("dup")
+    flagged = pos.join(shared, "shingle", "left").select(
+        id_col, "k", F.col("_shared").isNotNull().alias("dup")
     )
     from pyspark.sql import Window as W
 
