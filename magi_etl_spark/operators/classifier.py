@@ -102,6 +102,33 @@ def nb_score(
     )
 
 
+def calibration_bins(
+    df: DataFrame,
+    score_col: str = "mean_llr",
+    label_col: str = "is_pos",
+    width: float = 0.5,
+) -> DataFrame:
+    """Reliability diagram for a scored+labeled frame: bin the score
+    (on its 6-decimal ROUNDING, so the bin edges see the same doubles
+    in any engine), and report per-bin volume and positive fraction —
+    rising ``frac_pos`` across bins is the monotone-calibration check
+    a score must pass before its threshold means anything.
+    ``(bin, n_docs, n_pos, frac_pos)``; rows with a NULL score (no
+    vocabulary overlap) are excluded, as in SQL aggregation."""
+    b = F.floor(F.round(F.col(score_col), 6) / F.lit(float(width)))
+    n = F.count(F.lit(1))
+    n_pos = F.sum(F.when(F.col(label_col), 1).otherwise(0))
+    return (
+        df.where(F.col(score_col).isNotNull())
+        .groupBy(b.cast("long").alias("bin"))
+        .agg(
+            n.cast("long").alias("n_docs"),
+            n_pos.cast("long").alias("n_pos"),
+            F.round(n_pos / n.cast("double"), 6).alias("frac_pos"),
+        )
+    )
+
+
 def seed_classifier_scores(
     df: DataFrame,
     pos_filter: Column,

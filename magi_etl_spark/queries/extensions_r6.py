@@ -2232,3 +2232,113 @@ def q175_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eff_tokens", "n_scored", "mean_llr",
         )
     )
+
+
+
+def _q176_oracle() -> str:
+    from magi_etl_spark.queries.extensions_r5 import _BPE_W0, _bpe_iter_ctes
+
+    return f"""
+    WITH {_BPE_W0},{_bpe_iter_ctes(10)},
+    seg AS MATERIALIZED (
+        SELECT word, len(string_split(trim(sym), '  ')) AS n_sym
+        FROM w10
+    ),
+    stream AS MATERIALIZED (
+        SELECT source,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(g.n_sym) AS BIGINT) AS n_bpe_tokens,
+           CAST(SUM(length(s.word)) AS BIGINT) AS n_chars,
+           ROUND(SUM(g.n_sym) / CAST(COUNT(*) AS DOUBLE), 6) AS fertility,
+           ROUND(SUM(length(s.word)) / CAST(SUM(g.n_sym) AS DOUBLE), 6)
+               AS chars_per_token
+    FROM stream s JOIN seg g ON s.word = g.word
+    GROUP BY 1
+    """
+
+
+@ext3_query("q176_tokenizer_fertility", oracle=_q176_oracle())
+def q176_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility by source under a fresh 10-merge BPE model:
+    tokens-per-word and chars-per-token — the vocabulary-sizing
+    diagnostic read before freezing a vocab.  Training is the
+    driver-side merge loop (table pinned identical to the distributed
+    path the oracle unrolls); the corpus stream joins the word-keyed
+    segment table (tokenizer-cache trick) and rolls up per source."""
+    from magi_etl_spark.operators.fertility import tokenizer_fertility
+
+    d = load_table(spark, sf_dir, "documents")
+    return tokenizer_fertility(d, n_merges=10, by="source")
+
+
+@ext3_query(
+    "q177_score_calibration",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, source,
+               unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+        FROM documents
+    ),
+    counts AS MATERIALIZED (
+        SELECT tok,
+               SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_pos,
+               SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c_neg
+        FROM toks WHERE source IN ('src0', 'src1') GROUP BY 1
+    ),
+    tot AS MATERIALIZED (
+        SELECT SUM(c_pos) AS n_pos, SUM(c_neg) AS n_neg,
+               COUNT(*) AS v_size
+        FROM counts
+    ),
+    model AS MATERIALIZED (
+        SELECT tok,
+               ln((c_pos + 0.5) / (n_pos + 0.5 * v_size))
+                   - ln((c_neg + 0.5) / (n_neg + 0.5 * v_size)) AS llr
+        FROM counts CROSS JOIN tot
+    ),
+    scored AS MATERIALIZED (
+        SELECT t.doc_id, ROUND(AVG(m.llr), 6) AS mean_llr
+        FROM toks t LEFT JOIN model m ON t.tok = m.tok
+        WHERE t.source IN ('src0', 'src1')
+        GROUP BY t.doc_id
+    ),
+    lab AS MATERIALIZED (
+        SELECT s.doc_id, s.mean_llr, d.source = 'src0' AS is_pos
+        FROM scored s JOIN documents d ON s.doc_id = d.doc_id
+    )
+    SELECT CAST(floor(mean_llr / 0.5) AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pos,
+           ROUND(SUM(CASE WHEN is_pos THEN 1 ELSE 0 END)
+                 / CAST(COUNT(*) AS DOUBLE), 6) AS frac_pos
+    FROM lab WHERE mean_llr IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def q177_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the seed classifier on its own seed set:
+    scores binned at width 0.5 ON THE 6-DECIMAL ROUNDING (both engines
+    bin the same doubles — no knife-edge thresholds on raw floats),
+    per-bin volume and positive fraction.  Monotone frac_pos across
+    bins is the calibration property a selection threshold relies
+    on."""
+    from magi_etl_spark.operators.classifier import (
+        calibration_bins,
+        seed_classifier_scores,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    seeds = d.where(F.col("source").isin("src0", "src1"))
+    scored = seed_classifier_scores(
+        seeds, F.col("source") == "src0", F.col("source") == "src1"
+    ).select("doc_id", F.round("mean_llr", 6).alias("mean_llr"))
+    lab = scored.join(
+        d.select("doc_id", (F.col("source") == "src0").alias("is_pos")),
+        "doc_id",
+    )
+    return calibration_bins(lab, "mean_llr", "is_pos", 0.5)

@@ -268,6 +268,53 @@ def test_effective_corpus_size_rollup(spark):
     assert r["n_tokens"] == 3 * 3 + 2 + 1
 
 
+# --- tokenizer fertility / calibration ---------------------------------------
+
+
+def test_tokenizer_fertility_bounds(spark):
+    """Fertility is >= 1 (a word is at least one token) and at most the
+    word length in characters; more merges never increase fertility."""
+    from magi_etl_spark.operators.fertility import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "the cat sat on the mat the cat sat again"),
+            (2, "b", "compression compression compression ratio ratio"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    f0 = {r["source"]: r for r in tokenizer_fertility(docs, 0).collect()}
+    f5 = {r["source"]: r for r in tokenizer_fertility(docs, 5).collect()}
+    for src in ("a", "b"):
+        for f in (f0, f5):
+            assert f[src]["n_bpe_tokens"] >= f[src]["n_words"]
+            assert f[src]["n_bpe_tokens"] <= f[src]["n_chars"]
+        # merges only ever merge symbols: token count is non-increasing
+        assert f5[src]["n_bpe_tokens"] <= f0[src]["n_bpe_tokens"]
+    # zero merges: every character is a token
+    assert f0["a"]["n_bpe_tokens"] == f0["a"]["n_chars"]
+
+
+def test_calibration_bins_partition_and_bound(spark):
+    from magi_etl_spark.operators.classifier import calibration_bins
+
+    rows = [
+        (1, -1.2, False), (2, -0.7, False), (3, -0.6, False),
+        (4, 0.1, True), (5, 0.4, True), (6, 1.3, True), (7, 0.3, False),
+        (8, None, True),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, mean_llr double, is_pos boolean")
+    bins = calibration_bins(df, "mean_llr", "is_pos", 0.5).collect()
+    assert sum(r["n_docs"] for r in bins) == 7  # NULL score excluded
+    for r in bins:
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert r["n_pos"] <= r["n_docs"]
+    by_bin = {r["bin"]: r for r in bins}
+    assert by_bin[-3]["n_docs"] == 1  # -1.2 -> floor(-2.4) = -3
+    assert by_bin[0]["n_docs"] == 3 and by_bin[0]["n_pos"] == 2
+    assert by_bin[2]["frac_pos"] == 1.0
+
+
 # --- curation manifest capstone ---------------------------------------------
 
 
