@@ -102,9 +102,10 @@ def top_ngrams(
     pass: chart-topping n-grams are headers, license tails, and
     template fragments.
 
-    Shape: explode to (doc, ngram) rows, ONE aggregate computing both
-    the occurrence count and the distinct-document count, distributed
-    top-k via TakeOrdered (orderBy+limit) — no window, no collect."""
+    Shape: explode to (doc, ngram) rows, a (ngram, doc) pre-aggregate
+    that map-side-combines within-document repetition, one per-ngram
+    rollup, distributed top-k via TakeOrdered (orderBy+limit) — no
+    window, no collect."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     toks = _tokens(F.col(text_col))
@@ -116,9 +117,16 @@ def top_ngrams(
     rows = df.select(
         F.col(id_col), F.explode(grams).alias("ngram")
     )
-    agg = rows.groupBy("ngram").agg(
-        F.count(F.lit(1)).alias("n_occurrences"),
-        F.count_distinct(id_col).alias("doc_freq"),
+    # two-stage aggregate instead of count_distinct: the (ngram, doc)
+    # pre-aggregate map-side-combines within-document repetition (the
+    # boilerplate case this operator exists for), so the wide shuffle
+    # carries one row per (ngram, doc) instead of one per occurrence
+    per_doc = rows.groupBy("ngram", id_col).agg(
+        F.count(F.lit(1)).alias("_occ")
+    )
+    agg = per_doc.groupBy("ngram").agg(
+        F.sum("_occ").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("doc_freq"),
     )
     return agg.orderBy(F.desc("n_occurrences"), F.asc("ngram")).limit(k)
 

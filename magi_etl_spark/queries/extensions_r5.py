@@ -205,8 +205,9 @@ def q119_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q120_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide top-25 word trigrams with document frequency — the
     boilerplate/contamination recon pass (chart-topping n-grams are
-    headers, license tails, template fragments).  One aggregate
-    computes occurrence and distinct-document counts together; the cut
+    headers, license tails, template fragments).  A (ngram, doc)
+    pre-aggregate combines within-document repetition map-side before
+    the per-ngram rollup; the cut
     is a distributed TakeOrdered on (count desc, ngram asc)."""
     from magi_etl_spark.operators.ngram_lm import top_ngrams
 
