@@ -217,3 +217,75 @@ def duplicated_spans(
         F.col("n_dup").cast("long").alias("n_dup"),
         F.coalesce(F.col("max_dup_run"), F.lit(0)).cast("long").alias("max_dup_run"),
     )
+
+
+def remove_duplicated_spans(
+    df: DataFrame,
+    n: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The TRANSFORM complement of ``duplicated_spans`` — Lee et al.'s
+    span removal at shingle granularity: every token covered by a
+    cross-document-duplicated ``n``-token shingle is dropped, and the
+    survivors are reassembled in reading order.  Output ``(id_col,
+    n_tokens, n_kept, cleaned_text)`` for every document with at least
+    one token; fully-copied documents come back with ``n_kept = 0``
+    and an empty string (removal, not deletion — dropping them is the
+    caller's thresholding decision).
+
+    Shape: the same shared-shingle left join as the profile, one
+    ``sequence``-explode to expand dup positions into covered token
+    indices (bounded by n x dup-positions), an anti-join on (doc,
+    position), and one per-document ordered re-aggregation — the
+    ``bpe_encode_docs`` re-assembly idiom."""
+    toks = _tokens(F.col(text_col))
+    size = F.size(toks)
+    shingles = F.transform(
+        F.slice(toks, 1, F.greatest(size - F.lit(n - 1), F.lit(0))),
+        lambda x, i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    pos = df.select(
+        F.col(id_col), F.posexplode(shingles).alias("k", "shingle")
+    )
+    shared = (
+        pos.select(id_col, "shingle")
+        .distinct()
+        .groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > 1)
+        .select("shingle")
+    )
+    covered = (
+        pos.join(shared, "shingle")
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("k"), F.col("k") + F.lit(n - 1))
+            ).alias("t"),
+        )
+        .distinct()
+    )
+    stream = df.select(
+        F.col(id_col), F.posexplode(toks).alias("t", "tok")
+    )
+    kept = stream.join(covered, [id_col, "t"], "left_anti")
+    kept_agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("t", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+    )
+    totals = stream.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("n_tokens")
+    )
+    return totals.join(kept_agg, id_col, "left").select(
+        id_col,
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
+    )

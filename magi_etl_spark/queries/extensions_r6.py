@@ -2342,3 +2342,63 @@ def q177_score_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
     )
     return calibration_bins(lab, "mean_llr", "is_pos", 0.5)
+
+
+@ext3_query(
+    "q178_span_removal",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS tk
+        FROM documents
+    ),
+    pos AS MATERIALIZED (
+        SELECT doc_id, j - 1 AS k,
+               tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2] || ' '
+                     || tk[j+3] || ' ' || tk[j+4] AS shingle
+        FROM toks, LATERAL unnest(range(1, len(tk) - 3)) AS t(j)
+    ),
+    shared AS MATERIALIZED (
+        SELECT shingle
+        FROM (SELECT DISTINCT doc_id, shingle FROM pos)
+        GROUP BY shingle HAVING COUNT(*) > 1
+    ),
+    covered AS MATERIALIZED (
+        SELECT DISTINCT p.doc_id, p.k + d.d AS t
+        FROM pos p JOIN shared s ON p.shingle = s.shingle,
+             LATERAL unnest(range(0, 5)) AS d(d)
+    ),
+    stream AS MATERIALIZED (
+        SELECT doc_id, j - 1 AS t, tk[j] AS tok
+        FROM toks, LATERAL unnest(range(1, len(tk) + 1)) AS t(j)
+    ),
+    kept AS MATERIALIZED (
+        SELECT s.doc_id, s.t, s.tok
+        FROM stream s LEFT JOIN covered c
+            ON s.doc_id = c.doc_id AND s.t = c.t
+        WHERE c.t IS NULL
+    ),
+    ka AS MATERIALIZED (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               string_agg(tok, ' ' ORDER BY t) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(ANY_VALUE(ka.n_kept), 0) AS BIGINT) AS n_kept,
+           COALESCE(ANY_VALUE(ka.cleaned_text), '') AS cleaned_text
+    FROM stream s LEFT JOIN ka ON s.doc_id = ka.doc_id
+    GROUP BY s.doc_id
+    """,
+)
+def q178_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lee-et-al span REMOVAL (the transform behind the q129 profile):
+    drop every token covered by a cross-document-duplicated 5-token
+    shingle and reassemble the survivors in reading order — full
+    cleaned text hash-checked per document, fully-copied documents
+    come back with n_kept=0 and an empty string.  Shared-shingle left
+    join + bounded sequence-expansion + (doc, position) anti-join +
+    one ordered re-aggregation."""
+    from magi_etl_spark.operators.importance import remove_duplicated_spans
+
+    d = load_table(spark, sf_dir, "documents")
+    return remove_duplicated_spans(d, n=5)

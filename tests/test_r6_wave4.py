@@ -340,6 +340,36 @@ def test_curation_manifest_recomputes_clusters_within_the_kept_set(spark):
     assert w[100]["cluster_size"] == 1  # the cross-domain copy is gone
 
 
+# --- span removal ------------------------------------------------------------
+
+
+def test_span_removal_drops_exactly_the_copied_span(spark):
+    from magi_etl_spark.operators.importance import (
+        duplicated_spans,
+        remove_duplicated_spans,
+    )
+
+    span = "alpha beta gamma delta epsilon"  # the copied 5-gram
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two {span} outro three"),
+            (2, f"other opening {span} and a different tail"),
+            (3, "completely unrelated text with enough words here"),
+            (4, span),  # fully copied: nothing survives
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, 5).collect()}
+    assert out[1]["cleaned_text"] == "intro one two outro three"
+    assert out[2]["cleaned_text"] == "other opening and a different tail"
+    assert out[3]["cleaned_text"] == docs.collect()[2]["text"]
+    assert out[4]["n_kept"] == 0 and out[4]["cleaned_text"] == ""
+    # consistency with the profile: undup'd docs keep every token
+    prof = {r["doc_id"]: r for r in duplicated_spans(docs, 5).collect()}
+    assert prof[3]["n_dup"] == 0
+    assert out[3]["n_kept"] == out[3]["n_tokens"]
+
+
 # --- survivorship ------------------------------------------------------------
 
 
