@@ -83,7 +83,17 @@ def dp_noisy_counts(
     Output: ``(*group_cols, noisy_count)`` — the true count plus the
     per-group noise, rounded to 6 decimals.  One keyed aggregate; the
     noise is a projection over the group key, no extra pass."""
-    key = F.concat_ws("\x1f", *[F.col(c).cast("string") if isinstance(c, str) else c.cast("string") for c in group_cols])
+    # NULL-safe key: concat_ws silently DROPS null members, which would
+    # give (NULL, 'x') and ('x',) the same noise draw — coalesce every
+    # member to a sentinel no real value prints as
+    parts = [
+        F.coalesce(
+            (F.col(c) if isinstance(c, str) else c).cast("string"),
+            F.lit("\x00null"),
+        )
+        for c in group_cols
+    ]
+    key = F.concat_ws("\x1f", *parts)
     u = (
         F.conv(
             F.substring(F.md5(F.concat(F.lit(f"{seed}|"), key)), 1, 8), 16, 10
