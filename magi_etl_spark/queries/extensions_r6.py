@@ -2402,3 +2402,135 @@ def q178_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     return remove_duplicated_spans(d, n=5)
+
+
+def _q179_oracle() -> str:
+    import math
+
+    w = {
+        "agree_bucket": (0.9, 0.1),
+        "agree_sign": (0.8, 0.3),
+        "agree_close": (0.95, 0.05),
+    }
+    terms = []
+    for col, (m, u) in w.items():
+        wa = math.log2(m / u)
+        wd = math.log2((1.0 - m) / (1.0 - u))
+        terms.append(
+            f"(CASE WHEN {col} THEN CAST({wa!r} AS DOUBLE)"
+            f" ELSE CAST({wd!r} AS DOUBLE) END)"
+        )
+    score = " + ".join(terms)
+    return f"""
+    WITH RECURSIVE cand AS (
+        SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+               floor(a.c_acctbal / 1000.0) = floor(b.c_acctbal / 1000.0)
+                   AS agree_bucket,
+               (a.c_acctbal >= 0) = (b.c_acctbal >= 0) AS agree_sign,
+               abs(a.c_acctbal - b.c_acctbal) <= 50.0 AS agree_close
+        FROM customer a JOIN customer b
+          ON a.c_nationkey = b.c_nationkey
+         AND a.c_mktsegment = b.c_mktsegment
+         AND a.c_custkey < b.c_custkey
+    ),
+    matches AS (
+        SELECT id_a, id_b FROM cand WHERE ROUND({score}, 4) >= 4.0
+    ),
+    sym AS (
+        SELECT id_a AS v, id_b AS n FROM matches
+        UNION ALL
+        SELECT id_b AS v, id_a AS n FROM matches
+    ),
+    walk AS (
+        SELECT v, n AS reach FROM sym
+        UNION
+        SELECT w.v, s.n FROM walk w JOIN sym s ON w.reach = s.v
+    ),
+    comp AS (
+        SELECT v, least(v, MIN(reach)) AS component
+        FROM walk GROUP BY v
+    ),
+    labeled AS (
+        SELECT c.c_custkey,
+               COALESCE(p.component, c.c_custkey) AS rep,
+               c.c_mktsegment, c.c_nationkey,
+               CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer c LEFT JOIN comp p ON c.c_custkey = p.v
+    )
+    SELECT rep,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(c_mktsegment) AS segment,
+           CAST(MIN(c_nationkey) AS BIGINT) AS nationkey,
+           CAST(SUM(bal_c) AS BIGINT) AS total_bal_c
+    FROM labeled GROUP BY rep
+    """
+
+
+@ext3_query("q179_entity_resolution", oracle=_q179_oracle())
+def q179_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution end-to-end — the canonical MDM pipeline in one
+    plan: (nation, segment)-blocked candidate pairs, Fellegi-Sunter
+    scoring (same embedded log2 weights as q161) with strong matches
+    kept at +4 bits, connected components over the match graph (fused
+    pointer jumping; the oracle walks the same reachability as a
+    recursive CTE), and per-cluster consolidation — representative =
+    min key, member count, cents-exact balance total.  Blocking keys
+    are constant within a cluster by construction, so segment/nation
+    consolidate with MIN."""
+    from magi_etl_spark.operators.components import dedup_clusters
+    from magi_etl_spark.operators.linkage import fs_linkage_score
+
+    c = load_table(spark, sf_dir, "customer")
+    a = c.select(
+        F.col("c_custkey").alias("id_a"),
+        F.col("c_nationkey").alias("_nk"),
+        F.col("c_mktsegment").alias("_seg"),
+        F.col("c_acctbal").alias("_bal_a"),
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id_b"),
+        F.col("c_nationkey").alias("_nk"),
+        F.col("c_mktsegment").alias("_seg"),
+        F.col("c_acctbal").alias("_bal_b"),
+    )
+    pairs = (
+        a.join(b, ["_nk", "_seg"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            (
+                F.floor(F.col("_bal_a") / 1000.0)
+                == F.floor(F.col("_bal_b") / 1000.0)
+            ).alias("agree_bucket"),
+            (
+                (F.col("_bal_a") >= 0) == (F.col("_bal_b") >= 0)
+            ).alias("agree_sign"),
+            (F.abs(F.col("_bal_a") - F.col("_bal_b")) <= 50.0).alias(
+                "agree_close"
+            ),
+        )
+    )
+    matches = fs_linkage_score(
+        pairs,
+        {
+            "agree_bucket": (0.9, 0.1),
+            "agree_sign": (0.8, 0.3),
+            "agree_close": (0.95, 0.05),
+        },
+    ).where(F.col("fs_score") >= 4.0)
+    labeled = dedup_clusters(
+        c.select(F.col("c_custkey")), matches, "c_custkey", "id_a", "id_b"
+    )
+    enriched = labeled.join(c, "c_custkey").select(
+        F.col("representative").alias("rep"),
+        "c_mktsegment",
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("bal_c"),
+    )
+    return enriched.groupBy("rep").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.min("c_mktsegment").alias("segment"),
+        F.min("c_nationkey").cast("long").alias("nationkey"),
+        F.sum("bal_c").cast("long").alias("total_bal_c"),
+    )

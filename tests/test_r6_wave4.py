@@ -340,6 +340,31 @@ def test_curation_manifest_recomputes_clusters_within_the_kept_set(spark):
     assert w[100]["cluster_size"] == 1  # the cross-domain copy is gone
 
 
+# --- entity resolution capstone ----------------------------------------------
+
+
+def test_entity_resolution_conserves_members_and_balance(spark, sf_dir):
+    from pyspark.sql import functions as SF
+
+    from magi_etl_spark.queries.extensions_r6 import EXT3_QUERIES
+    from magi_etl_spark.tables import load_table
+
+    out = EXT3_QUERIES["q179_entity_resolution"](spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer")
+    n_cust = c.count()
+    agg = out.agg(
+        SF.sum("n_members").alias("m"), SF.sum("total_bal_c").alias("b")
+    ).collect()[0]
+    assert agg["m"] == n_cust  # every customer lands in exactly one cluster
+    total_c = c.agg(
+        SF.sum(SF.round(SF.col("c_acctbal") * 100).cast("long"))
+    ).collect()[0][0]
+    assert agg["b"] == total_c  # cents-exact conservation
+    # representatives are real member keys
+    reps = out.select(SF.col("rep").alias("c_custkey"))
+    assert reps.join(c, "c_custkey", "left_anti").count() == 0
+
+
 # --- span removal ------------------------------------------------------------
 
 
