@@ -2534,3 +2534,119 @@ def q179_entity_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c_nationkey").cast("long").alias("nationkey"),
         F.sum("bal_c").cast("long").alias("total_bal_c"),
     )
+
+
+@ext3_query(
+    "q180_readability",
+    oracle="""
+    WITH m AS MATERIALIZED (
+        SELECT doc_id,
+               len(regexp_extract_all(lower(text), '[a-z]+')) AS w,
+               len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y,
+               greatest(len(regexp_extract_all(lower(text), '[.!?]+')), 1)
+                   AS s
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS n_words,
+           CAST(s AS BIGINT) AS n_sentences,
+           CAST(y AS BIGINT) AS n_syllables,
+           ROUND(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+                 - 84.6 * (y / CAST(w AS DOUBLE)), 6) AS flesch_ease,
+           ROUND(0.39 * (w / CAST(s AS DOUBLE))
+                 + 11.8 * (y / CAST(w AS DOUBLE)) - 15.59, 6) AS fk_grade
+    FROM m WHERE w > 0
+    """,
+)
+def q180_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease + Flesch-Kincaid grade per document with the
+    deterministic vowel-group syllable heuristic (maximal [aeiouy]+
+    runs; sentences are [.!?]+ runs floored at one) — the classic
+    readability quality signal, three regexp counts and pure-double
+    arithmetic in one narrow projection."""
+    from magi_etl_spark.operators.readability import readability_scores
+
+    d = load_table(spark, sf_dir, "documents")
+    return readability_scores(d, "doc_id", "text")
+
+
+@ext3_query(
+    "q181_fk_discovery",
+    oracle="""
+    WITH pairs(child, parent) AS (
+        VALUES ('orders.o_custkey', 'customer.c_custkey'),
+               ('lineitem.l_orderkey', 'orders.o_orderkey'),
+               ('lineitem.l_partkey', 'part.p_partkey'),
+               ('events.user_id', 'customer.c_custkey')
+    ),
+    m AS MATERIALIZED (
+        SELECT 'orders.o_custkey' AS child,
+               COUNT(DISTINCT o.o_custkey) AS n_child,
+               COUNT(DISTINCT CASE WHEN c.c_custkey IS NOT NULL
+                     THEN o.o_custkey END) AS n_cont
+        FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+        UNION ALL
+        SELECT 'lineitem.l_orderkey',
+               COUNT(DISTINCT l.l_orderkey),
+               COUNT(DISTINCT CASE WHEN o.o_orderkey IS NOT NULL
+                     THEN l.l_orderkey END)
+        FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+        UNION ALL
+        SELECT 'lineitem.l_partkey',
+               COUNT(DISTINCT l.l_partkey),
+               COUNT(DISTINCT CASE WHEN p.p_partkey IS NOT NULL
+                     THEN l.l_partkey END)
+        FROM lineitem l LEFT JOIN part p ON l.l_partkey = p.p_partkey
+        UNION ALL
+        SELECT 'events.user_id',
+               COUNT(DISTINCT e.user_id),
+               COUNT(DISTINCT CASE WHEN c.c_custkey IS NOT NULL
+                     THEN e.user_id END)
+        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+    ),
+    u AS MATERIALIZED (
+        SELECT 'customer.c_custkey' AS parent,
+               COUNT(c_custkey) = COUNT(DISTINCT c_custkey) AS uq
+        FROM customer
+        UNION ALL
+        SELECT 'orders.o_orderkey',
+               COUNT(o_orderkey) = COUNT(DISTINCT o_orderkey)
+        FROM orders
+        UNION ALL
+        SELECT 'part.p_partkey',
+               COUNT(p_partkey) = COUNT(DISTINCT p_partkey)
+        FROM part
+    )
+    SELECT p.child, p.parent,
+           CAST(m.n_child AS BIGINT) AS n_child_distinct,
+           CAST(m.n_cont AS BIGINT) AS n_contained,
+           ROUND(m.n_cont / CAST(m.n_child AS DOUBLE), 6) AS containment,
+           u.uq AS parent_unique
+    FROM pairs p
+    JOIN m ON p.child = m.child
+    JOIN u ON p.parent = u.parent
+    """,
+)
+def q181_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Foreign-key candidate discovery over the catalog: containment of
+    each child column's distinct value set in its candidate parent,
+    plus parent uniqueness — the inclusion-dependency profile a
+    catalog service proposes joins from.  Three true FKs score 1.0
+    against unique parents; events.user_id -> customer is the
+    deliberate impostor.  One lazy unioned plan, distinct-value
+    shuffles only, nothing collected."""
+    from magi_etl_spark.operators.discovery import discover_fk_candidates
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    events = load_table(spark, sf_dir, "events")
+    return discover_fk_candidates(
+        [
+            ("orders", orders, "o_custkey", "customer", customer, "c_custkey"),
+            ("lineitem", lineitem, "l_orderkey", "orders", orders, "o_orderkey"),
+            ("lineitem", lineitem, "l_partkey", "part", part, "p_partkey"),
+            ("events", events, "user_id", "customer", customer, "c_custkey"),
+        ]
+    )

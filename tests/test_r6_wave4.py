@@ -340,6 +340,58 @@ def test_curation_manifest_recomputes_clusters_within_the_kept_set(spark):
     assert w[100]["cluster_size"] == 1  # the cross-domain copy is gone
 
 
+# --- readability / FK discovery ----------------------------------------------
+
+
+def test_readability_known_values(spark):
+    from magi_etl_spark.operators.readability import readability_scores
+
+    docs = spark.createDataFrame(
+        [
+            (1, "The cat sat. The dog ran!"),  # 6 words, 2 sentences, 6 syl
+            (2, "no punctuation here at all"),  # 1 sentence floor
+            (3, "!!! ???"),  # no words: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in readability_scores(docs).collect()}
+    assert set(out) == {1, 2}
+    r = out[1]
+    assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (6, 2, 6)
+    expected = round(206.835 - 1.015 * 3.0 - 84.6 * 1.0, 6)
+    assert r["flesch_ease"] == expected
+    assert out[2]["n_sentences"] == 1
+
+
+def test_fk_discovery_flags_true_keys_and_impostors(spark, sf_dir):
+    from magi_etl_spark.operators.discovery import discover_fk_candidates
+    from magi_etl_spark.queries.extensions_r6 import EXT3_QUERIES
+
+    rows = {
+        r["child"]: r
+        for r in EXT3_QUERIES["q181_fk_discovery"](spark, sf_dir).collect()
+    }
+    for true_fk in ("orders.o_custkey", "lineitem.l_orderkey",
+                    "lineitem.l_partkey"):
+        assert rows[true_fk]["containment"] == 1.0
+        assert rows[true_fk]["parent_unique"] is True
+
+    # constructed impostor + non-unique parent: the signals separate
+    child = spark.createDataFrame(
+        [(1,), (2,), (3,), (99,), (None,)], "k long"
+    )
+    parent_dup = spark.createDataFrame(
+        [(1,), (1,), (2,), (3,)], "pk long"
+    )
+    out = discover_fk_candidates(
+        [("c", child, "k", "p", parent_dup, "pk")]
+    ).collect()[0]
+    assert out["n_child_distinct"] == 4  # NULL excluded
+    assert out["n_contained"] == 3  # 99 misses
+    assert out["containment"] == 0.75
+    assert out["parent_unique"] is False  # duplicated 1
+
+
 # --- entity resolution capstone ----------------------------------------------
 
 
