@@ -317,6 +317,92 @@ def last_touch_attribution(
     )
 
 
+def multi_touch_attribution(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    lookback_s: int,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution: each
+    conversion's credit is split over its in-lookback touch path —
+    first and last touch get 0.40 each, the interior splits the
+    remaining 0.20 evenly (one touch takes 1.0, two take 0.5 each);
+    conversions with no in-window touch credit the ``'(none)'``
+    channel — the complement of ``last_touch_attribution``'s
+    winner-takes-all rule.
+
+    Returns ``channel, n_touches, credit`` where ``credit`` is the
+    channel's total fractional conversions (rounded to 6; per-credit
+    arithmetic is pure IEEE so the SQL oracle reproduces each term).
+
+    Shape: one reversed per-user window pass assigns every touch its
+    NEXT conversion (no events x events self-join), one per-conversion
+    window ranks the in-window path ends, then a channel-keyed
+    aggregate; an anti-join adds the untouched conversions."""
+    is_conv = F.col(type_col) == conversion_type
+    w_rev = (
+        W.partitionBy(user_col)
+        .orderBy(F.desc(ts_col), F.desc(tiebreak_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    conv_struct = F.when(
+        is_conv,
+        F.struct(F.col(ts_col).alias("at"), F.col(tiebreak_col).alias("cid")),
+    )
+    tagged = df.withColumn(
+        "_conv", F.last(conv_struct, ignorenulls=True).over(w_rev)
+    )
+    touches = tagged.filter(
+        F.col(type_col).isin(*touch_types)
+        & F.col("_conv").isNotNull()
+        & (~is_conv)
+        & (
+            F.col(ts_col)
+            >= F.expr(f"timestampadd(SECOND, -{int(lookback_s)}, _conv.at)")
+        )
+    ).select(
+        F.col("_conv.cid").alias("_cid"),
+        F.col(type_col).alias("channel"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    w_path = W.partitionBy("_cid").orderBy("_ts", "_tb")
+    w_cnt = W.partitionBy("_cid")
+    ranked = touches.select(
+        "_cid",
+        "channel",
+        F.row_number().over(w_path).alias("_pos"),
+        F.count(F.lit(1)).over(w_cnt).alias("_n"),
+    )
+    n = F.col("_n")
+    edge = (F.col("_pos") == 1) | (F.col("_pos") == n)
+    credit = (
+        F.when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.5))
+        .when(edge, F.lit(0.4))
+        .otherwise(F.lit(0.2) / (n - 2).cast("double"))
+    )
+    credited = ranked.select("_cid", "channel", credit.alias("_credit"))
+    convs = df.filter(is_conv).select(F.col(tiebreak_col).alias("_cid"))
+    untouched = convs.join(
+        credited.select("_cid").distinct(), "_cid", "left_anti"
+    ).select(
+        "_cid", F.lit("(none)").alias("channel"), F.lit(1.0).alias("_credit")
+    )
+    return (
+        credited.unionByName(untouched)
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_touches"),
+            F.round(F.sum("_credit"), 6).alias("credit"),
+        )
+    )
+
+
 def top_event_paths(
     df: DataFrame,
     user_col: str = "user_id",

@@ -2650,3 +2650,70 @@ def q181_fk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("events", events, "user_id", "customer", customer, "c_custkey"),
         ]
     )
+
+
+@ext3_query(
+    "q182_multi_touch",
+    oracle="""
+    WITH t AS MATERIALIZED (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                          IGNORE NULLS) OVER w AS conv_at,
+               last_value(CASE WHEN event_type = 'purchase' THEN event_id
+                          END IGNORE NULLS) OVER w AS conv_id
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                     ROWS UNBOUNDED PRECEDING)
+    ),
+    touches AS MATERIALIZED (
+        SELECT conv_id AS cid, event_type AS channel, ts, event_id
+        FROM t
+        WHERE event_type IN ('click', 'view', 'signup')
+          AND conv_id IS NOT NULL
+          AND ts >= conv_at - INTERVAL 3600 SECOND
+    ),
+    ranked AS MATERIALIZED (
+        SELECT cid, channel,
+               ROW_NUMBER() OVER (PARTITION BY cid ORDER BY ts, event_id)
+                   AS pos,
+               COUNT(*) OVER (PARTITION BY cid) AS n
+        FROM touches
+    ),
+    credits AS MATERIALIZED (
+        SELECT cid, channel,
+               CASE WHEN n = 1 THEN CAST(1.0 AS DOUBLE)
+                    WHEN n = 2 THEN CAST(0.5 AS DOUBLE)
+                    WHEN pos = 1 OR pos = n THEN CAST(0.4 AS DOUBLE)
+                    ELSE CAST(0.2 AS DOUBLE) / CAST(n - 2 AS DOUBLE)
+               END AS credit
+        FROM ranked
+    ),
+    untouched AS MATERIALIZED (
+        SELECT e.event_id AS cid, '(none)' AS channel,
+               CAST(1.0 AS DOUBLE) AS credit
+        FROM events e
+        WHERE e.event_type = 'purchase'
+          AND NOT EXISTS (SELECT 1 FROM credits c WHERE c.cid = e.event_id)
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n_touches,
+           ROUND(SUM(credit), 6) AS credit
+    FROM (SELECT * FROM credits UNION ALL SELECT * FROM untouched)
+    GROUP BY channel
+    """,
+)
+def q182_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped) multi-touch attribution over a 1-hour
+    lookback: first and last touch of each conversion's path get 0.40,
+    the interior splits 0.20 — the fractional-credit complement of
+    q148's winner-takes-all.  One reversed per-user window assigns
+    touches their next conversion (no events x events self-join), one
+    per-conversion window ranks path ends, untouched conversions land
+    in '(none)'.  Per-credit arithmetic is pure IEEE; channel sums
+    round to 6."""
+    from magi_etl_spark.operators.behavior import multi_touch_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    return multi_touch_attribution(
+        e, ["click", "view", "signup"], "purchase", 3600
+    )

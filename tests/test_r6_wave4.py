@@ -340,6 +340,51 @@ def test_curation_manifest_recomputes_clusters_within_the_kept_set(spark):
     assert w[100]["cluster_size"] == 1  # the cross-domain copy is gone
 
 
+# --- multi-touch attribution -------------------------------------------------
+
+
+def test_multi_touch_credit_conserves_and_follows_u_shape(spark):
+    import datetime as dt
+
+    from magi_etl_spark.operators.behavior import multi_touch_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: 4 touches then convert -> 0.4/0.2/0.2... wait n=4:
+        # first+last 0.4 each, two interior 0.1 each
+        (1, 1, t0, "click"),
+        (2, 1, t0 + dt.timedelta(minutes=1), "view"),
+        (3, 1, t0 + dt.timedelta(minutes=2), "view"),
+        (4, 1, t0 + dt.timedelta(minutes=3), "signup"),
+        (5, 1, t0 + dt.timedelta(minutes=4), "purchase"),
+        # user 2: lone conversion -> (none)
+        (6, 2, t0, "purchase"),
+        # user 3: one touch -> full credit
+        (7, 3, t0, "view"),
+        (8, 3, t0 + dt.timedelta(minutes=1), "purchase"),
+        # user 4: touch outside the lookback -> (none)
+        (9, 4, t0 - dt.timedelta(hours=3), "click"),
+        (10, 4, t0, "purchase"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["channel"]: r
+        for r in multi_touch_attribution(
+            df, ["click", "view", "signup"], "purchase", 3600
+        ).collect()
+    }
+    # conservation: total credit == number of conversions
+    assert abs(sum(r["credit"] for r in out.values()) - 4.0) < 1e-9
+    # user 1's U-shape: click first 0.4, signup last 0.4, views 0.1+0.1
+    # plus user 3's lone view 1.0
+    assert abs(out["click"]["credit"] - 0.4) < 1e-9
+    assert abs(out["signup"]["credit"] - 0.4) < 1e-9
+    assert abs(out["view"]["credit"] - 1.2) < 1e-9
+    assert out["(none)"]["n_touches"] == 2  # users 2 and 4
+
+
 # --- readability / FK discovery ----------------------------------------------
 
 
