@@ -403,6 +403,155 @@ def multi_touch_attribution(
     )
 
 
+def _journey_transitions(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    tiebreak_col: str,
+) -> DataFrame:
+    """Per-journey transition counts for the Markov attribution model:
+    a journey is a user's touch sequence up to its NEXT conversion
+    (the reversed-window assignment ``multi_touch_attribution`` uses;
+    trailing touches with no later conversion form a null journey).
+    States: ``(start)`` -> first touch, touch -> touch, last touch ->
+    ``(conv)`` or ``(null)``.  One window pass + one keyed count."""
+    is_conv = F.col(type_col) == conversion_type
+    w_rev = (
+        W.partitionBy(user_col)
+        .orderBy(F.desc(ts_col), F.desc(tiebreak_col))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    conv_id = F.when(is_conv, F.col(tiebreak_col))
+    tagged = df.withColumn(
+        "_cid", F.last(conv_id, ignorenulls=True).over(w_rev)
+    )
+    touches = tagged.filter(F.col(type_col).isin(*touch_types)).select(
+        F.col(user_col).alias("_u"),
+        # null journeys share one id per user: tag -1
+        F.coalesce(F.col("_cid"), F.lit(-1)).alias("_jid"),
+        F.col(type_col).alias("_state"),
+        F.col(ts_col).alias("_ts"),
+        F.col(tiebreak_col).alias("_tb"),
+    )
+    w_j = W.partitionBy("_u", "_jid").orderBy("_ts", "_tb")
+    seq = touches.withColumn("_prev", F.lag("_state").over(w_j)).withColumn(
+        "_next", F.lead("_state").over(w_j)
+    )
+    internal = seq.select(
+        F.coalesce(F.col("_prev"), F.lit("(start)")).alias("src"),
+        F.col("_state").alias("dst"),
+    )
+    ends = seq.where(F.col("_next").isNull()).select(
+        F.col("_state").alias("src"),
+        F.when(F.col("_jid") >= 0, F.lit("(conv)"))
+        .otherwise(F.lit("(null)"))
+        .alias("dst"),
+    )
+    # conversions with no touches: (start) -> (conv) directly
+    conv_ids = df.filter(is_conv).select(
+        F.col(user_col).alias("_u"), F.col(tiebreak_col).alias("_jid")
+    )
+    untouched = conv_ids.join(
+        touches.select("_u", "_jid").distinct(), ["_u", "_jid"], "left_anti"
+    ).select(F.lit("(start)").alias("src"), F.lit("(conv)").alias("dst"))
+    return (
+        internal.unionByName(ends)
+        .unionByName(untouched)
+        .groupBy("src", "dst")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def markov_attribution(
+    df: DataFrame,
+    touch_types: list[str],
+    conversion_type: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    n_iter: int = 25,
+) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution — the third leg
+    of the attribution family after last-touch (q148) and U-shaped
+    (q182): build the journey transition chain, compute the absorbing
+    conversion probability from ``(start)``, and credit each channel
+    by its REMOVAL EFFECT — how much the conversion probability drops
+    when the channel's state is deleted (its outgoing mass falls
+    through to ``(null)``; Anderl et al.'s removal-effect model).
+    ``share`` normalizes the effects to 1.
+
+    Scale shape: transition counting is the corpus-scale pass (one
+    window + one keyed count); the chain itself is |channels|+3 states
+    — the solve COLLECTS the tiny matrix and runs ``n_iter`` fixed
+    value-iteration steps per scenario driver-side (the BPE-trainer
+    lesson: never launch a job cascade over a driver-trivial frame).
+    The fixed iteration count makes the arithmetic replayable: a SQL
+    oracle unrolls the same iterations over the same counts.
+
+    Returns ``(channel, removal_effect, share)``, both rounded to 6;
+    ``p_conv`` for the full chain rides every row for reference."""
+    spark = df.sparkSession
+    trans = _journey_transitions(
+        df, touch_types, conversion_type, user_col, ts_col, type_col,
+        tiebreak_col,
+    ).collect()
+    # sorted: summation order inside the solve is then run-independent
+    counts: dict[tuple[str, str], int] = {
+        (r["src"], r["dst"]): int(r["n"])
+        for r in sorted(trans, key=lambda r: (r["src"], r["dst"]))
+    }
+    totals: dict[str, int] = {}
+    for (s, _), n in counts.items():
+        totals[s] = totals.get(s, 0) + n
+
+    def p_conv(removed: str | None) -> float:
+        # removed channel: all its outgoing mass becomes (null) — the
+        # standard removal semantics (visits to it never convert)
+        p: dict[str, float] = {c: 0.0 for c in totals}
+        p["(conv)"], p["(null)"] = 1.0, 0.0
+        for _ in range(n_iter):
+            nxt = {}
+            for s, tot in totals.items():
+                if s == removed:
+                    nxt[s] = 0.0
+                    continue
+                acc = 0.0
+                for (src, dst), n in counts.items():
+                    if src != s:
+                        continue
+                    target = 0.0 if dst == removed else p.get(dst, 0.0)
+                    acc += (n / tot) * target
+                nxt[s] = acc
+            for s, v in nxt.items():
+                p[s] = v
+        return p.get("(start)", 0.0)
+
+    base = p_conv(None)
+    effects = []
+    for c in touch_types:
+        pc = p_conv(c)
+        effects.append((c, 1.0 - (pc / base) if base > 0 else 0.0))
+    total_eff = sum(e for _, e in effects)
+    rows = [
+        (
+            c,
+            round(e, 6),
+            round(e / total_eff, 6) if total_eff > 0 else None,
+            round(base, 6),
+        )
+        for c, e in effects
+    ]
+    return spark.createDataFrame(
+        rows,
+        "channel string, removal_effect double, share double, "
+        "p_conv double",
+    )
+
+
 def top_event_paths(
     df: DataFrame,
     user_col: str = "user_id",

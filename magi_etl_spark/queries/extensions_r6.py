@@ -2717,3 +2717,128 @@ def q182_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multi_touch_attribution(
         e, ["click", "view", "signup"], "purchase", 3600
     )
+
+
+_Q183_CHANNELS = ["click", "view", "signup"]
+_Q183_ITERS = 25
+
+
+def _q183_scenario_ctes(tag: str, removed: str) -> str:
+    """The unrolled value-iteration CTE chain for one removal scenario
+    (``removed`` = a channel name, or a token matching no state for
+    the base chain).  MATERIALIZED per step — without it DuckDB
+    re-inlines each step into the next and the plan explodes."""
+    blocks = [
+        f"""
+    p0_{tag} AS MATERIALIZED (
+        SELECT src AS state, CAST(0.0 AS DOUBLE) AS p FROM tot
+    )"""
+    ]
+    for k in range(1, _Q183_ITERS + 1):
+        blocks.append(
+            f"""
+    p{k}_{tag} AS MATERIALIZED (
+        SELECT t.src AS state,
+               SUM(CASE WHEN t.src = '{removed}' THEN CAST(0.0 AS DOUBLE)
+                   ELSE (t.n / o.tot) *
+                        (CASE WHEN t.dst = '(conv)' THEN CAST(1.0 AS DOUBLE)
+                              WHEN t.dst = '(null)' THEN CAST(0.0 AS DOUBLE)
+                              WHEN t.dst = '{removed}'
+                                  THEN CAST(0.0 AS DOUBLE)
+                              ELSE COALESCE(p.p, CAST(0.0 AS DOUBLE)) END)
+                   END) AS p
+        FROM trans t JOIN tot o ON t.src = o.src
+        LEFT JOIN p{k - 1}_{tag} p ON t.dst = p.state
+        GROUP BY t.src
+    )"""
+        )
+    return ",".join(blocks)
+
+
+def _q183_oracle() -> str:
+    chans = _Q183_CHANNELS
+    in_list = ", ".join(f"'{c}'" for c in chans)
+    scen = [_q183_scenario_ctes("base", "(no-removal)")]
+    for i, c in enumerate(chans):
+        scen.append(_q183_scenario_ctes(f"r{i}", c))
+    final_k = _Q183_ITERS
+    eff_rows = "\n        UNION ALL\n".join(
+        f"""        SELECT '{c}' AS channel,
+               1.0 - (SELECT p FROM p{final_k}_r{i}
+                      WHERE state = '(start)')
+                   / (SELECT p FROM p{final_k}_base
+                      WHERE state = '(start)') AS eff"""
+        for i, c in enumerate(chans)
+    )
+    return f"""
+    WITH t AS MATERIALIZED (
+        SELECT user_id, ts, event_id, event_type,
+               last_value(CASE WHEN event_type = 'purchase' THEN event_id
+                          END IGNORE NULLS)
+                   OVER (PARTITION BY user_id
+                         ORDER BY ts DESC, event_id DESC
+                         ROWS UNBOUNDED PRECEDING) AS cid
+        FROM events
+    ),
+    touches AS MATERIALIZED (
+        SELECT user_id AS u, COALESCE(cid, -1) AS jid,
+               event_type AS state, ts, event_id
+        FROM t WHERE event_type IN ({in_list})
+    ),
+    seq AS MATERIALIZED (
+        SELECT u, jid, state,
+               lag(state) OVER w AS prev, lead(state) OVER w AS nxt
+        FROM touches
+        WINDOW w AS (PARTITION BY u, jid ORDER BY ts, event_id)
+    ),
+    trans AS MATERIALIZED (
+        SELECT src, dst, CAST(COUNT(*) AS DOUBLE) AS n FROM (
+            SELECT COALESCE(prev, '(start)') AS src, state AS dst FROM seq
+            UNION ALL
+            SELECT state,
+                   CASE WHEN jid >= 0 THEN '(conv)' ELSE '(null)' END
+            FROM seq WHERE nxt IS NULL
+            UNION ALL
+            SELECT '(start)', '(conv)' FROM events e
+            WHERE e.event_type = 'purchase'
+              AND NOT EXISTS (SELECT 1 FROM touches x
+                              WHERE x.u = e.user_id
+                                AND x.jid = e.event_id)
+        ) GROUP BY 1, 2
+    ),
+    tot AS MATERIALIZED (
+        SELECT src, SUM(n) AS tot FROM trans GROUP BY 1
+    ),{",".join(scen)},
+    effects AS MATERIALIZED (
+{eff_rows}
+    ),
+    total_eff AS MATERIALIZED (
+        SELECT SUM(eff) AS s FROM effects
+    )
+    SELECT e.channel,
+           ROUND(e.eff, 6) AS removal_effect,
+           ROUND(e.eff / t.s, 6) AS share,
+           ROUND((SELECT p FROM p{final_k}_base WHERE state = '(start)'),
+                 6) AS p_conv
+    FROM effects e CROSS JOIN total_eff t
+    """
+
+
+@ext3_query("q183_markov_attribution", oracle=_q183_oracle())
+def q183_markov_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-driven (Markov removal-effect) attribution — the third leg
+    of the attribution family (winner-takes-all q148, heuristic
+    U-shape q182, model-based here): per-journey transition counts
+    (one window pass + one keyed count — the corpus-scale part), then
+    the absorbing conversion probability from '(start)' under 25
+    fixed value-iteration steps, re-solved with each channel removed.
+    The chain is |channels|+3 states, so the solve rides the COLLECTED
+    count table driver-side (the BPE-trainer lesson); the oracle
+    unrolls the identical 25 iterations per scenario as MATERIALIZED
+    CTEs."""
+    from magi_etl_spark.operators.behavior import markov_attribution
+
+    e = load_table(spark, sf_dir, "events")
+    return markov_attribution(
+        e, list(_Q183_CHANNELS), "purchase", n_iter=_Q183_ITERS
+    )

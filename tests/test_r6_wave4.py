@@ -385,6 +385,33 @@ def test_multi_touch_credit_conserves_and_follows_u_shape(spark):
     assert out["(none)"]["n_touches"] == 2  # users 2 and 4
 
 
+def test_markov_attribution_hand_solvable_chain(spark):
+    import datetime as dt
+
+    from magi_etl_spark.operators.behavior import markov_attribution
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = []
+    eid = 0
+    for u in (1, 2, 3):  # three click->purchase journeys
+        rows.append((eid, u, t0, "click")); eid += 1
+        rows.append((eid, u, t0 + dt.timedelta(minutes=1), "purchase")); eid += 1
+    rows.append((eid, 4, t0, "view")); eid += 1  # one view->null journey
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string"
+    )
+    out = {
+        r["channel"]: r
+        for r in markov_attribution(df, ["click", "view"], "purchase").collect()
+    }
+    # chain: start->click 3/4, start->view 1/4; click->conv 1; view->null 1
+    # p_conv(start) = 0.75; removing click zeroes it; removing view: 0.75
+    assert out["click"]["p_conv"] == 0.75
+    assert out["click"]["removal_effect"] == 1.0
+    assert out["view"]["removal_effect"] == 0.0
+    assert out["click"]["share"] == 1.0 and out["view"]["share"] == 0.0
+
+
 # --- readability / FK discovery ----------------------------------------------
 
 
