@@ -1,0 +1,97 @@
+"""k-core decomposition by iterative peeling.
+
+Completes the graph family (connected components, PageRank,
+personalized PageRank, triangle counting): the k-core is the maximal
+subgraph where every vertex keeps degree >= k — the standard "dense
+cohesive community" extraction, and (via peeling order) the basis of
+degeneracy ordering.
+
+Algorithm: repeatedly drop vertices with current degree < k and the
+edges touching them, until a fixed point (or the iteration cap — the
+cap keeps driver-side planning bounded and lets a SQL oracle unroll the
+same number of steps; convergence is reported so callers can see
+whether the cap bound).  Each round is exactly one keyed degree
+aggregate + one semi-join edge filter, with an eager localCheckpoint
+truncating lineage (the PageRank idiom) — per-round cost is linear in
+surviving edges, zero driver work beyond the loop counter.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Canonicalize to distinct undirected edges src < dst."""
+    e = pairs.select(
+        F.least(F.col(src), F.col(dst)).alias("a"),
+        F.greatest(F.col(src), F.col(dst)).alias("b"),
+    )
+    return e.where(F.col("a") != F.col("b")).distinct()
+
+
+def k_core(
+    edges: DataFrame,
+    k: int,
+    max_iters: int = 8,
+) -> DataFrame:
+    """Vertices of the k-core after at most ``max_iters`` peeling
+    rounds: ``vertex, degree`` (degree within the surviving subgraph).
+
+    ``edges`` must be canonical undirected (``a < b``, distinct — see
+    :func:`undirected_edges`).  With ``max_iters`` rounds the result is
+    exact whenever the peel converges earlier (typical for small k);
+    the matching oracle unrolls the identical rounds, so the contract
+    is deterministic either way.
+    """
+    e = edges.localCheckpoint(eager=True)
+    for _ in range(max_iters):
+        deg = (
+            e.select(F.col("a").alias("v"))
+            .unionAll(e.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.where(F.col("deg") >= k).select("v")
+        e = (
+            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.select(F.col("a").alias("vertex"))
+        .unionAll(e.select(F.col("b").alias("vertex")))
+        .groupBy("vertex")
+        .agg(F.count("*").alias("degree"))
+        .where(F.col("degree") >= k)
+    )
+
+
+def kcore_oracle_sql(edges_cte: str, k: int, max_iters: int = 8) -> str:
+    """The unrolled peeling oracle: ``edges_cte`` must define a CTE body
+    producing canonical undirected edges ``(a, b)``.  Returns a full
+    SELECT whose output matches :func:`k_core` (vertex, degree)."""
+    parts = [f"e0 AS MATERIALIZED ({edges_cte})"]
+    for i in range(max_iters):
+        parts.append(
+            f"""d{i} AS (
+        SELECT v, COUNT(*) AS deg FROM (
+            SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i}
+        ) GROUP BY v
+    )"""
+        )
+        parts.append(
+            f"""e{i + 1} AS MATERIALIZED (
+        SELECT e.a, e.b FROM e{i} e
+        JOIN d{i} da ON da.v = e.a AND da.deg >= {k}
+        JOIN d{i} db ON db.v = e.b AND db.deg >= {k}
+    )"""
+        )
+    n = max_iters
+    return f"""
+    WITH {",".join(parts)}
+    SELECT v AS vertex, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+        SELECT a AS v FROM e{n} UNION ALL SELECT b AS v FROM e{n}
+    ) GROUP BY v HAVING COUNT(*) >= {k}
+    """

@@ -1,0 +1,146 @@
+"""Exact set-similarity join by prefix filtering (the PPJoin/AllPairs
+family, Chaudhuri-Ganti-Kaushik ICDE'06 / Xiao et al. WWW'08).
+
+The LSH family (operators/dedup.py) answers similarity joins
+APPROXIMATELY; this operator is the EXACT counterpart: every document
+pair with token-set Jaccard >= t, no false negatives, no all-pairs
+scan.  The filter that makes it scale: order each document's tokens by
+ascending global document frequency (rarest first, unique tie-break on
+the token), and emit only the first ``|set| - ceil(t*|set|) + 1``
+tokens as join keys — two sets with Jaccard >= t MUST share a prefix
+token (pigeonhole on the overlap bound), and prefixes are dominated by
+RARE tokens, so the candidate join fans out far less than a full
+token-postings join.  Candidates are then verified with one exact
+intersection count; for rational thresholds the accept test is pure
+integer arithmetic (``inter * q >= union * p`` for t = p/q).
+
+Scale shape: one df aggregate (vocabulary-sized), per-document rank
+windows (keyed by doc), a prefix-token equi-join whose per-key fan-out
+the frequency ordering minimizes, and one keyed verification join.
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+
+def token_sets(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Distinct lowercase word tokens per document: ``doc_id, tok``."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("tok"),
+    ).distinct()
+
+
+def shingle_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Distinct k-token shingles per document: ``doc_id, tok`` where
+    ``tok`` is the space-joined k-gram.  Shingle document frequencies
+    are low (unlike word tokens, whose stopword postings explode any
+    token-equality join), so shingle sets are the right element domain
+    for an exact similarity join at scale."""
+    from pyspark.sql import Window as PW
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "tok"),
+    )
+    byw = PW.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(byw) for i in range(1, k)]
+    return (
+        toks.select(
+            "doc_id",
+            F.concat_ws(" ", *leads).alias("tok"),
+            F.lead("tok", k - 1).over(byw).isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .select("doc_id", "tok")
+        .distinct()
+    )
+
+
+def similarity_join(
+    sets: DataFrame,
+    threshold: Fraction = Fraction(1, 2),
+) -> DataFrame:
+    """All pairs ``doc_a < doc_b`` with ``|A ∩ B| / |A ∪ B| >=
+    threshold``, found via prefix filtering and verified exactly.
+    Returns ``doc_a, doc_b, inter_size, union_size`` (the similarity as
+    an exact integer ratio — no float in the output).
+
+    ``threshold`` must be a Fraction so the verification stays integer:
+    accept iff ``inter * q >= (sa + sb - inter) * p`` for t = p/q.
+    """
+    p, q = threshold.numerator, threshold.denominator
+    df_tok = sets.groupBy("tok").agg(F.count("*").alias("_df"))
+    sizes = sets.groupBy("doc_id").agg(F.count("*").alias("_sz"))
+    ranked = (
+        sets.join(df_tok, "tok")
+        .withColumn(
+            "_rk",
+            F.row_number().over(
+                W.partitionBy("doc_id").orderBy("_df", "tok")
+            ),
+        )
+        .join(sizes, "doc_id")
+    )
+    # prefix length L = sz - ceil(t*sz) + 1; ceil(p*sz/q) = (p*sz+q-1) DIV q
+    prefix = ranked.where(
+        F.col("_rk")
+        <= F.col("_sz") - F.expr(f"({p} * _sz + {q - 1}) DIV {q}") + 1
+    ).select("doc_id", "tok", "_sz")
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: t*|A| <= |B| <= |A|/t (A the smaller side)
+            & (F.col("b._sz") * q >= F.col("a._sz") * p)
+            & (F.col("a._sz") * q >= F.col("b._sz") * p),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("tok"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("tok"))
+    inter = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("inter_size"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("_sz").alias("_sa"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("_sz").alias("_sb"))
+    return (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .withColumn(
+            "union_size", F.col("_sa") + F.col("_sb") - F.col("inter_size")
+        )
+        .where(F.col("inter_size") * q >= F.col("union_size") * p)
+        .select("doc_a", "doc_b", "inter_size", "union_size")
+    )

@@ -357,3 +357,446 @@ def q190_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source"
     )
     return quota_sample(docs, ["lang", "source"], "doc_id", 500)
+
+
+# --- sequential series state machines ---------------------------------------
+
+
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (event_type, day): integer cent total of event values — the
+    shared all-integer series the recursion queries scan."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+
+
+_DAILY_CENTS_SQL = """
+        SELECT event_type AS series, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+"""
+
+
+@ext4_query(
+    "q191_cusum_alarms",
+    oracle=f"""
+    WITH RECURSIVE d AS ({_DAILY_CENTS_SQL}),
+    o AS (
+        SELECT series, day, x,
+               ROW_NUMBER() OVER (PARTITION BY series ORDER BY day) AS i
+        FROM d
+    ),
+    p AS (
+        SELECT series, SUM(x) // COUNT(*) AS k FROM d GROUP BY series
+    ),
+    hh AS (
+        SELECT d.series, SUM(ABS(d.x - p.k)) // COUNT(*) * 5 AS h
+        FROM d JOIN p USING (series) GROUP BY d.series
+    ),
+    r AS (
+        SELECT o.series, o.day, o.x, o.i,
+               GREATEST(0, o.x - p.k) AS sp,
+               GREATEST(0, p.k - o.x) AS sn
+        FROM o JOIN p USING (series) WHERE o.i = 1
+        UNION ALL
+        SELECT o.series, o.day, o.x, o.i,
+               GREATEST(0, r.sp + o.x - p.k),
+               GREATEST(0, r.sn + p.k - o.x)
+        FROM r JOIN o ON o.series = r.series AND o.i = r.i + 1
+               JOIN p ON p.series = o.series
+    )
+    SELECT r.series, r.day, r.x,
+           CAST(r.sp AS BIGINT) AS cusum_pos,
+           CAST(r.sn AS BIGINT) AS cusum_neg,
+           CAST(CASE WHEN r.sp > hh.h OR r.sn > hh.h
+                     THEN 1 ELSE 0 END AS INT) AS alarm
+    FROM r JOIN hh USING (series)
+    """,
+)
+def q191_cusum_alarms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint profile over per-series daily cent
+    totals: integer drift allowance (floor-mean), integer threshold
+    (5x mean absolute deviation), all-integer state — the sequential
+    per-series scan runs in applyInPandas (parallel ACROSS series, the
+    correct shape for millions of series), and the oracle replays the
+    recursion as a recursive CTE."""
+    from magi_etl_spark.operators.changepoint import cusum_profile
+
+    return cusum_profile(_daily_cents(spark, sf_dir), "series", "day", "x")
+
+
+@ext4_query(
+    "q192_holt_smoothing",
+    oracle=f"""
+    WITH RECURSIVE d AS ({_DAILY_CENTS_SQL}),
+    o AS (
+        SELECT series, day, x,
+               ROW_NUMBER() OVER (PARTITION BY series ORDER BY day) AS i
+        FROM d
+    ),
+    r AS (
+        SELECT series, day, x, i,
+               CAST(x AS DOUBLE) AS level,
+               CAST(0.0 AS DOUBLE) AS trend
+        FROM o WHERE i = 1
+        UNION ALL
+        SELECT o.series, o.day, o.x, o.i,
+               0.5 * CAST(o.x AS DOUBLE) + 0.5 * (r.level + r.trend),
+               0.5 * ((0.5 * CAST(o.x AS DOUBLE)
+                       + 0.5 * (r.level + r.trend)) - r.level)
+               + 0.5 * r.trend
+        FROM r JOIN o ON o.series = r.series AND o.i = r.i + 1
+    )
+    SELECT series, day, x,
+           ROUND(level, 4) AS level, ROUND(trend, 4) AS trend
+    FROM r
+    """,
+)
+def q192_holt_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear smoothing (alpha = beta = 0.5) of the daily cent
+    series.  Multiplying by 0.5 is IEEE-exact and addition rounds
+    identically in every IEEE-754 engine, so the Spark (Arrow float64)
+    and oracle (recursive-CTE double) trajectories are bit-identical —
+    the 4 dp rounding is presentation, not tolerance."""
+    from magi_etl_spark.operators.changepoint import holt_smooth
+
+    return holt_smooth(_daily_cents(spark, sf_dir), "series", "day", "x")
+
+
+# --- winnowing fingerprints (MOSS) ------------------------------------------
+
+_WINNOW_SEL_SQL = """
+    toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM documents
+    ),
+    grams AS MATERIALIZED (
+        SELECT doc_id, CAST(j - 1 AS BIGINT) AS pos,
+               CAST(concat('0x', substr(md5(concat('win|',
+                    tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2])), 1, 8))
+                    AS BIGINT) AS h
+        FROM toks, LATERAL unnest(range(1, len(tk) - 1)) AS t(j)
+    ),
+    win AS (
+        SELECT doc_id,
+               MIN({'h': h, 'np': -pos})
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+               COUNT(*)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n
+        FROM grams
+    ),
+    sel AS (
+        SELECT DISTINCT doc_id, -(m.np) AS pos, m.h AS h
+        FROM win WHERE n = 4
+    )
+"""
+
+
+@ext4_query(
+    "q193_winnow_profile",
+    oracle=f"""
+    WITH {_WINNOW_SEL_SQL}
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_fingerprints,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hashes,
+           CAST(MIN(h) AS BIGINT) AS min_hash
+    FROM sel GROUP BY doc_id
+    """,
+)
+def q193_winnow_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint profile per document (MOSS, k=3 / w=4):
+    rightmost-minimal gram hash per sliding window, expressed as one
+    lexicographic min(struct(hash, -pos)) window aggregate that the
+    oracle replays verbatim — selection positions and hashes are
+    hash-checked via count/distinct/min."""
+    from magi_etl_spark.operators.winnow import winnow_fingerprints
+
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    return fps.groupBy("doc_id").agg(
+        F.count("*").alias("n_fingerprints"),
+        F.count_distinct("fp_hash").alias("n_hashes"),
+        F.min("fp_hash").alias("min_hash"),
+    )
+
+
+@ext4_query(
+    "q194_winnow_pairs",
+    oracle=f"""
+    WITH {_WINNOW_SEL_SQL},
+    fsets AS (SELECT DISTINCT doc_id, h FROM sel)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_fps
+    FROM fsets a JOIN fsets b
+      ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def q194_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing >= 2 winnowing fingerprints — the
+    shared-passage (plagiarism / boilerplate-reuse) detector.  The
+    coverage guarantee makes any shared run of w+k-1 = 6 tokens produce
+    a shared fingerprint; candidate generation joins on the fingerprint
+    hash itself, never all-pairs."""
+    from magi_etl_spark.operators.winnow import (
+        fingerprint_pairs,
+        winnow_fingerprints,
+    )
+
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    return fingerprint_pairs(fps, min_shared=2)
+
+
+# --- exact set-similarity join (prefix filtering) ---------------------------
+
+
+@ext4_query(
+    "q195_similarity_join",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM documents
+    ),
+    s AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2] AS tok
+        FROM toks, LATERAL unnest(range(1, len(tk) - 1)) AS t(j)
+    ),
+    sz AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM s GROUP BY doc_id
+    ),
+    inter AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter_size
+        FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT i.doc_a, i.doc_b, i.inter_size,
+           za.sz + zb.sz - i.inter_size AS union_size
+    FROM inter i
+    JOIN sz za ON za.doc_id = i.doc_a
+    JOIN sz zb ON zb.doc_id = i.doc_b
+    WHERE i.inter_size * 2 >= za.sz + zb.sz - i.inter_size
+    """,
+)
+def q195_similarity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT shingle-set similarity join at Jaccard >= 1/2 by prefix
+    filtering (PPJoin family): rare-first global-frequency token order,
+    pigeonhole-lossless prefix candidates, integer-arithmetic
+    verification (inter * 2 >= union).  The oracle is the all-pairs
+    scan the prefix filter provably equals; the output similarity is an
+    exact integer ratio."""
+    from fractions import Fraction
+
+    from magi_etl_spark.operators.setjoin import shingle_sets, similarity_join
+
+    sets = shingle_sets(load_table(spark, sf_dir, "documents"))
+    return similarity_join(sets, Fraction(1, 2))
+
+
+# --- character-class text diagnostics ---------------------------------------
+
+
+@ext4_query(
+    "q196_script_profile",
+    oracle="""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(length(text) - length(regexp_replace(text, '[A-Za-z]',
+                '', 'g')) AS BIGINT) AS n_ascii_alpha,
+           CAST(length(text) - length(regexp_replace(text, '[0-9]',
+                '', 'g')) AS BIGINT) AS n_digit,
+           CAST(length(text) - length(regexp_replace(text, '[ \\t\\n\\r]',
+                '', 'g')) AS BIGINT) AS n_ws,
+           CAST(length(text) - length(regexp_replace(text,
+                '[^\\x00-\\x7F]', '', 'g')) AS BIGINT) AS n_non_ascii,
+           CAST(length(text) - length(replace(text, chr(65533), ''))
+                AS BIGINT) AS n_replacement,
+           CAST(length(text) - length(replace(text, chr(195), ''))
+                AS BIGINT) AS n_mojibake_marker,
+           ROUND(CAST(length(text) - length(regexp_replace(text,
+                     '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                 / GREATEST(length(text), 1), 4) AS non_ascii_ratio
+    FROM documents
+    """,
+)
+def q196_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-class composition + encoding-damage markers per
+    document: ASCII letters/digits/whitespace, non-ASCII count and
+    ratio, U+FFFD replacement characters, and the UTF-8-as-Latin-1
+    mojibake signature (U+00C3) — the standard drop/route signals of
+    web-corpus curation, as pure scalar column expressions."""
+    from magi_etl_spark.operators.textsignals import script_profile
+
+    return script_profile(load_table(spark, sf_dir, "documents"))
+
+
+@ext4_query(
+    "q197_extract_summary",
+    oracle="""
+    WITH base AS MATERIALIZED (
+        SELECT doc_id, string_split_regex(text, '\\. ') AS arr
+        FROM documents
+    ),
+    sents AS MATERIALIZED (
+        SELECT doc_id, CAST(j - 1 AS INT) AS sent_pos, arr[j] AS sentence
+        FROM base, LATERAL unnest(range(1, len(arr) + 1)) AS t(j)
+        WHERE length(trim(arr[j])) > 0
+    ),
+    stoks AS MATERIALIZED (
+        SELECT s.doc_id, s.sent_pos, u.tok
+        FROM sents s,
+             LATERAL unnest(regexp_extract_all(lower(s.sentence),
+                                               '[a-z0-9]+')) AS u(tok)
+    ),
+    tf AS (
+        SELECT doc_id, tok, COUNT(*) AS tf FROM stoks GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT st.doc_id, st.sent_pos, CAST(SUM(tf.tf) AS BIGINT) AS score
+        FROM stoks st
+        JOIN tf ON tf.doc_id = st.doc_id AND tf.tok = st.tok
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT sc.doc_id, sc.sent_pos, sc.score, se.sentence,
+               ROW_NUMBER() OVER (PARTITION BY sc.doc_id
+                                  ORDER BY sc.score DESC,
+                                           sc.sent_pos ASC) AS rn
+        FROM scored sc JOIN sents se USING (doc_id, sent_pos)
+    )
+    SELECT doc_id, sent_pos, score, sentence FROM ranked WHERE rn <= 2
+    """,
+)
+def q197_extract_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic extractive summary: top-2 sentences per document
+    by integer TF weight (sentence score = sum of its token
+    occurrences' within-document frequencies), ranked (score DESC,
+    position ASC) — every comparison on exact integers."""
+    from magi_etl_spark.operators.textsignals import extractive_summary
+
+    return extractive_summary(load_table(spark, sf_dir, "documents"))
+
+
+# --- event-time dimension conformance ---------------------------------------
+
+
+@ext4_query(
+    "q198_asof_enrichment",
+    oracle="""
+    WITH dim AS MATERIALIZED (
+        SELECT o_custkey AS custkey, o_orderdate AS valid_from,
+               o_orderkey AS version_key, o_orderpriority AS priority
+        FROM orders
+    ),
+    f AS MATERIALIZED (
+        SELECT l.l_orderkey, l.l_linenumber, o.o_custkey AS custkey,
+               l.l_shipdate, l.l_extendedprice
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    ranked AS (
+        SELECT f.l_shipdate, f.l_extendedprice, d.priority,
+               ROW_NUMBER() OVER (
+                   PARTITION BY f.l_orderkey, f.l_linenumber, f.custkey,
+                                f.l_shipdate, f.l_extendedprice
+                   ORDER BY d.valid_from DESC, d.version_key DESC) AS rn
+        FROM f LEFT JOIN dim d
+          ON d.custkey = f.custkey AND d.valid_from <= f.l_shipdate
+    )
+    SELECT COALESCE(priority, 'NONE') AS priority,
+           CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM ranked WHERE rn = 1
+    GROUP BY 1, 2
+    """,
+)
+def q198_asof_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time SCD2 enrichment: every lineitem picks the customer
+    priority version in force ON ITS SHIP DATE (as-of argmax over
+    (valid_from, version_key) — deterministic under same-day
+    re-versioning), then rolls up cents by (as-of priority, ship
+    month).  The join is keyed on the business key with a bounded
+    versions-per-key fan-out — no range explode, no fact-stream
+    window."""
+    from magi_etl_spark.operators.dimjoin import (
+        asof_dimension_join,
+        priority_dimension_from_orders,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    facts = li.join(
+        orders.select("o_orderkey", "o_custkey"),
+        li.l_orderkey == orders.o_orderkey,
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("o_custkey").alias("custkey"),
+        "l_shipdate",
+        "l_extendedprice",
+    )
+    enriched = asof_dimension_join(
+        facts,
+        priority_dimension_from_orders(orders),
+        key="custkey",
+        fact_time="l_shipdate",
+        attrs=["priority"],
+    )
+    return enriched.groupBy(
+        F.coalesce("asof_priority", F.lit("NONE")).alias("priority"),
+        F.to_date(F.date_trunc("month", "l_shipdate")).alias("month"),
+    ).agg(
+        F.count("*").alias("n_items"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+
+
+# --- k-core decomposition ----------------------------------------------------
+
+_SUPPLIER_EDGES_SQL = """
+        SELECT DISTINCT LEAST(x.l_suppkey, y.l_suppkey) AS a,
+                        GREATEST(x.l_suppkey, y.l_suppkey) AS b
+        FROM lineitem x JOIN lineitem y
+          ON x.l_orderkey = y.l_orderkey AND x.l_suppkey < y.l_suppkey
+"""
+
+
+def _kcore_oracle() -> str:
+    from magi_etl_spark.operators.kcore import kcore_oracle_sql
+
+    return kcore_oracle_sql(_SUPPLIER_EDGES_SQL, k=3, max_iters=8)
+
+
+@ext4_query("q199_kcore")
+def q199_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the supplier co-order graph (suppliers are adjacent
+    when they serve the same order) after 8 peeling rounds — each round
+    one degree aggregate + one semi-join edge filter with an eager
+    localCheckpoint (the PageRank lineage idiom).  The oracle unrolls
+    the identical 8 rounds as chained CTEs."""
+    from magi_etl_spark.operators.kcore import k_core, undirected_edges
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    ).distinct()
+    a = li.alias("x")
+    b = li.alias("y")
+    pairs = a.join(
+        b,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+    ).select(
+        F.col("x.l_suppkey").alias("s1"), F.col("y.l_suppkey").alias("s2")
+    )
+    edges = undirected_edges(pairs, "s1", "s2")
+    return k_core(edges, k=3, max_iters=8)
+
+
+EXT4_ORACLE["q199_kcore"] = _kcore_oracle()
