@@ -1,0 +1,123 @@
+"""Storage-layout pruning: file-level min/max data skipping and
+dynamic partition pruning (DPP).
+
+The z-order family (operators/zorder.py, q85) proved footer-stats
+pruning for multi-column predicates; these two operators complete the
+layout toolbox with the single-column workhorses every lakehouse table
+format (Delta / Iceberg / Hudi) is built on:
+
+- ``write_with_stats`` / ``pruned_read`` — range-partition a table on
+  a sort key into N files and keep a min/max STATS SIDECAR per file
+  (the manifest idiom).  A range predicate then opens ONLY the files
+  whose [min, max] interval overlaps the query range — at 100 TB this
+  is the difference between scanning a shard and scanning the lake.
+  The pruning decision happens on the sidecar (a tiny JSON manifest),
+  not by listing data; correctness does not depend on it (the exact
+  predicate is re-applied after the file cut, so a stale-but-superset
+  manifest still returns exact results).
+- ``dpp_join`` — the runtime counterpart: a directory-partitioned fact
+  joined to a filtered dimension lets Spark inject the dim's key set
+  into the fact scan's PartitionFilters at RUNTIME (the
+  ``dynamicpruning#`` subquery).  ``dpp_plan`` exposes the compiled
+  plan so callers (and the gate query) can assert the injection
+  actually happened.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_with_stats(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    n_files: int = 8,
+) -> dict:
+    """Write ``df`` range-partitioned on ``sort_col`` into ``n_files``
+    parquet files plus a ``_stats.json`` sidecar recording each file's
+    min/max of the sort key.  Returns the manifest."""
+    (
+        df.repartitionByRange(n_files, F.col(sort_col))
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    back = df.sparkSession.read.parquet(path)
+    stats = (
+        back.groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.min(sort_col).alias("lo"),
+            F.max(sort_col).alias("hi"),
+            F.count("*").alias("rows"),
+        )
+        .collect()
+    )
+    manifest = {
+        "sort_col": sort_col,
+        "files": [
+            {"file": r.file, "lo": str(r.lo), "hi": str(r.hi), "rows": r.rows}
+            for r in stats
+        ],
+    }
+    with open(os.path.join(path, "_stats.json"), "w") as f:
+        json.dump(manifest, f)
+    return manifest
+
+
+def pruned_read(
+    spark: SparkSession,
+    path: str,
+    lo: str,
+    hi: str,
+) -> tuple[DataFrame, int, int]:
+    """Read only the files whose [min, max] overlaps ``[lo, hi]`` (string
+    comparison on the sidecar's stringified bounds — callers use
+    ISO-sortable keys), then re-apply the exact predicate.  Returns
+    ``(frame, n_files_read, n_files_total)``."""
+    with open(os.path.join(path, "_stats.json")) as f:
+        manifest = json.load(f)
+    keep = [
+        e["file"]
+        for e in manifest["files"]
+        if not (e["hi"] < lo or e["lo"] > hi)
+    ]
+    total = len(manifest["files"])
+    sc = manifest["sort_col"]
+    df = spark.read.parquet(*keep) if keep else spark.read.parquet(path).limit(0)
+    return (
+        df.where(
+            (F.col(sc).cast("string") >= lo) & (F.col(sc).cast("string") <= hi)
+        ),
+        len(keep),
+        total,
+    )
+
+
+def write_partitioned_fact(
+    df: DataFrame, path: str, part_col: str
+) -> None:
+    """Directory-partition ``df`` by ``part_col`` (the DPP layout)."""
+    df.write.mode("overwrite").partitionBy(part_col).parquet(path)
+
+
+def dpp_join(
+    spark: SparkSession,
+    fact_path: str,
+    dim: DataFrame,
+    part_col: str,
+) -> DataFrame:
+    """Join the directory-partitioned fact to a (small, filtered)
+    dimension on the partition column — the shape that lets Spark
+    inject a runtime ``dynamicpruning#`` subquery into the fact scan's
+    PartitionFilters, so only matching partition directories are read."""
+    fact = spark.read.parquet(fact_path)
+    return fact.join(F.broadcast(dim), part_col)
+
+
+def dpp_plan(df: DataFrame) -> str:
+    """The compiled physical plan string (for pruning assertions)."""
+    return df._jdf.queryExecution().executedPlan().toString()

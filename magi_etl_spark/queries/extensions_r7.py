@@ -800,3 +800,117 @@ def q199_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXT4_ORACLE["q199_kcore"] = _kcore_oracle()
+
+
+# --- storage-layout pruning --------------------------------------------------
+
+
+@ext4_query(
+    "q200_data_skipping",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM orders
+    WHERE strftime(o_orderdate, '%Y-%m-%d') >= '1997-01-01'
+      AND strftime(o_orderdate, '%Y-%m-%d') <= '1997-12-31'
+    GROUP BY o_orderpriority
+    """,
+)
+def q200_data_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-level min/max data skipping, gate-shaped: orders are
+    range-partitioned on the ISO order-day into 8 parquet files with a
+    min/max sidecar manifest; a one-year predicate then opens ONLY the
+    overlapping files — asserted in-query (files_read strictly less
+    than files_total; the year is ~1/7 of the key span).  The exact
+    predicate is re-applied after the file cut, and the oracle is the
+    plain full-scan filter — a green row certifies the pruned read
+    loses nothing."""
+    import os
+    import tempfile
+
+    from magi_etl_spark.operators.skipping import pruned_read, write_with_stats
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "od", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    root = tempfile.mkdtemp(prefix="magi_skip_")
+    path = os.path.join(root, "orders_by_day")
+    write_with_stats(orders, path, "od", n_files=8)
+    df, n_read, n_total = pruned_read(
+        spark, path, "1997-01-01", "1997-12-31"
+    )
+    assert 0 < n_read < n_total, (n_read, n_total)
+    return df.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias(
+            "cents"
+        ),
+    )
+
+
+@ext4_query(
+    "q201_dynamic_partition_pruning",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS t, CAST(COUNT(*) AS BIGINT) AS nd
+        FROM daily
+    ),
+    busy AS (
+        SELECT day FROM daily, tot WHERE daily.n * tot.nd > tot.t
+    )
+    SELECT e.day, e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(e.value * 100) AS BIGINT)) AS BIGINT)
+               AS cents
+    FROM (SELECT CAST(ts AS DATE) AS day, event_type, value FROM events) e
+    JOIN busy t ON e.day = t.day
+    GROUP BY 1, 2
+    """,
+)
+def q201_dynamic_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Dynamic partition pruning, gate-shaped: events are written
+    directory-partitioned by day (30 directories), the busier-than-
+    average-day dimension is derived at runtime, and the join plan must
+    carry the runtime ``dynamicpruning#`` subquery in the fact scan's
+    PartitionFilters — asserted in-query — so only the busy-day
+    directories are ever opened.  The threshold is one bounded 2-int
+    collect (the integer floor-mean), turned into a LITERAL dim filter
+    because Spark's DPP heuristic requires a selective predicate on the
+    pruning side; ``n > (total DIV n_days)`` is exactly the oracle's
+    all-integer ``n * n_days > total``.  The oracle replays the join
+    semantics over the raw table."""
+    import os
+    import tempfile
+
+    from magi_etl_spark.operators.skipping import (
+        dpp_join,
+        dpp_plan,
+        write_partitioned_fact,
+    )
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    root = tempfile.mkdtemp(prefix="magi_dpp_")
+    path = os.path.join(root, "events_by_day")
+    write_partitioned_fact(events, path, "day")
+    daily = events.groupBy("day").agg(F.count("*").alias("n"))
+    tot, nd = daily.agg(
+        F.sum("n").cast("long"), F.count("*").cast("long")
+    ).first()
+    dim = daily.where(F.col("n") > int(tot) // int(nd)).select("day")
+    joined = dpp_join(spark, path, dim, "day")
+    plan = dpp_plan(joined)
+    assert "dynamicpruning" in plan.lower(), "DPP subquery not injected"
+    return joined.groupBy("day", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+    )
