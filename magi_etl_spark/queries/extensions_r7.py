@@ -914,3 +914,150 @@ def q201_dynamic_partition_pruning(
         F.count("*").alias("n_events"),
         F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
     )
+
+
+# --- candidate-generator evaluation -----------------------------------------
+
+
+def _lsh_eval_oracle() -> str:
+    from magi_etl_spark.queries.dedup import _SHINGLES
+
+    return f"""
+    WITH {_SHINGLES},
+    sig AS (
+        SELECT doc_id, sh,
+               list_min(list_transform(sh, x -> md5(concat('0|', x)))) AS m0,
+               list_min(list_transform(sh, x -> md5(concat('1|', x)))) AS m1,
+               list_min(list_transform(sh, x -> md5(concat('2|', x)))) AS m2,
+               list_min(list_transform(sh, x -> md5(concat('3|', x)))) AS m3
+        FROM s WHERE len(sh) > 0
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND (concat(a.m0, '|', a.m1) = concat(b.m0, '|', b.m1)
+              OR concat(a.m2, '|', a.m3) = concat(b.m2, '|', b.m3))
+    ),
+    nonempty AS (SELECT doc_id, sh FROM s WHERE len(sh) > 0),
+    ex AS (SELECT doc_id, unnest(sh) AS shingle FROM nonempty),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM ex a JOIN ex b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY doc_a, doc_b
+    ),
+    truth AS (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN nonempty sa ON i.doc_a = sa.doc_id
+        JOIN nonempty sb ON i.doc_b = sb.doc_id
+        WHERE i.n_inter / (len(sa.sh) + len(sb.sh) - i.n_inter) >= 0.5
+    ),
+    counts AS (
+        SELECT
+            CAST((SELECT COUNT(*) FROM cand JOIN truth
+                  USING (doc_a, doc_b)) AS BIGINT) AS tp,
+            CAST((SELECT COUNT(*) FROM cand ANTI JOIN truth
+                  USING (doc_a, doc_b)) AS BIGINT) AS fp,
+            CAST((SELECT COUNT(*) FROM truth ANTI JOIN cand
+                  USING (doc_a, doc_b)) AS BIGINT) AS fn
+    )
+    SELECT tp, fp, fn,
+           CASE WHEN tp + fp > 0
+                THEN ROUND(CAST(tp AS DOUBLE) / (tp + fp), 6) END
+               AS precision,
+           CASE WHEN tp + fn > 0
+                THEN ROUND(CAST(tp AS DOUBLE) / (tp + fn), 6) END
+               AS recall
+    FROM counts
+    """
+
+
+@ext4_query("q202_lsh_candidate_eval")
+def q202_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate-generator quality eval: precision/recall of the
+    2-band x 2-hash MinHash-LSH candidate pairs against the EXACT
+    Jaccard >= 0.5 ground truth — the confusion counts a band/probe
+    tuning loop reads before any 100 TB dedup run.  One full-outer
+    pair join + one scalar aggregate; both pair sets replayed in full
+    by the oracle."""
+    from magi_etl_spark.operators import dedup as D
+    from magi_etl_spark.operators.retrieval_eval import (
+        candidate_metrics,
+        lsh_band_candidates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = D.minhash_signatures(docs, "doc_id", "text", n=3, n_hashes=4)
+    cand = lsh_band_candidates(
+        sigs, "doc_id", ["m0", "m1", "m2", "m3"], band_size=2
+    )
+    truth = D.ngram_jaccard_pairs(
+        docs, "doc_id", "text", n=3, threshold=0.5
+    ).select("doc_a", "doc_b")
+    return candidate_metrics(cand, truth)
+
+
+EXT4_ORACLE["q202_lsh_candidate_eval"] = _lsh_eval_oracle()
+
+
+# --- Lorenz curve points -----------------------------------------------------
+
+
+@ext4_query(
+    "q203_lorenz_points",
+    oracle="""
+    WITH pe AS (
+        SELECT c.c_mktsegment AS segment, o.o_custkey AS cust,
+               CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS m
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT segment, m, cust,
+               ROW_NUMBER() OVER (PARTITION BY segment
+                                  ORDER BY m, cust) AS rk,
+               SUM(m) OVER (PARTITION BY segment ORDER BY m, cust
+                            ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS cum
+        FROM pe
+    ),
+    tot AS (
+        SELECT segment, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS t
+        FROM pe GROUP BY segment
+    )
+    SELECT r.segment, CAST((r.rk * 10) // tot.n AS INT) AS decile,
+           ROUND(CAST(r.cum AS DOUBLE) / tot.t, 6) AS mass_share
+    FROM r JOIN tot USING (segment)
+    WHERE (r.rk * 10) % tot.n = 0
+    """,
+)
+def q203_lorenz_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lorenz-curve deciles of customer revenue per market segment —
+    the distribution curve behind the q186 Gini scalar: at each decile
+    of the customer count (ascending by mass), the cumulative share of
+    segment revenue.  Integer cumulative sums, one rounded division per
+    emitted point."""
+    from magi_etl_spark.operators.inequality import lorenz_points
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == cust.c_custkey,
+    )
+    return lorenz_points(
+        j.select(
+            F.col("c_mktsegment").alias("segment"),
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100)
+            .cast("long")
+            .alias("_cents"),
+        ),
+        ["segment"],
+        "o_custkey",
+        F.col("_cents"),
+        n_points=10,
+    )
