@@ -27,6 +27,76 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cusum_params(
+    points: DataFrame,
+    series_col: str = "series",
+    value_col: str = "x",
+    h_mult: int = 5,
+) -> DataFrame:
+    """Per-series CUSUM calibration from a baseline window: the integer
+    drift allowance ``k`` (floor-mean) and threshold ``h`` (``h_mult``
+    x floor-mean absolute deviation) — the parameters a streaming
+    monitor holds fixed while it scans new observations."""
+    params = points.groupBy(series_col).agg(
+        F.expr(f"sum({value_col}) DIV count(*)").alias("k")
+    )
+    return (
+        points.join(params, series_col)
+        .groupBy(series_col, "k")
+        .agg(
+            (
+                F.expr(f"sum(abs({value_col} - k)) DIV count(*)")
+                * F.lit(int(h_mult))
+            ).alias("h")
+        )
+    )
+
+
+def cusum_step(
+    state: DataFrame,
+    obs: DataFrame,
+    params: DataFrame,
+    series_col: str = "series",
+    value_col: str = "x",
+) -> DataFrame:
+    """One CUSUM transition: apply a batch of per-series observations to
+    the persisted ``(series, cusum_pos, cusum_neg)`` state under fixed
+    ``(k, h)`` calibration.  Series absent from the batch carry their
+    state unchanged; series with no prior state start at zero; series
+    without calibration are ignored (no k to test against).  Returns
+    the NEW state frame ``series, x, cusum_pos, cusum_neg, alarm``
+    (``x`` NULL for carried-forward series) — all-integer, one keyed
+    full-outer join + one broadcast params join per step."""
+    s = state.select(
+        F.col(series_col),
+        F.col("cusum_pos").alias("_sp"),
+        F.col("cusum_neg").alias("_sn"),
+    )
+    o = obs.select(series_col, F.col(value_col).alias("_x"))
+    j = s.join(o, series_col, "full_outer").join(
+        F.broadcast(params), series_col
+    )
+    sp0 = F.coalesce(F.col("_sp"), F.lit(0))
+    sn0 = F.coalesce(F.col("_sn"), F.lit(0))
+    sp1 = F.when(
+        F.col("_x").isNotNull(),
+        F.greatest(F.lit(0), sp0 + F.col("_x") - F.col("k")),
+    ).otherwise(sp0)
+    sn1 = F.when(
+        F.col("_x").isNotNull(),
+        F.greatest(F.lit(0), sn0 + F.col("k") - F.col("_x")),
+    ).otherwise(sn0)
+    return j.select(
+        F.col(series_col),
+        F.col("_x").alias("x"),
+        sp1.cast("long").alias("cusum_pos"),
+        sn1.cast("long").alias("cusum_neg"),
+        ((sp1 > F.col("h")) | (sn1 > F.col("h")))
+        .cast("int")
+        .alias("alarm"),
+    )
+
+
 def cusum_profile(
     points: DataFrame,
     series_col: str = "series",

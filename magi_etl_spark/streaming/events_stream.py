@@ -559,3 +559,78 @@ def read_dp_releases(spark: SparkSession, release_path: str) -> DataFrame:
     return spark.read.option("basePath", release_path).parquet(
         os.path.join(release_path, "batch=*")
     )
+
+
+def run_foreach_batch_cusum_monitor(
+    event_stream: DataFrame,
+    params_path: str,
+    monitor_path: str,
+    checkpoint_path: str,
+    series_col: str = "event_type",
+    value_col: str = "value",
+) -> None:
+    """Continuous CUSUM changepoint monitoring: each micro-batch
+    contributes one integer observation per series (the batch's cent
+    total), applied to the persisted all-integer CUSUM state under the
+    FIXED calibration at ``params_path`` (series, k, h — computed from
+    a baseline window by ``operators/changepoint.cusum_params``; a
+    monitor that re-estimates its own drift allowance from the stream
+    it is testing would chase the level shift it exists to catch).
+
+    State is versioned per batch: processing batch N reads the newest
+    ``state/batch=M`` with M < N and overwrites ``state/batch=N`` —
+    so a checkpoint-replayed batch re-reads its ORIGINAL predecessor
+    state and rewrites byte-identical output instead of double-applying
+    its observation (the ``increments/batch=N`` idempotence idiom of
+    the LSH-index and DP-release sinks).  Per-batch cost: one keyed
+    aggregate over the batch + one |series|-sized full-outer join; no
+    corpus-sized state anywhere.
+    """
+    from magi_etl_spark.operators.changepoint import cusum_step
+
+    spark = event_stream.sparkSession
+    state_root = os.path.join(monitor_path, "state")
+
+    def _prev_state(batch_id: int) -> DataFrame | None:
+        if not os.path.isdir(state_root):
+            return None
+        prior = [
+            int(d.split("=", 1)[1])
+            for d in os.listdir(state_root)
+            if d.startswith("batch=") and int(d.split("=", 1)[1]) < batch_id
+        ]
+        if not prior:
+            return None
+        return spark.read.parquet(
+            os.path.join(state_root, f"batch={max(prior)}")
+        )
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        params = spark.read.parquet(params_path)
+        obs = batch_df.groupBy(F.col(series_col).alias("series")).agg(
+            F.sum(F.round(F.col(value_col) * 100).cast("long")).alias("x")
+        )
+        prev = _prev_state(batch_id)
+        if prev is None:
+            prev = spark.createDataFrame(
+                [], "series string, cusum_pos long, cusum_neg long"
+            )
+        new_state = cusum_step(prev, obs, params, "series", "x")
+        new_state.write.mode("overwrite").parquet(
+            os.path.join(state_root, f"batch={batch_id}")
+        )
+
+    q = (
+        event_stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_cusum_monitor(spark: SparkSession, monitor_path: str) -> DataFrame:
+    """Every batch's CUSUM state/alarm rows with the ``batch`` column."""
+    return spark.read.option(
+        "basePath", os.path.join(monitor_path, "state")
+    ).parquet(os.path.join(monitor_path, "state", "batch=*"))

@@ -765,6 +765,210 @@ def main() -> None:
         # join); match positions grow linearly with replication
         return lambda: phrase_search(d, "table scan")
 
+    # --- r7 staged families --------------------------------------------
+
+    def stickiness(e):
+        from magi_etl_spark.operators.engagement import rolling_active_users
+
+        # user ids shift per copy: distinct user-day pairs grow
+        # linearly; the x30 explode rides the COLLAPSED frame
+        return lambda: rolling_active_users(e)
+
+    def concurrency(e):
+        from magi_etl_spark.operators.engagement import concurrency_profile
+
+        # (user, day) sessions grow linearly; the global running sum
+        # rides the range-partitioned prefix sum
+        return lambda: concurrency_profile(e)
+
+    def decay(e):
+        from magi_etl_spark.operators.engagement import decay_engagement_scores
+
+        return lambda: decay_engagement_scores(e)
+
+    def gini(o, c):
+        from magi_etl_spark.operators.inequality import gini_by_group
+
+        # custkeys shift per copy: entity count per segment grows
+        # linearly, rank window partitioned by segment
+        def run():
+            j = o.join(
+                F.broadcast(c.select("c_custkey", "c_mktsegment")),
+                o.o_custkey == c.c_custkey,
+            )
+            return gini_by_group(
+                j.select(
+                    F.col("c_mktsegment").alias("segment"),
+                    "o_custkey",
+                    F.round(F.col("o_totalprice") * 100)
+                    .cast("long")
+                    .alias("_m"),
+                ),
+                ["segment"],
+                "o_custkey",
+                F.col("_m"),
+            )
+
+        return run
+
+    def target_enc(o):
+        from magi_etl_spark.operators.mlprep import target_encode_kfold
+
+        # category x fold cells are FIXED; rows per cell grow — the
+        # keyed aggregate absorbs growth map-side
+        return lambda: target_encode_kfold(
+            o,
+            "o_orderpriority",
+            (F.col("o_orderstatus") == "F").cast("int"),
+            F.col("o_orderkey"),
+        )
+
+    def quota(d):
+        from magi_etl_spark.operators.mlprep import quota_sample
+
+        # strata fixed, rows per stratum grow: the per-stratum rank
+        # window is the same shape as weighted_sample
+        return lambda: quota_sample(
+            d.select("doc_id", "lang", "source"),
+            ["lang", "source"],
+            "doc_id",
+            500,
+        )
+
+    def cusum(e):
+        from magi_etl_spark.operators.changepoint import cusum_profile
+
+        # series count (event types) and day count are FIXED: the
+        # recursion input never grows — only the pre-aggregation scans
+        # the replicated stream
+        def run():
+            daily = e.groupBy(
+                F.col("event_type").alias("series"),
+                F.to_date("ts").alias("day"),
+            ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+            return cusum_profile(daily, "series", "day", "x")
+
+        return run
+
+    def winnow(d):
+        from magi_etl_spark.operators.winnow import winnow_fingerprints
+
+        # per-document windows: gram and fingerprint counts grow
+        # linearly with the corpus
+        def run():
+            fps = winnow_fingerprints(d)
+            return fps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+
+        return run
+
+    def winnow_pairs_probe(d):
+        from magi_etl_spark.operators.winnow import (
+            fingerprint_pairs,
+            winnow_fingerprints,
+        )
+
+        # STRESSOR under wholesale replication: every copy shares every
+        # fingerprint with its n-1 siblings, so the pair set itself
+        # grows ~n^2 per duplicate family (8x-only, output accounting)
+        return lambda: fingerprint_pairs(winnow_fingerprints(d))
+
+    def simjoin(d):
+        from fractions import Fraction
+
+        from magi_etl_spark.operators.setjoin import (
+            shingle_sets,
+            similarity_join,
+        )
+
+        # STRESSOR under wholesale replication (J=1 sibling pairs grow
+        # n^2 per family) — 8x-only with output accounting
+        return lambda: similarity_join(shingle_sets(d), Fraction(1, 2))
+
+    def script_prof(d):
+        from magi_etl_spark.operators.textsignals import script_profile
+
+        return lambda: script_profile(d)
+
+    def summary(d):
+        from magi_etl_spark.operators.textsignals import extractive_summary
+
+        return lambda: extractive_summary(d)
+
+    def asof_enrich(o, li):
+        from magi_etl_spark.operators.dimjoin import (
+            asof_dimension_join,
+            priority_dimension_from_orders,
+        )
+
+        # custkeys shift per copy: versions-per-key fixed, key count
+        # grows linearly — the honest axis for the keyed as-of join
+        def run():
+            facts = li.join(
+                o.select("o_orderkey", "o_custkey"),
+                li.l_orderkey == o.o_orderkey,
+            ).select(
+                "l_orderkey",
+                "l_linenumber",
+                F.col("o_custkey").alias("custkey"),
+                "l_shipdate",
+                "l_extendedprice",
+            )
+            return asof_dimension_join(
+                facts,
+                priority_dimension_from_orders(o),
+                key="custkey",
+                fact_time="l_shipdate",
+                attrs=["priority"],
+            )
+
+        return run
+
+    def kcore_probe(li):
+        from magi_etl_spark.operators.kcore import k_core, undirected_edges
+
+        # orderkey AND suppkey shift per copy: the co-order graph is n
+        # disjoint copies — edges and cores grow linearly
+        def run():
+            base = li.select("l_orderkey", "l_suppkey").distinct()
+            a = base.alias("x")
+            b = base.alias("y")
+            pairs = a.join(
+                b,
+                (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+                & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+            ).select(
+                F.col("x.l_suppkey").alias("s1"),
+                F.col("y.l_suppkey").alias("s2"),
+            )
+            return k_core(undirected_edges(pairs, "s1", "s2"), k=3)
+
+        return run
+
+    def lsh_eval(d):
+        from magi_etl_spark.operators import dedup as DD
+        from magi_etl_spark.operators.retrieval_eval import (
+            candidate_metrics,
+            lsh_band_candidates,
+        )
+
+        # STRESSOR (both pair sets quadratic under replication) —
+        # 8x-only with output accounting
+        def run():
+            sigs = DD.minhash_signatures(d, "doc_id", "text", n=3, n_hashes=4)
+            cand = lsh_band_candidates(
+                sigs, "doc_id", ["m0", "m1", "m2", "m3"], band_size=2
+            )
+            truth = DD.ngram_jaccard_pairs(
+                d, "doc_id", "text", n=3, threshold=0.5
+            ).select("doc_a", "doc_b")
+            return candidate_metrics(cand, truth)
+
+        return run
+
+    lineitemN_sup = replicate(
+        lineitem1, ["l_orderkey", "l_suppkey"], n, 10_000_000
+    )
+
     timings: dict[str, float] = {}
     for label, d1, dn in (
         ("lsh_dedup", lsh(docs1), lsh(docsN)),
@@ -828,6 +1032,25 @@ def main() -> None:
         ("shard_plan", shardplan(docs1), shardplan(docsN)),
         ("event_paths", paths(events1), paths(eventsN)),
         ("phrase_search", phrase(docs1), phrase(docsN)),
+        ("stickiness", stickiness(events1), stickiness(eventsN)),
+        ("concurrency", concurrency(events1), concurrency(eventsN)),
+        ("decay_scores", decay(events1), decay(eventsN)),
+        ("gini", gini(orders_b, cust1), gini(ordersN_b, custN)),
+        ("target_encoding", target_enc(orders_b), target_enc(ordersN_b)),
+        ("quota_sample", quota(docs1), quota(docsN)),
+        ("cusum", cusum(events1), cusum(eventsN)),
+        ("winnow_profile", winnow(docs1), winnow(docsN)),
+        ("winnow_pairs", winnow_pairs_probe(docs1), winnow_pairs_probe(docsN)),
+        ("simjoin", simjoin(docs1), simjoin(docsN)),
+        ("script_profile", script_prof(docs1), script_prof(docsN)),
+        ("extract_summary", summary(docs1), summary(docsN)),
+        (
+            "asof_enrich",
+            asof_enrich(orders_b, lineitem1),
+            asof_enrich(ordersN_b, lineitemN),
+        ),
+        ("kcore", kcore_probe(lineitem1), kcore_probe(lineitemN_sup)),
+        ("lsh_eval", lsh_eval(docs1), lsh_eval(docsN)),
     ):
         if only is not None and label not in only:
             continue
