@@ -57,6 +57,34 @@ def lsh_band_candidates(
     )
 
 
+def topk_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "vec_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Per-query recall of an approximate top-k result against the
+    exact one: ``query_id, n_exact, n_hits, recall``.  One keyed left
+    join on (query, id) + one keyed aggregate — the standard ANN
+    acceptance metric (recall@k of IVF/PQ probes vs the brute-force
+    scan) at whatever query-set size the caller fans out."""
+    e = exact.select(query_col, id_col)
+    a = approx.select(query_col, id_col).withColumn("_hit", F.lit(1))
+    j = e.join(a, [query_col, id_col], "left")
+    return j.groupBy(query_col).agg(
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias(
+            "n_hits"
+        ),
+        F.round(
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("double")
+            / F.count("*"),
+            round_dp,
+        ).alias("recall"),
+    )
+
+
 def candidate_metrics(
     candidates: DataFrame,
     truth: DataFrame,

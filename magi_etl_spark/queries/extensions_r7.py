@@ -1001,6 +1001,105 @@ def q202_lsh_candidate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT4_ORACLE["q202_lsh_candidate_eval"] = _lsh_eval_oracle()
 
 
+def _ivf_recall_oracle() -> str:
+    from magi_etl_spark.queries.similarity import _COSINE
+
+    cos = _COSINE.replace("av[", "a.v[").replace("bv[", "p.qv[")
+    cos = cos.replace("list_transform(av,", "list_transform(a.v,").replace(
+        "list_transform(bv,", "list_transform(p.qv,"
+    )
+    cos = cos.replace("len(av)", "len(a.v)")
+    exact_cos = _COSINE.replace("av[", "c.v[").replace("bv[", "q.qv[")
+    exact_cos = exact_cos.replace(
+        "list_transform(av,", "list_transform(c.v,"
+    ).replace("list_transform(bv,", "list_transform(q.qv,")
+    exact_cos = exact_cos.replace("len(av)", "len(c.v)")
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 5),
+    cent AS (
+        SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INTEGER)
+                   AS list_id,
+               v AS c
+        FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 8)
+    ),
+    assigned AS (
+        SELECT vec_id, v, list_id FROM (
+            SELECT e.vec_id, e.v, cent.list_id,
+                   row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                       list_sum(list_transform(range(1, len(e.v) + 1),
+                           i -> (e.v[i] - cent.c[i])
+                                * (e.v[i] - cent.c[i]))) ASC,
+                       cent.list_id ASC) AS rn
+            FROM e, cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, list_id FROM (
+            SELECT q.query_id, q.qv, cent.list_id,
+                   row_number() OVER (PARTITION BY q.query_id ORDER BY
+                       list_sum(list_transform(range(1, len(q.qv) + 1),
+                           i -> (q.qv[i] - cent.c[i])
+                                * (q.qv[i] - cent.c[i]))) ASC,
+                       cent.list_id ASC) AS pr
+            FROM q, cent
+        ) WHERE pr <= 2
+    ),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT p.query_id, a.vec_id,
+                   row_number() OVER (PARTITION BY p.query_id
+                       ORDER BY {cos} DESC, a.vec_id) AS rn
+            FROM assigned a JOIN probes p
+              ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+        ) WHERE rn <= 10
+    ),
+    exact AS (
+        SELECT query_id, vec_id FROM (
+            SELECT q.query_id, c.vec_id,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {exact_cos} DESC, c.vec_id) AS rn
+            FROM e c, q WHERE c.vec_id <> q.query_id
+        ) WHERE rn <= 10
+    )
+    SELECT x.query_id,
+           CAST(COUNT(*) AS BIGINT) AS n_exact,
+           CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hits,
+           ROUND(CAST(SUM(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS recall
+    FROM exact x LEFT JOIN approx a
+      ON a.query_id = x.query_id AND a.vec_id = x.vec_id
+    GROUP BY x.query_id
+    """
+
+
+@ext4_query("q204_ivf_recall_eval")
+def q204_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN acceptance metric: per-query recall@10 of the IVF probe path
+    (8 hash-ordered sampled lists, 2 probed) against the exact
+    brute-force cosine scan — the number a probe-width tuning loop
+    reads before an index rollout.  The oracle replays BOTH paths
+    (centroid sampling, argmin assignment, probe selection, ranked
+    scoring) and the recall join."""
+    from magi_etl_spark.operators.retrieval_eval import topk_recall
+    from magi_etl_spark.operators.similarity import (
+        cosine_topk,
+        ivf_index_sampled,
+        ivf_topk,
+    )
+
+    em = load_table(spark, sf_dir, "embeddings")
+    queries = em.where(F.col("vec_id") < 5)
+    assigned, cents = ivf_index_sampled(em, n_lists=8, init="first")
+    approx = ivf_topk(assigned, cents, queries, k=10, n_probe=2)
+    exact = cosine_topk(em, queries, k=10)
+    return topk_recall(approx, exact)
+
+
+EXT4_ORACLE["q204_ivf_recall_eval"] = _ivf_recall_oracle()
+
+
 # --- Lorenz curve points -----------------------------------------------------
 
 
