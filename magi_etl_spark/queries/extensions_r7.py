@@ -1100,6 +1100,143 @@ def q204_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT4_ORACLE["q204_ivf_recall_eval"] = _ivf_recall_oracle()
 
 
+# --- language-ID confusion matrix -------------------------------------------
+
+
+def _langid_confusion_oracle() -> str:
+    from magi_etl_spark.queries.text import _TOKS
+
+    return f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    h AS (
+        SELECT doc_id,
+               len(list_filter(toks, x -> x IN ('the','a','of','and','to','in'))) AS en_h,
+               len(list_filter(toks, x -> x IN ('el','la','de','y','que','los'))) AS es_h,
+               len(list_filter(toks, x -> x IN ('der','die','das','und','ist','nicht'))) AS de_h,
+               len(list_filter(toks, x -> x IN ('le','les','des','et','est','une'))) AS fr_h
+        FROM t
+    ),
+    p AS (
+        SELECT doc_id,
+               CASE WHEN greatest(en_h, es_h, de_h, fr_h) = 0 THEN 'und'
+                    WHEN en_h = greatest(en_h, es_h, de_h, fr_h) THEN 'en'
+                    WHEN es_h = greatest(en_h, es_h, de_h, fr_h) THEN 'es'
+                    WHEN de_h = greatest(en_h, es_h, de_h, fr_h) THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM h
+    ),
+    j AS (
+        SELECT d.lang, p.pred_lang
+        FROM documents d JOIN p USING (doc_id)
+    ),
+    tot AS (SELECT lang, COUNT(*) AS t FROM j GROUP BY lang)
+    SELECT j.lang, j.pred_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / tot.t, 6) AS share
+    FROM j JOIN tot USING (lang)
+    GROUP BY j.lang, j.pred_lang, tot.t
+    """
+
+
+@ext4_query("q206_langid_confusion")
+def q206_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval harness for the stopword-vote language-ID
+    heuristic (q22): the confusion matrix against the declared ``lang``
+    column, with each cell's share of its declared language — the
+    per-class recall diagonal a curation pipeline monitors before
+    trusting heuristic routing.  Composes the registered heuristic
+    (import, not copy) with one keyed aggregate."""
+    from magi_etl_spark.operators.text import language_id
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = language_id(docs, "doc_id", "text")
+    j = docs.select("doc_id", "lang").join(pred, "doc_id")
+    tot = j.groupBy("lang").agg(F.count("*").alias("_t"))
+    return (
+        j.groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n_docs"))
+        .join(F.broadcast(tot), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n_docs",
+            F.round(
+                F.col("n_docs").cast("double") / F.col("_t"), 6
+            ).alias("share"),
+        )
+    )
+
+
+EXT4_ORACLE["q206_langid_confusion"] = _langid_confusion_oracle()
+
+
+# --- robust trend ------------------------------------------------------------
+
+
+@ext4_query(
+    "q205_theil_sen_trend",
+    oracle="""
+    WITH m AS (
+        SELECT o_orderpriority AS priority,
+               (EXTRACT(YEAR FROM o_orderdate) - 1995) * 12
+                   + EXTRACT(MONTH FROM o_orderdate) - 1 AS x,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS y
+        FROM orders GROUP BY 1, 2
+    ),
+    slopes AS (
+        SELECT a.priority,
+               CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE)
+                   AS s
+        FROM m a JOIN m b
+          ON a.priority = b.priority AND a.x < b.x
+    ),
+    ranked AS (
+        SELECT priority, s,
+               ROW_NUMBER() OVER (PARTITION BY priority ORDER BY s) AS rk,
+               COUNT(*) OVER (PARTITION BY priority) AS n
+        FROM slopes
+    ),
+    med AS (
+        SELECT priority, ROUND(AVG(s), 6) AS sen_slope
+        FROM ranked
+        WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+        GROUP BY priority
+    ),
+    np AS (
+        SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_points
+        FROM m GROUP BY priority
+    ),
+    npr AS (
+        SELECT priority, CAST(COUNT(*) AS BIGINT) AS n_pairs
+        FROM slopes GROUP BY priority
+    )
+    SELECT np.priority, np.n_points, npr.n_pairs, med.sen_slope
+    FROM np JOIN npr USING (priority) JOIN med USING (priority)
+    """,
+)
+def q205_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust monthly revenue trend per order priority — the
+    median of all pairwise slopes (29% breakdown point, the robust
+    companion to q152's OLS).  Slopes are ratios of exact integers;
+    the median is an exact rank selection (average of the two middle
+    VALUES, so tie order never matters).  The pairwise join is bounded
+    by months-per-group squared — an aggregated-series contract, not a
+    corpus-scale one."""
+    from magi_etl_spark.operators.robustfit import theil_sen_trend
+
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        (
+            (F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1
+        ).alias("x"),
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long")).alias("y")
+    )
+    return theil_sen_trend(monthly, ["priority"], "x", "y")
+
+
 # --- Lorenz curve points -----------------------------------------------------
 
 
