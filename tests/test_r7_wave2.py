@@ -1,0 +1,145 @@
+"""Invariant tests for the later r7 families: Theil-Sen robustness,
+ANN recall metrics, candidate confusion counts, Lorenz monotonicity,
+data-skipping exactness, and DPP plan injection."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_theil_sen_matches_python_and_resists_outlier(spark):
+    from magi_etl_spark.operators.robustfit import theil_sen_trend
+
+    # clean line y = 7x + noise, one wild outlier at x=9
+    pts = [(0, 0), (1, 7), (2, 14), (3, 22), (4, 28), (5, 35), (6, 41),
+           (7, 49), (8, 56), (9, 1000)]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in pts], "g string, x int, y long"
+    )
+    got = theil_sen_trend(df, ["g"], "x", "y").collect()[0]
+    slopes = sorted(
+        (y2 - y1) / (x2 - x1)
+        for i, (x1, y1) in enumerate(pts)
+        for x2, y2 in pts[i + 1 :]
+    )
+    n = len(slopes)
+    want = (slopes[(n + 1) // 2 - 1] + slopes[(n + 2) // 2 - 1]) / 2
+    assert got.n_points == 10 and got.n_pairs == n
+    assert got.sen_slope == pytest.approx(round(want, 6), abs=1e-9)
+    # robustness: the median slope stays near 7 despite the outlier
+    assert 6.0 < got.sen_slope < 8.5
+
+
+def test_topk_recall_hand_fixture(spark):
+    from magi_etl_spark.operators.retrieval_eval import topk_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10), (1, 11), (1, 12), (2, 20), (2, 21)],
+        "query_id long, vec_id long",
+    )
+    approx = spark.createDataFrame(
+        [(1, 10), (1, 99), (1, 12), (2, 77)],
+        "query_id long, vec_id long",
+    )
+    got = {r.query_id: (r.n_exact, r.n_hits, r.recall)
+           for r in topk_recall(approx, exact).collect()}
+    assert got == {1: (3, 2, pytest.approx(2 / 3, abs=1e-6)),
+                   2: (2, 0, 0.0)}
+
+
+def test_candidate_metrics_confusion_counts(spark):
+    from magi_etl_spark.operators.retrieval_eval import candidate_metrics
+
+    cand = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 5)], "doc_a long, doc_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 5), (6, 7)], "doc_a long, doc_b long"
+    )
+    r = candidate_metrics(cand, truth).collect()[0]
+    assert (r.tp, r.fp, r.fn) == (2, 1, 1)
+    assert r.precision == pytest.approx(2 / 3, abs=1e-6)
+    assert r.recall == pytest.approx(2 / 3, abs=1e-6)
+
+
+def test_lorenz_points_monotone_and_complete(spark, sf_dir):
+    from magi_etl_spark.operators.inequality import lorenz_points
+    from magi_etl_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(
+        cust.select("c_custkey", "c_mktsegment"),
+        orders.o_custkey == cust.c_custkey,
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("m"),
+    )
+    out = lorenz_points(j, ["segment"], "o_custkey", F.col("m")).collect()
+    by_seg: dict[str, list] = {}
+    for r in out:
+        by_seg.setdefault(r.segment, []).append((r.decile, r.mass_share))
+    for seg, rows in by_seg.items():
+        rows.sort()
+        shares = [s for _, s in rows]
+        assert shares == sorted(shares), seg  # Lorenz curve is monotone
+        assert rows[-1] == (10, 1.0), seg  # last decile carries all mass
+        # Lorenz curve lies under the diagonal
+        for d, s in rows:
+            assert s <= d / 10 + 1e-9, (seg, d, s)
+
+
+def test_pruned_read_is_exact_and_prunes(spark, sf_dir, tmp_path):
+    from magi_etl_spark.operators.skipping import pruned_read, write_with_stats
+    from magi_etl_spark.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").withColumn(
+        "od", F.date_format("o_orderdate", "yyyy-MM-dd")
+    )
+    path = str(tmp_path / "orders_skip")
+    write_with_stats(orders, path, "od", n_files=8)
+    df, n_read, n_total = pruned_read(spark, path, "1996-01-01", "1996-12-31")
+    assert 0 < n_read < n_total
+    want = orders.where(
+        (F.col("od") >= "1996-01-01") & (F.col("od") <= "1996-12-31")
+    ).count()
+    assert df.count() == want
+    # empty range: zero files, zero rows, still a valid frame
+    df0, n0, _ = pruned_read(spark, path, "2050-01-01", "2050-12-31")
+    assert n0 == 0 and df0.count() == 0
+
+
+def test_dpp_plan_injection(spark, sf_dir, tmp_path):
+    from magi_etl_spark.operators.skipping import (
+        dpp_join,
+        dpp_plan,
+        write_partitioned_fact,
+    )
+    from magi_etl_spark.tables import load_table
+
+    events = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type", "value"
+    )
+    path = str(tmp_path / "events_dpp")
+    write_partitioned_fact(events, path, "day")
+    daily = events.groupBy("day").agg(F.count("*").alias("n"))
+    tot, nd = daily.agg(F.sum("n").cast("long"), F.count("*")).first()
+    dim = daily.where(F.col("n") > int(tot) // int(nd)).select("day")
+    joined = dpp_join(spark, path, dim, "day")
+    assert "dynamicpruning" in dpp_plan(joined).lower()
+    # semantics unchanged by the pruning
+    want = events.join(dim, "day").count()
+    assert joined.count() == want
+
+
+def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
+    from magi_etl_spark.queries.extensions_r7 import EXT4_QUERIES
+
+    out = EXT4_QUERIES["q206_langid_confusion"](spark, sf_dir).collect()
+    by_lang: dict[str, float] = {}
+    for r in out:
+        by_lang[r.lang] = by_lang.get(r.lang, 0.0) + r.share
+    for lang, total in by_lang.items():
+        assert total == pytest.approx(1.0, abs=1e-4), lang
