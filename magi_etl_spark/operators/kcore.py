@@ -22,6 +22,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cooccurrence_edges(
+    df: DataFrame, group_col: str, item_col: str
+) -> DataFrame:
+    """Distinct undirected co-occurrence edges (``a < b``): items are
+    adjacent when they share a group.  ONE keyed shuffle (the per-group
+    ``collect_set``) followed by a map-side combination explode — no
+    self-join, so the C(s, 2) per-group pair fan-out never rides an
+    exchange.  Per-group item counts must be bounded (the usual
+    basket/order contract); a group with s items emits C(s, 2) rows
+    from one task."""
+    sets = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("_items")
+    )
+    pairs = sets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    "_items",
+                    lambda x, i: F.transform(
+                        F.slice(
+                            "_items",
+                            i + F.lit(2),
+                            F.greatest(
+                                F.size("_items") - i - 1, F.lit(0)
+                            ),
+                        ),
+                        lambda y: F.struct(
+                            x.alias("a"), y.alias("b")
+                        ),
+                    ),
+                )
+            )
+        ).alias("_e")
+    )
+    return pairs.select(F.col("_e.a"), F.col("_e.b")).distinct()
+
+
 def undirected_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     """Canonicalize to distinct undirected edges src < dst."""
     e = pairs.select(
@@ -35,6 +72,7 @@ def k_core(
     edges: DataFrame,
     k: int,
     max_iters: int = 8,
+    broadcast_vertices: bool = True,
 ) -> DataFrame:
     """Vertices of the k-core after at most ``max_iters`` peeling
     rounds: ``vertex, degree`` (degree within the surviving subgraph).
@@ -46,7 +84,10 @@ def k_core(
     is deterministic either way.
     """
     e = edges.localCheckpoint(eager=True)
+    n_prev = e.count()
     for _ in range(max_iters):
+        if n_prev == 0:
+            break
         deg = (
             e.select(F.col("a").alias("v"))
             .unionAll(e.select(F.col("b").alias("v")))
@@ -54,11 +95,26 @@ def k_core(
             .agg(F.count("*").alias("deg"))
         )
         keep = deg.where(F.col("deg") >= k).select("v")
+        if broadcast_vertices:
+            # the keep-list is VERTEX-sized (dimension scale, not edge
+            # scale) — broadcasting it turns both survivor filters into
+            # map-side semi joins, so each peel round shuffles only the
+            # degree aggregate.  For billion-vertex graphs pass False
+            # and take the keyed semi-join shuffles instead.
+            keep = F.broadcast(keep)
         e = (
             e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
             .localCheckpoint(eager=True)
         )
+        n_now = e.count()
+        if n_now == n_prev:
+            # fixed point: every remaining vertex already has deg >= k,
+            # so further rounds are no-ops — identical to running the
+            # full max_iters (the oracle's extra unrolled rounds pass
+            # the frame through unchanged)
+            break
+        n_prev = n_now
     return (
         e.select(F.col("a").alias("vertex"))
         .unionAll(e.select(F.col("b").alias("vertex")))

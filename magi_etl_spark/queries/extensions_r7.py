@@ -781,21 +781,10 @@ def q199_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     one degree aggregate + one semi-join edge filter with an eager
     localCheckpoint (the PageRank lineage idiom).  The oracle unrolls
     the identical 8 rounds as chained CTEs."""
-    from magi_etl_spark.operators.kcore import k_core, undirected_edges
+    from magi_etl_spark.operators.kcore import cooccurrence_edges, k_core
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_suppkey"
-    ).distinct()
-    a = li.alias("x")
-    b = li.alias("y")
-    pairs = a.join(
-        b,
-        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
-    ).select(
-        F.col("x.l_suppkey").alias("s1"), F.col("y.l_suppkey").alias("s2")
-    )
-    edges = undirected_edges(pairs, "s1", "s2")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = cooccurrence_edges(li, "l_orderkey", "l_suppkey")
     return k_core(edges, k=3, max_iters=8)
 
 

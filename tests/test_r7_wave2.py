@@ -134,6 +134,33 @@ def test_dpp_plan_injection(spark, sf_dir, tmp_path):
     assert joined.count() == want
 
 
+def test_cooccurrence_edges_equals_self_join(spark, sf_dir):
+    """The map-side combination explode produces exactly the edge set
+    of the keyed self-join it replaces."""
+    from magi_etl_spark.operators.kcore import (
+        cooccurrence_edges,
+        undirected_edges,
+    )
+    from magi_etl_spark.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").limit(2000)
+    got = {
+        (r.a, r.b) for r in cooccurrence_edges(li, "l_orderkey", "l_suppkey").collect()
+    }
+    base = li.select("l_orderkey", "l_suppkey").distinct()
+    a = base.alias("x")
+    b = base.alias("y")
+    pairs = a.join(
+        b,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_suppkey") < F.col("y.l_suppkey")),
+    ).select(F.col("x.l_suppkey").alias("s1"), F.col("y.l_suppkey").alias("s2"))
+    want = {
+        (r.a, r.b) for r in undirected_edges(pairs, "s1", "s2").collect()
+    }
+    assert got == want and got
+
+
 def test_langid_confusion_shares_sum_to_one(spark, sf_dir):
     from magi_etl_spark.queries.extensions_r7 import EXT4_QUERIES
 
