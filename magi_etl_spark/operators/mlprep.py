@@ -131,6 +131,31 @@ def woe_iv(
     return terms.drop("_ivt").join(F.broadcast(iv))
 
 
+def ecdf_normalize(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    id_col: str,
+    round_dp: int = 6,
+) -> DataFrame:
+    """Percentile-rank (ECDF) normalization within each group: every
+    row gains ``ecdf = rank / n`` where ``rank`` is the MAX rank of the
+    row's value (ties share the highest rank, the right-continuous
+    empirical CDF convention), computed as one per-group window pass.
+    The input id column makes output rows addressable; the ratio is a
+    single rounded division of exact integers."""
+    w = W.partitionBy(*group_cols).orderBy(value_col)
+    # right-continuous ECDF: count of values <= this one = max rank of
+    # the tie group = row_number at the tie group's END.  cume_dist is
+    # exactly this divided by n.
+    return df.select(
+        *group_cols,
+        id_col,
+        value_col,
+        F.round(F.cume_dist().over(w), round_dp).alias("ecdf"),
+    )
+
+
 def quota_allocate(
     df: DataFrame,
     stratum_cols: list[str],

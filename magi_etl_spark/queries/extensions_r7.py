@@ -1089,6 +1089,113 @@ def q204_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT4_ORACLE["q204_ivf_recall_eval"] = _ivf_recall_oracle()
 
 
+# --- distribution / association / survival ----------------------------------
+
+
+@ext4_query(
+    "q207_ecdf_normalize",
+    oracle="""
+    SELECT event_type, event_id, value,
+           ROUND(cume_dist() OVER (PARTITION BY event_type
+                                   ORDER BY value), 6) AS ecdf
+    FROM events
+    """,
+)
+def q207_ecdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-rank (ECDF) normalization of event values within each
+    event type — the rank-based feature transform that is immune to
+    outliers and scale.  Right-continuous convention (ties share the
+    highest rank = cume_dist), one per-group window pass."""
+    from magi_etl_spark.operators.mlprep import ecdf_normalize
+
+    e = load_table(spark, sf_dir, "events")
+    return ecdf_normalize(
+        e.select("event_type", "event_id", "value"),
+        ["event_type"],
+        "value",
+        "event_id",
+    )
+
+
+@ext4_query(
+    "q208_chi_square",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type AS r, CAST(isodow(ts) - 1 AS INT) AS c,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY 1, 2
+    ),
+    rt AS (SELECT r, CAST(SUM(o) AS BIGINT) AS rt FROM cells GROUP BY r),
+    ct AS (SELECT c, CAST(SUM(o) AS BIGINT) AS ct FROM cells GROUP BY c),
+    tot AS (
+        SELECT CAST(SUM(o) AS BIGINT) AS n,
+               CAST(COUNT(DISTINCT r) AS BIGINT) AS n_rows,
+               CAST(COUNT(DISTINCT c) AS BIGINT) AS n_cols
+        FROM cells
+    ),
+    terms AS (
+        SELECT (cells.o - CAST(rt.rt * ct.ct AS DOUBLE) / tot.n)
+               * (cells.o - CAST(rt.rt * ct.ct AS DOUBLE) / tot.n)
+               / (CAST(rt.rt * ct.ct AS DOUBLE) / tot.n) AS term,
+               CAST(rt.rt * ct.ct AS DOUBLE) / tot.n AS e,
+               tot.n, tot.n_rows, tot.n_cols
+        FROM cells JOIN rt USING (r) JOIN ct USING (c), tot
+    )
+    SELECT n, n_rows, n_cols,
+           (n_rows - 1) * (n_cols - 1) AS dof,
+           ROUND(SUM(term) + (n - SUM(e)), 6) AS chi2,
+           CASE WHEN LEAST(n_rows, n_cols) > 1 THEN
+               ROUND(SQRT((SUM(term) + (n - SUM(e)))
+                          / (n * (LEAST(n_rows, n_cols) - 1))), 6)
+           END AS cramers_v
+    FROM terms GROUP BY n, n_rows, n_cols
+    """,
+)
+def q208_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test of event type vs weekday, with
+    Cramér's V effect size — observed cells are exact integer counts,
+    expected counts are per-CELL double expressions, and the
+    structural-zero cells' contribution is folded in WITHOUT
+    materializing them (for an absent cell (o-e)^2/e = e, and their
+    e-sum is n minus the present cells' e-sum)."""
+    from magi_etl_spark.operators.contingency import chi_square
+
+    e = load_table(spark, sf_dir, "events")
+    return chi_square(e, F.col("event_type"), F.weekday("ts").cast("int"))
+
+
+@ext4_query(
+    "q209_survival_curve",
+    oracle="""
+    WITH spans AS (
+        SELECT user_id,
+               date_diff('day', MIN(CAST(ts AS DATE)),
+                         MAX(CAST(ts AS DATE))) AS life
+        FROM events GROUP BY user_id
+    ),
+    alive AS (
+        SELECT CAST(u.t AS INT) AS t_days,
+               CAST(COUNT(*) AS BIGINT) AS n_alive
+        FROM spans, LATERAL unnest(range(0, LEAST(life, 30) + 1)) AS u(t)
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM spans)
+    SELECT a.t_days, a.n_alive, tot.n_users,
+           ROUND(CAST(a.n_alive AS DOUBLE) / tot.n_users, 6) AS survival
+    FROM alive a, tot
+    """,
+)
+def q209_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical user survival curve: the fraction of users whose
+    observed lifespan reaches at least t days, for t in 0..30 — the
+    continuous companion to weekly cohort retention (q140).
+    All-integer counts via one keyed span aggregate + one bounded
+    explode (the DAU/MAU fan-out shape); one division per point."""
+    from magi_etl_spark.operators.survival import survival_curve
+
+    return survival_curve(load_table(spark, sf_dir, "events"))
+
+
 # --- language-ID confusion matrix -------------------------------------------
 
 
