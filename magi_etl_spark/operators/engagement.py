@@ -109,6 +109,43 @@ def decay_engagement_scores(
     )
 
 
+def time_weighted_average(
+    events: DataFrame,
+    group_cols: list[str],
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    round_dp: int = 6,
+) -> DataFrame:
+    """Time-weighted average value per group (TWAP): each observation
+    is weighted by the whole seconds until the group's NEXT observation
+    (the step-function integral); the group's last observation carries
+    no weight.  Weights and cent values are exact integers — one lead
+    window per group, one division per output row.  Returns
+    ``*group_cols, n_obs, total_seconds, twap``."""
+    from pyspark.sql import Window as PW
+
+    w = PW.partitionBy(*group_cols).orderBy(ts_col, id_col)
+    staged = events.select(
+        *group_cols,
+        F.round(F.col(value_col) * 100).cast("long").alias("_cents"),
+        (
+            F.lead(F.col(ts_col).cast("long")).over(w)
+            - F.col(ts_col).cast("long")
+        ).alias("_dt"),
+    ).where(F.col("_dt").isNotNull())
+    return staged.groupBy(*group_cols).agg(
+        F.count("*").alias("n_obs"),
+        F.sum("_dt").alias("total_seconds"),
+        F.round(
+            F.sum(F.col("_cents") * F.col("_dt")).cast("double")
+            / F.sum("_dt")
+            / 100.0,
+            round_dp,
+        ).alias("twap"),
+    )
+
+
 def concurrency_profile(
     events: DataFrame,
     user_col: str = "user_id",

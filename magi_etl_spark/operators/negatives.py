@@ -1,0 +1,72 @@
+"""Derandomized negative-edge sampling for link-prediction training.
+
+q136's hard-negative mining picks CLOSE non-matches in embedding
+space; this operator is the graph counterpart: for every source
+vertex, draw pseudo-random destination vertices that are NOT already
+linked — the contrastive negatives a link-prediction or two-tower
+trainer consumes alongside the positive edge list.
+
+The draw is scalable without any global vertex index: destinations are
+hashed into ``n_buckets`` fixed buckets, each (src, trial) pair is
+hashed to one bucket, and the candidate is the md5-argmin destination
+WITHIN that bucket — a keyed equi-join on the bucket id, never a
+cross join, never a corpus-wide window.  Existing edges are removed
+with one anti-join; everything is md5 arithmetic, so the sample is
+deterministic, repartition-stable, and SQL-replayable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _h32(*cols) -> F.Column:
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *cols)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def negative_edge_samples(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    n_trials: int = 4,
+    n_buckets: int = 64,
+    seed: str = "neg",
+) -> DataFrame:
+    """Per source vertex: up to ``n_trials`` distinct non-adjacent
+    destinations, as ``src, trial, dst``.  A trial whose bucket is
+    empty, or whose candidate happens to be adjacent (or the source
+    itself), yields no row — callers oversample ``n_trials`` for a
+    target count, keeping the operator join-shaped instead of
+    rejection-looped."""
+    src = edges.select(F.col(src_col).alias("src")).distinct()
+    dst = edges.select(F.col(dst_col).alias("dst")).distinct()
+    dstb = dst.select(
+        "dst",
+        (_h32(F.lit(f"{seed}|b"), F.col("dst")) % n_buckets).alias("_b"),
+        _h32(F.lit(f"{seed}|p"), F.col("dst")).alias("_hp"),
+    )
+    trials = src.select(
+        "src",
+        F.explode(F.array(*[F.lit(t) for t in range(n_trials)])).alias(
+            "trial"
+        ),
+    ).withColumn(
+        "_b",
+        _h32(F.lit(f"{seed}|t"), F.col("src"), F.col("trial")) % n_buckets,
+    )
+    cand = (
+        trials.join(dstb, "_b")
+        .groupBy("src", "trial")
+        .agg(F.min_by("dst", F.struct(F.col("_hp"), F.col("dst"))).alias("dst"))
+    )
+    pos = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).distinct()
+    return (
+        cand.where(F.col("dst") != F.col("src"))
+        .join(pos, ["src", "dst"], "left_anti")
+        .select("src", "trial", "dst")
+    )

@@ -78,6 +78,90 @@ def shingle_sets(
     )
 
 
+def shingle_positions(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Positioned k-token shingles per document: ``doc_id, pos, tok``
+    (0-based token position of the gram's first token) — the
+    position-aware companion to :func:`shingle_sets` for run/overlap
+    diagnostics."""
+    from pyspark.sql import Window as PW
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("pos", "tok"),
+    )
+    byw = PW.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(byw) for i in range(1, k)]
+    return (
+        toks.select(
+            "doc_id",
+            "pos",
+            F.concat_ws(" ", *leads).alias("tok"),
+            F.lead("tok", k - 1).over(byw).isNotNull().alias("_full"),
+        )
+        .where("_full")
+        .select("doc_id", "pos", "tok")
+    )
+
+
+def longest_common_runs(
+    pairs: DataFrame,
+    positions: DataFrame,
+    k: int = 3,
+) -> DataFrame:
+    """For each ``(doc_a, doc_b)`` pair: the longest contiguous run of
+    shared k-gram shingles, by diagonal gaps-and-islands — matched
+    position pairs with a constant offset ``pos_a - pos_b`` and
+    consecutive ``pos_a`` form one island.  Returns ``doc_a, doc_b,
+    longest_gram_run, common_tokens`` (a run of r consecutive shared
+    k-grams spans r + k - 1 shared tokens).
+
+    Scale: the gram-equality join fans out by shared-gram multiplicity
+    only for the CANDIDATE pairs (the input pair set is already
+    similarity-filtered), and every window is partitioned by
+    (pair, diagonal)."""
+    from pyspark.sql import Window as PW
+
+    pa = positions.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("pos").alias("_pa"),
+        "tok",
+    )
+    pb = positions.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("pos").alias("_pb"),
+        "tok",
+    )
+    matched = (
+        pairs.select("doc_a", "doc_b")
+        .join(pa, "doc_a")
+        .join(pb, ["doc_b", "tok"])
+        .select("doc_a", "doc_b", "_pa", "_pb")
+        .distinct()
+    )
+    diag = matched.withColumn("_diag", F.col("_pa") - F.col("_pb"))
+    w = PW.partitionBy("doc_a", "doc_b", "_diag").orderBy("_pa")
+    islands = diag.withColumn(
+        "_island", F.col("_pa") - F.row_number().over(w)
+    )
+    runs = islands.groupBy("doc_a", "doc_b", "_diag", "_island").agg(
+        F.count("*").alias("_run")
+    )
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max("_run").cast("long").alias("longest_gram_run"),
+        (F.max("_run") + (k - 1)).cast("long").alias("common_tokens"),
+    )
+
+
 def similarity_join(
     sets: DataFrame,
     threshold: Fraction = Fraction(1, 2),

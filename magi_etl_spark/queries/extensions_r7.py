@@ -1089,6 +1089,213 @@ def q204_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT4_ORACLE["q204_ivf_recall_eval"] = _ivf_recall_oracle()
 
 
+# --- contrastive negatives / sharding / TWAP --------------------------------
+
+
+@ext4_query(
+    "q211_negative_edges",
+    oracle="""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    ),
+    srcs AS (SELECT DISTINCT src FROM edges),
+    dsts AS (SELECT DISTINCT dst FROM edges),
+    dstb AS (
+        SELECT dst,
+               CAST(concat('0x', substr(md5(concat('neg|b|',
+                    CAST(dst AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b,
+               CAST(concat('0x', substr(md5(concat('neg|p|',
+                    CAST(dst AS VARCHAR))), 1, 8)) AS BIGINT) AS hp
+        FROM dsts
+    ),
+    trials AS (
+        SELECT src, CAST(t.trial AS INT) AS trial,
+               CAST(concat('0x', substr(md5(concat('neg|t|',
+                    CAST(src AS VARCHAR), '|',
+                    CAST(t.trial AS VARCHAR))), 1, 8)) AS BIGINT)
+                   % 64 AS b
+        FROM srcs, LATERAL unnest([0, 1, 2, 3]) AS t(trial)
+    ),
+    cand AS (
+        SELECT src, trial, dst FROM (
+            SELECT tr.src, tr.trial, db.dst,
+                   ROW_NUMBER() OVER (PARTITION BY tr.src, tr.trial
+                                      ORDER BY db.hp, db.dst) AS rn
+            FROM trials tr JOIN dstb db ON db.b = tr.b
+        ) WHERE rn = 1
+    )
+    SELECT c.src, c.trial, c.dst
+    FROM cand c
+    ANTI JOIN edges e ON e.src = c.src AND e.dst = c.dst
+    WHERE c.dst <> c.src
+    """,
+)
+def q211_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Derandomized negative-edge samples over the customer-part
+    purchase graph — the contrastive negatives a link-prediction
+    trainer consumes.  No global vertex index: destinations hash into
+    64 fixed buckets, each (src, trial) hashes to one bucket, the
+    candidate is the bucket's md5-argmin destination, existing edges
+    drop via one anti-join — all md5 arithmetic, keyed joins only."""
+    from magi_etl_spark.operators.negatives import negative_edge_samples
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return negative_edge_samples(edges, "src", "dst", n_trials=4, n_buckets=64)
+
+
+@ext4_query(
+    "q212_rendezvous_shards",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, s.shard,
+               CAST(concat('0x', substr(md5(concat('hrw|',
+                    CAST(s.shard AS VARCHAR), '|',
+                    CAST(doc_id AS VARCHAR))), 1, 8)) AS BIGINT) AS wgt
+        FROM documents, LATERAL unnest(range(0, 16)) AS s(shard)
+    ),
+    pick AS (
+        SELECT doc_id, shard FROM (
+            SELECT doc_id, shard,
+                   ROW_NUMBER() OVER (PARTITION BY doc_id
+                                      ORDER BY wgt DESC, shard DESC) AS rn
+            FROM w
+        ) WHERE rn = 1
+    )
+    SELECT CAST(shard AS INT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           MIN(doc_id) AS min_key, MAX(doc_id) AS max_key
+    FROM pick GROUP BY shard
+    """,
+)
+def q212_rendezvous_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment of the
+    document corpus across 16 shards — stateless, coordination-free,
+    minimal-disruption routing.  The per-key weight array is a fixed
+    16-struct array whose array_max IS the assignment (no explode, no
+    per-key shuffle); the oracle unnests and ranks the same weights."""
+    from magi_etl_spark.operators.rendezvous import shard_assignment_profile
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shard_assignment_profile(docs, "doc_id", n_shards=16)
+
+
+@ext4_query(
+    "q213_twap",
+    oracle="""
+    WITH s AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100) AS BIGINT) AS cents,
+               date_diff('second', ts,
+                         LEAD(ts) OVER (PARTITION BY event_type
+                                        ORDER BY ts, event_id)) AS dt
+        FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_obs,
+           CAST(SUM(dt) AS BIGINT) AS total_seconds,
+           ROUND(CAST(SUM(cents * dt) AS DOUBLE) / SUM(dt) / 100.0, 6)
+               AS twap
+    FROM s WHERE dt IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q213_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average event value per type (TWAP): each
+    observation weighted by the whole seconds until the next one (the
+    step-function integral; the last observation carries no weight).
+    Integer cents x integer seconds throughout; one lead window per
+    group, one division per output row."""
+    from magi_etl_spark.operators.engagement import time_weighted_average
+
+    return time_weighted_average(
+        load_table(spark, sf_dir, "events"), ["event_type"]
+    )
+
+
+# --- shared-passage explanation ---------------------------------------------
+
+
+@ext4_query(
+    "q210_common_runs",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM documents
+    ),
+    posg AS MATERIALIZED (
+        SELECT doc_id, CAST(j - 1 AS INT) AS pos,
+               tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2] AS tok
+        FROM toks, LATERAL unnest(range(1, len(tk) - 1)) AS t(j)
+    ),
+    s AS MATERIALIZED (SELECT DISTINCT doc_id, tok FROM posg),
+    sz AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM s GROUP BY doc_id
+    ),
+    inter AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter_size
+        FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    simpairs AS MATERIALIZED (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sz za ON za.doc_id = i.doc_a
+        JOIN sz zb ON zb.doc_id = i.doc_b
+        WHERE i.inter_size * 2 >= za.sz + zb.sz - i.inter_size
+    ),
+    matched AS MATERIALIZED (
+        SELECT DISTINCT p.doc_a, p.doc_b, a.pos AS pa, b.pos AS pb
+        FROM simpairs p
+        JOIN posg a ON a.doc_id = p.doc_a
+        JOIN posg b ON b.doc_id = p.doc_b AND b.tok = a.tok
+    ),
+    islands AS (
+        SELECT doc_a, doc_b, pa - pb AS diag, pa,
+               pa - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                       ORDER BY pa) AS island
+        FROM matched
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, diag, island, COUNT(*) AS run
+        FROM islands GROUP BY 1, 2, 3, 4
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX(run) AS BIGINT) AS longest_gram_run,
+           CAST(MAX(run) + 2 AS BIGINT) AS common_tokens
+    FROM runs GROUP BY doc_a, doc_b
+    """,
+)
+def q210_common_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-passage EXPLANATION for the q195 similar pairs: the
+    longest contiguous run of shared 3-gram shingles per pair, by
+    diagonal gaps-and-islands (constant pos_a - pos_b offset,
+    consecutive pos_a) — the dedup reviewer's "show me WHERE they
+    overlap" diagnostic, and the pair-level form of the Lee-et-al
+    duplicated-span profile (q129)."""
+    from fractions import Fraction
+
+    from magi_etl_spark.operators.setjoin import (
+        longest_common_runs,
+        shingle_positions,
+        shingle_sets,
+        similarity_join,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = similarity_join(shingle_sets(docs), Fraction(1, 2))
+    return longest_common_runs(pairs, shingle_positions(docs))
+
+
 # --- distribution / association / survival ----------------------------------
 
 
