@@ -1,0 +1,156 @@
+"""Invariant tests for the r7 wave-3 families: ECDF, chi-square,
+survival, common runs, negative sampling, rendezvous sharding, TWAP."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_ecdf_right_continuous_ties(spark):
+    from magi_etl_spark.operators.mlprep import ecdf_normalize
+
+    rows = [("g", 1, 10.0), ("g", 2, 10.0), ("g", 3, 20.0), ("g", 4, 30.0)]
+    df = spark.createDataFrame(rows, "g string, id long, v double")
+    got = {
+        r.id: r.ecdf
+        for r in ecdf_normalize(df, ["g"], "v", "id").collect()
+    }
+    # ties share the highest rank: both 10.0 rows get 2/4
+    assert got == {1: 0.5, 2: 0.5, 3: 0.75, 4: 1.0}
+
+
+def test_chi_square_independent_and_dependent(spark):
+    from magi_etl_spark.operators.contingency import chi_square
+
+    # perfectly independent 2x2 with equal margins -> chi2 = 0
+    rows = [(a, b) for a in "xy" for b in "uv" for _ in range(25)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square(df, F.col("a"), F.col("b")).collect()[0]
+    assert r.chi2 == 0.0 and r.cramers_v == 0.0 and r.dof == 1
+    # perfectly dependent 2x2 -> V = 1, chi2 = n
+    rows = [("x", "u")] * 30 + [("y", "v")] * 30
+    df = spark.createDataFrame(rows, "a string, b string")
+    r = chi_square(df, F.col("a"), F.col("b")).collect()[0]
+    assert r.cramers_v == 1.0 and r.chi2 == pytest.approx(60.0)
+
+
+def test_chi_square_matches_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    from magi_etl_spark.operators.contingency import chi_square
+    from magi_etl_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "events")
+    got = chi_square(
+        e, F.col("event_type"), F.weekday("ts").cast("int")
+    ).collect()[0]
+    rows = e.select(
+        "event_type", F.weekday("ts").cast("int").alias("wd")
+    ).collect()
+    cells = Counter((r.event_type, r.wd) for r in rows)
+    rt = Counter()
+    ct = Counter()
+    for (a, b), o in cells.items():
+        rt[a] += o
+        ct[b] += o
+    n = sum(cells.values())
+    chi2 = 0.0
+    for a in rt:
+        for b in ct:
+            ee = rt[a] * ct[b] / n
+            o = cells.get((a, b), 0)
+            chi2 += (o - ee) ** 2 / ee
+    assert got.chi2 == pytest.approx(chi2, rel=1e-6)
+
+
+def test_survival_curve_shape(spark, sf_dir):
+    from magi_etl_spark.operators.survival import survival_curve
+    from magi_etl_spark.tables import load_table
+
+    out = sorted(
+        survival_curve(load_table(spark, sf_dir, "events")).collect(),
+        key=lambda r: r.t_days,
+    )
+    assert out[0].t_days == 0 and out[0].survival == 1.0
+    shares = [r.survival for r in out]
+    assert shares == sorted(shares, reverse=True)  # non-increasing
+
+
+def test_longest_common_runs_hand_fixture(spark):
+    from magi_etl_spark.operators.setjoin import (
+        longest_common_runs,
+        shingle_positions,
+    )
+
+    run = "alpha beta gamma delta epsilon zeta"  # 6 shared tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two {run} three four five six seven"),
+            (2, f"{run} eight nine ten eleven twelve"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = spark.createDataFrame([(1, 2)], "doc_a long, doc_b long")
+    r = longest_common_runs(pairs, shingle_positions(docs)).collect()[0]
+    # 6 shared tokens = 4 consecutive shared 3-grams
+    assert r.longest_gram_run == 4 and r.common_tokens == 6
+
+
+def test_negative_samples_are_nonedges_and_deterministic(spark):
+    from magi_etl_spark.operators.negatives import negative_edge_samples
+
+    edges_rows = [(u, v) for u in range(20) for v in range(100, 130)
+                  if (u * 7 + v) % 3 == 0]
+    edges = spark.createDataFrame(edges_rows, "src long, dst long")
+    out = negative_edge_samples(edges, n_trials=4).collect()
+    pos = set(edges_rows)
+    assert out
+    for r in out:
+        assert (r.src, r.dst) not in pos and r.dst != r.src
+    again = negative_edge_samples(edges.repartition(7), n_trials=4).collect()
+    assert {(r.src, r.trial, r.dst) for r in out} == {
+        (r.src, r.trial, r.dst) for r in again
+    }
+
+
+def test_rendezvous_minimal_disruption(spark):
+    """Removing a shard only remaps the keys that lived on it."""
+    from magi_etl_spark.operators.rendezvous import rendezvous_shard
+
+    df = spark.range(2000).select(F.col("id").alias("k"))
+    a16 = {
+        r.k: r.s
+        for r in df.select(
+            "k", rendezvous_shard(F.col("k"), 16).alias("s")
+        ).collect()
+    }
+    a15 = {
+        r.k: r.s
+        for r in df.select(
+            "k", rendezvous_shard(F.col("k"), 15).alias("s")
+        ).collect()
+    }
+    moved = [k for k in a16 if a15[k] != a16[k]]
+    # every moved key must have lived on the removed shard (15)
+    assert all(a16[k] == 15 for k in moved)
+    # balance sanity: every shard nonempty
+    assert len(set(a16.values())) == 16
+
+
+def test_twap_hand_fixture(spark):
+    from magi_etl_spark.operators.engagement import time_weighted_average
+
+    rows = [
+        (1, "t", "2024-01-01 00:00:00", 10.0),
+        (2, "t", "2024-01-01 00:00:10", 20.0),  # 10s at 10.0
+        (3, "t", "2024-01-01 00:00:40", 99.0),  # 30s at 20.0; last unweighted
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts_s string, value double"
+    ).select(
+        "event_id", "event_type", F.to_timestamp("ts_s").alias("ts"), "value"
+    )
+    r = time_weighted_average(df, ["event_type"]).collect()[0]
+    assert r.n_obs == 2 and r.total_seconds == 40
+    assert r.twap == pytest.approx((10 * 10 + 20 * 30) / 40, abs=1e-6)
