@@ -68,6 +68,32 @@ def undirected_edges(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     return e.where(F.col("a") != F.col("b")).distinct()
 
 
+def peel_round(
+    e: DataFrame, k: int, broadcast_vertices: bool = True
+) -> DataFrame:
+    """One peeling round: drop edges touching any vertex of current
+    degree < k.  Exposed so tests can assert the round's PLAN (the
+    eager checkpoints inside :func:`k_core` truncate lineage, hiding
+    the round shape from the final frame)."""
+    deg = (
+        e.select(F.col("a").alias("v"))
+        .unionAll(e.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count("*").alias("deg"))
+    )
+    keep = deg.where(F.col("deg") >= k).select("v")
+    if broadcast_vertices:
+        # the keep-list is VERTEX-sized (dimension scale, not edge
+        # scale) — broadcasting it turns both survivor filters into
+        # map-side semi joins, so each peel round shuffles only the
+        # degree aggregate.  For billion-vertex graphs pass False and
+        # take the keyed semi-join shuffles instead.
+        keep = F.broadcast(keep)
+    return e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi").join(
+        keep.withColumnRenamed("v", "b"), "b", "left_semi"
+    )
+
+
 def k_core(
     edges: DataFrame,
     k: int,
@@ -88,25 +114,7 @@ def k_core(
     for _ in range(max_iters):
         if n_prev == 0:
             break
-        deg = (
-            e.select(F.col("a").alias("v"))
-            .unionAll(e.select(F.col("b").alias("v")))
-            .groupBy("v")
-            .agg(F.count("*").alias("deg"))
-        )
-        keep = deg.where(F.col("deg") >= k).select("v")
-        if broadcast_vertices:
-            # the keep-list is VERTEX-sized (dimension scale, not edge
-            # scale) — broadcasting it turns both survivor filters into
-            # map-side semi joins, so each peel round shuffles only the
-            # degree aggregate.  For billion-vertex graphs pass False
-            # and take the keyed semi-join shuffles instead.
-            keep = F.broadcast(keep)
-        e = (
-            e.join(keep.withColumnRenamed("v", "a"), "a", "left_semi")
-            .join(keep.withColumnRenamed("v", "b"), "b", "left_semi")
-            .localCheckpoint(eager=True)
-        )
+        e = peel_round(e, k, broadcast_vertices).localCheckpoint(eager=True)
         n_now = e.count()
         if n_now == n_prev:
             # fixed point: every remaining vertex already has deg >= k,

@@ -965,6 +965,80 @@ def main() -> None:
 
         return run
 
+    def ecdf(e):
+        from magi_etl_spark.operators.mlprep import ecdf_normalize
+
+        return lambda: ecdf_normalize(
+            e.select("event_type", "event_id", "value"),
+            ["event_type"],
+            "value",
+            "event_id",
+        )
+
+    def chi2(e):
+        from magi_etl_spark.operators.contingency import chi_square
+
+        return lambda: chi_square(
+            e, F.col("event_type"), F.weekday("ts").cast("int")
+        )
+
+    def survival(e):
+        from magi_etl_spark.operators.survival import survival_curve
+
+        return lambda: survival_curve(e)
+
+    def common_runs(d):
+        from fractions import Fraction
+
+        from magi_etl_spark.operators.setjoin import (
+            longest_common_runs,
+            shingle_positions,
+            shingle_sets,
+            similarity_join,
+        )
+
+        # STRESSOR like simjoin: the pair set itself grows ~n^2 per
+        # duplicate family under replication (8x-only)
+        def run():
+            pairs = similarity_join(shingle_sets(d), Fraction(1, 2))
+            return longest_common_runs(pairs, shingle_positions(d))
+
+        return run
+
+    def negatives(o, li):
+        from magi_etl_spark.operators.negatives import negative_edge_samples
+
+        # custkeys and partkeys shift per copy: src and dst vertex sets
+        # both grow linearly, buckets refill proportionally
+        def run():
+            edges = (
+                o.join(li, o.o_orderkey == li.l_orderkey)
+                .select(
+                    F.col("o_custkey").alias("src"),
+                    F.col("l_partkey").alias("dst"),
+                )
+                .distinct()
+            )
+            return negative_edge_samples(edges, "src", "dst")
+
+        return run
+
+    def rendezvous_probe(d):
+        from magi_etl_spark.operators.rendezvous import (
+            shard_assignment_profile,
+        )
+
+        return lambda: shard_assignment_profile(d, "doc_id", 16)
+
+    def twap(e):
+        from magi_etl_spark.operators.engagement import time_weighted_average
+
+        return lambda: time_weighted_average(e, ["event_type"])
+
+    lineitemN_parts = replicate(
+        lineitem1, ["l_orderkey", "l_partkey"], n, 10_000_000
+    )
+
     lineitemN_sup = replicate(
         lineitem1, ["l_orderkey", "l_suppkey"], n, 10_000_000
     )
@@ -1051,6 +1125,17 @@ def main() -> None:
         ),
         ("kcore", kcore_probe(lineitem1), kcore_probe(lineitemN_sup)),
         ("lsh_eval", lsh_eval(docs1), lsh_eval(docsN)),
+        ("ecdf", ecdf(events1), ecdf(eventsN)),
+        ("chi_square", chi2(events1), chi2(eventsN)),
+        ("survival", survival(events1), survival(eventsN)),
+        ("common_runs", common_runs(docs1), common_runs(docsN)),
+        (
+            "negative_edges",
+            negatives(orders_b, lineitem1),
+            negatives(ordersN_b, lineitemN_parts),
+        ),
+        ("rendezvous", rendezvous_probe(docs1), rendezvous_probe(docsN)),
+        ("twap", twap(events1), twap(eventsN)),
     ):
         if only is not None and label not in only:
             continue
