@@ -190,6 +190,67 @@ def run_audit(spark: SparkSession, args) -> dict[str, str]:
     return paths
 
 
+def run_engagement(spark: SparkSession, args) -> dict[str, str]:
+    """Engagement-health pass over an events+orders catalog: rolling
+    DAU/WAU/MAU stickiness, the user-lifetime survival curve, per-
+    segment revenue Gini, and CUSUM changepoint alarms on the daily
+    cent series — the behavioral composition of
+    ``operators/{engagement,survival,inequality,changepoint}.py``,
+    packaged as a scheduled job with a one-file JSON summary for
+    alerting."""
+    from magi_etl_spark.operators.changepoint import cusum_profile
+    from magi_etl_spark.operators.engagement import rolling_active_users
+    from magi_etl_spark.operators.inequality import gini_by_group
+    from magi_etl_spark.operators.survival import survival_curve
+
+    events = _read(spark, args.data_dir, "events")
+    orders = _read(spark, args.data_dir, "orders")
+    active = rolling_active_users(events)
+    surv = survival_curve(events, max_days=args.max_days)
+    gini = gini_by_group(
+        orders.select(
+            F.col("o_orderpriority").alias("segment"),
+            "o_custkey",
+            F.round(F.col("o_totalprice") * 100).cast("long").alias("_m"),
+        ),
+        ["segment"],
+        "o_custkey",
+        F.col("_m"),
+    )
+    daily = events.groupBy(
+        F.col("event_type").alias("series"), F.to_date("ts").alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 100).cast("long")).alias("x"))
+    cusum = cusum_profile(daily, "series", "day", "x")
+
+    paths = {}
+    for name, df in (
+        ("active_users", active),
+        ("survival", surv),
+        ("gini", gini),
+        ("cusum", cusum),
+    ):
+        p = os.path.join(args.out, name)
+        df.write.mode("overwrite").parquet(p)
+        paths[name] = p
+    act = spark.read.parquet(paths["active_users"]).collect()
+    alarms = (
+        spark.read.parquet(paths["cusum"]).where(F.col("alarm") == 1).collect()
+    )
+    gi = spark.read.parquet(paths["gini"]).collect()
+    summary = {
+        "days_observed": len(act),
+        "min_stickiness": min((r["stickiness"] for r in act), default=None),
+        "max_gini": max((r["gini"] for r in gi), default=None),
+        "n_cusum_alarms": len(alarms),
+        "alarm_series": sorted({r["series"] for r in alarms}),
+    }
+    sp = os.path.join(args.out, "engagement_summary.json")
+    with open(sp, "w") as f:
+        json.dump(summary, f, sort_keys=True)
+    paths["summary"] = sp
+    return paths
+
+
 def run_govern(spark: SparkSession, args) -> dict[str, str]:
     """Governance pass over a documents+events catalog: the per-document
     curation manifest (domain verdicts -> kept-set soft-dedup weights ->
@@ -300,6 +361,9 @@ def main(argv: list[str] | None = None) -> int:
     a = sub.add_parser("audit", parents=[common])
     a.add_argument("--split-ts", default="2024-01-16")
 
+    en = sub.add_parser("engagement", parents=[common])
+    en.add_argument("--max-days", type=int, default=30)
+
     g = sub.add_parser("govern", parents=[common])
     g.add_argument("--min-docs", type=int, default=10)
     g.add_argument("--k", type=int, default=5)
@@ -319,6 +383,7 @@ def main(argv: list[str] | None = None) -> int:
         "metric-query": run_metric_query,
         "audit": run_audit,
         "govern": run_govern,
+        "engagement": run_engagement,
     }[args.job]
     # run-status telemetry (reference callbacks.py:103-136); in-memory
     # store here — hand RunTelemetry(store=redis_client) a shared store
