@@ -1089,6 +1089,96 @@ def q204_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT4_ORACLE["q204_ivf_recall_eval"] = _ivf_recall_oracle()
 
 
+# --- conversion latency ------------------------------------------------------
+
+
+@ext4_query(
+    "q214_conversion_latency",
+    oracle="""
+    WITH nxt AS (
+        SELECT user_id, ts, event_type,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 1 FOLLOWING
+                                  AND UNBOUNDED FOLLOWING) AS np
+        FROM events
+    ),
+    conv AS (
+        SELECT CAST(date_trunc('week', ts) AS DATE) AS week,
+               CAST(date_diff('second', ts, np) AS DOUBLE) AS latency_s
+        FROM nxt
+        WHERE event_type = 'view' AND np IS NOT NULL
+    ),
+    cells AS (
+        SELECT week,
+               least(greatest(CAST(floor(latency_s / 20480.0) AS INTEGER),
+                              0), 127) AS b,
+               CAST(COUNT(*) AS DOUBLE) AS c
+        FROM conv
+        GROUP BY week, least(greatest(CAST(floor(latency_s / 20480.0)
+                 AS INTEGER), 0), 127)
+    ),
+    cdf AS (
+        SELECT week, b, c,
+               SUM(c) OVER (PARTITION BY week ORDER BY b) AS cum,
+               SUM(c) OVER (PARTITION BY week) AS n
+        FROM cells
+    ),
+    qs AS (
+        SELECT CAST(q AS DOUBLE) AS q
+        FROM (VALUES (0.5), (0.9)) v(q)
+    ),
+    hit AS (
+        SELECT cdf.week, qs.q, cdf.b, cdf.c, cdf.cum, cdf.n,
+               ROW_NUMBER() OVER (PARTITION BY cdf.week, qs.q
+                                  ORDER BY cdf.b) AS rn
+        FROM cdf JOIN qs ON cdf.cum >= qs.q * cdf.n
+    )
+    SELECT week, q,
+           ROUND(0.0 + (b + (q * n - (cum - c)) / c) * 20480.0, 4) AS est
+    FROM hit WHERE rn = 1
+    """,
+)
+def q214_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """View-to-next-purchase latency quantiles (p50/p90 seconds) per
+    view week: every view looks ahead to its user's next purchase (one
+    unbounded-following conditional-min window per user — the
+    event-time as-of shape), and the latencies feed the mergeable
+    fixed-grid quantile sketch (q162's shape; bucket width 2621440/128
+    = 20480 is exactly representable, so the oracle replays the CDF
+    interpolation bit for bit)."""
+    from pyspark.sql import Window as PW
+
+    from magi_etl_spark.operators.sketches import grid_quantiles
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        PW.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(1, PW.unboundedFollowing)
+    )
+    nxt = e.select(
+        "event_type",
+        "ts",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts"))
+        )
+        .over(w)
+        .alias("np"),
+    )
+    conv = nxt.where(
+        (F.col("event_type") == "view") & F.col("np").isNotNull()
+    ).select(
+        F.to_date(F.date_trunc("week", "ts")).alias("week"),
+        (F.col("np").cast("long") - F.col("ts").cast("long"))
+        .cast("double")
+        .alias("latency_s"),
+    )
+    return grid_quantiles(
+        conv, ["week"], "latency_s", [0.5, 0.9], lo=0.0, hi=2621440.0
+    )
+
+
 # --- contrastive negatives / sharding / TWAP --------------------------------
 
 
