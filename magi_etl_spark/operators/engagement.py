@@ -197,8 +197,15 @@ def concurrency_profile(
         value_col="delta",
         num_partitions=num_partitions,
     )
+    # output grain is (date, hour-of-day) INTEGERS, not a raw truncated
+    # timestamp: collect()/toPandas render timestamps through the PYTHON
+    # process timezone (not the UTC-pinned session), so a timestamp
+    # output column would shift under a non-UTC driver host
     return (
-        swept.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+        swept.groupBy(
+            F.to_date("ts").alias("day"),
+            F.hour("ts").cast("int").alias("hour_of_day"),
+        )
         .agg(
             F.max("cum").alias("peak_concurrency"),
             F.sum(F.when(F.col("delta") == 1, 1).otherwise(0)).alias(

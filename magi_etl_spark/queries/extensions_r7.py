@@ -103,11 +103,12 @@ def q184_active_user_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
                                          AND CURRENT ROW) AS cum
         FROM d
     )
-    SELECT date_trunc('hour', ts) AS hour,
+    SELECT CAST(ts AS DATE) AS day,
+           CAST(hour(ts) AS INT) AS hour_of_day,
            CAST(MAX(cum) AS BIGINT) AS peak_concurrency,
            CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
                AS session_starts
-    FROM c GROUP BY date_trunc('hour', ts)
+    FROM c GROUP BY 1, 2
     """,
 )
 def q185_concurrency_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
