@@ -162,6 +162,58 @@ def longest_common_runs(
     )
 
 
+def weighted_jaccard_scores(
+    pairs: DataFrame,
+    sets: DataFrame,
+    weight_col: str = "w",
+) -> DataFrame:
+    """Weighted-Jaccard scoring of CANDIDATE pairs: for each
+    ``(doc_a, doc_b)``, ``w_inter = sum over shared elements of
+    min(w_a, w_b)`` and ``w_union = W_a + W_b - w_inter`` — the
+    integer-weighted generalization of set Jaccard (rarity-weighted
+    similarity, where a shared rare shingle counts more than a shared
+    common one).  ``sets`` carries ``doc_id, tok, w`` with integer
+    weights; with per-document-constant weights this reduces to plain
+    Jaccard scaled by the weight.  Output is all-integer:
+    ``doc_a, doc_b, w_inter, w_union``.
+
+    Scoring-only by design: the candidate set comes from a lossless
+    generator (prefix filter, LSH + verify) — this operator never
+    generates pairs itself."""
+    totals = sets.groupBy("doc_id").agg(
+        F.sum(weight_col).cast("long").alias("_W")
+    )
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), "tok", F.col(weight_col).alias("_wa")
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), "tok", F.col(weight_col).alias("_wb")
+    )
+    inter = (
+        pairs.select("doc_a", "doc_b")
+        .join(sa, "doc_a")
+        .join(sb, ["doc_b", "tok"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.sum(F.least(F.col("_wa"), F.col("_wb")))
+            .cast("long")
+            .alias("w_inter")
+        )
+    )
+    ta = totals.select(F.col("doc_id").alias("doc_a"), F.col("_W").alias("_Wa"))
+    tb = totals.select(F.col("doc_id").alias("doc_b"), F.col("_W").alias("_Wb"))
+    return (
+        inter.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "w_inter",
+            (F.col("_Wa") + F.col("_Wb") - F.col("w_inter")).alias("w_union"),
+        )
+    )
+
+
 def similarity_join(
     sets: DataFrame,
     threshold: Fraction = Fraction(1, 2),

@@ -1090,6 +1090,140 @@ def q204_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT4_ORACLE["q204_ivf_recall_eval"] = _ivf_recall_oracle()
 
 
+# --- weighted similarity / token association --------------------------------
+
+
+@ext4_query(
+    "q215_weighted_jaccard",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+        FROM documents
+    ),
+    s AS MATERIALIZED (
+        SELECT DISTINCT doc_id,
+               tk[j] || ' ' || tk[j+1] || ' ' || tk[j+2] AS tok
+        FROM toks, LATERAL unnest(range(1, len(tk) - 1)) AS t(j)
+    ),
+    dfq AS MATERIALIZED (
+        SELECT tok, COUNT(*) AS df FROM s GROUP BY tok
+    ),
+    ws AS MATERIALIZED (
+        SELECT s.doc_id, s.tok,
+               CASE WHEN dfq.df = 1 THEN 4 WHEN dfq.df = 2 THEN 3
+                    WHEN dfq.df = 3 THEN 2 ELSE 1 END AS w
+        FROM s JOIN dfq USING (tok)
+    ),
+    sz AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz FROM s GROUP BY doc_id
+    ),
+    inter AS MATERIALIZED (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS inter_size
+        FROM s a JOIN s b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    simpairs AS MATERIALIZED (
+        SELECT i.doc_a, i.doc_b
+        FROM inter i
+        JOIN sz za ON za.doc_id = i.doc_a
+        JOIN sz zb ON zb.doc_id = i.doc_b
+        WHERE i.inter_size * 2 >= za.sz + zb.sz - i.inter_size
+    ),
+    tot AS (
+        SELECT doc_id, CAST(SUM(w) AS BIGINT) AS W FROM ws GROUP BY doc_id
+    ),
+    wint AS (
+        SELECT p.doc_a, p.doc_b,
+               CAST(SUM(LEAST(a.w, b.w)) AS BIGINT) AS w_inter
+        FROM simpairs p
+        JOIN ws a ON a.doc_id = p.doc_a
+        JOIN ws b ON b.doc_id = p.doc_b AND b.tok = a.tok
+        GROUP BY 1, 2
+    )
+    SELECT w.doc_a, w.doc_b, w.w_inter,
+           ta.W + tb.W - w.w_inter AS w_union
+    FROM wint w
+    JOIN tot ta ON ta.doc_id = w.doc_a
+    JOIN tot tb ON tb.doc_id = w.doc_b
+    """,
+)
+def q215_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rarity-weighted Jaccard scoring of the q195 similar pairs:
+    shingles weighted by an integer df ladder (df=1 -> 4 ... df>=4 ->
+    1), w_inter = sum of min weights over shared shingles, w_union =
+    W_a + W_b - w_inter — a shared RARE passage counts more than a
+    shared boilerplate one, and the output stays all-integer."""
+    from fractions import Fraction
+
+    from magi_etl_spark.operators.setjoin import (
+        shingle_sets,
+        similarity_join,
+        weighted_jaccard_scores,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sets = shingle_sets(docs)
+    dfq = sets.groupBy("tok").agg(F.count("*").alias("_df"))
+    weighted = sets.join(dfq, "tok").select(
+        "doc_id",
+        "tok",
+        F.when(F.col("_df") == 1, 4)
+        .when(F.col("_df") == 2, 3)
+        .when(F.col("_df") == 3, 2)
+        .otherwise(1)
+        .alias("w"),
+    )
+    pairs = similarity_join(sets, Fraction(1, 2)).select("doc_a", "doc_b")
+    return weighted_jaccard_scores(pairs, weighted)
+
+
+@ext4_query(
+    "q216_token_pmi",
+    oracle="""
+    WITH toks AS MATERIALIZED (
+        SELECT DISTINCT doc_id, u.tok
+        FROM (SELECT doc_id,
+                     regexp_extract_all(lower(text), '[a-z0-9]+') AS tk
+              FROM documents),
+             LATERAL unnest(tk) AS u(tok)
+    ),
+    dfq AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY tok
+    ),
+    top AS (
+        SELECT tok, df FROM dfq ORDER BY df DESC, tok ASC LIMIT 30
+    ),
+    kept AS (
+        SELECT t.doc_id, t.tok, top.df
+        FROM toks t JOIN top USING (tok)
+    ),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS na, b.df AS nb,
+               CAST(COUNT(*) AS BIGINT) AS n_ab
+        FROM kept a JOIN kept b
+          ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY 1, 2, 3, 4
+        HAVING COUNT(*) >= 5
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents)
+    SELECT tok_a, tok_b, na AS n_a, nb AS n_b, n_ab,
+           ROUND(LN(CAST(n_ab * nd.n AS DOUBLE)
+                    / CAST(na * nb AS DOUBLE)), 4) AS pmi
+    FROM pairs, nd
+    """,
+)
+def q216_token_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information between the top-30 df-ranked
+    vocabulary terms over document co-occurrence — the document-term
+    form of co-purchase lift.  Top-k selection plans as
+    TakeOrderedAndProject (distributed top-k, no vocabulary-wide
+    window); per-document pair fan-out is bounded by C(30, 2)."""
+    from magi_etl_spark.operators.pmi import token_pmi
+
+    return token_pmi(load_table(spark, sf_dir, "documents"))
+
+
 # --- conversion latency ------------------------------------------------------
 
 
