@@ -1090,6 +1090,78 @@ def q204_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT4_ORACLE["q204_ivf_recall_eval"] = _ivf_recall_oracle()
 
 
+# --- session entry/exit analysis --------------------------------------------
+
+
+@ext4_query(
+    "q217_entry_exit_bounce",
+    oracle="""
+    WITH ev AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, ts, event_id,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ),
+    ranked AS (
+        SELECT user_id, day, k,
+               ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts, event_id) AS rf,
+               ROW_NUMBER() OVER (PARTITION BY user_id, day
+                                  ORDER BY ts DESC, event_id DESC) AS rl
+        FROM ev
+    ),
+    sess AS (
+        SELECT user_id, day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(CASE WHEN rf = 1 THEN k END) AS entry_k,
+               MAX(CASE WHEN rl = 1 THEN k END) AS exit_k
+        FROM ranked GROUP BY user_id, day
+    )
+    SELECT day,
+           CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bounces,
+           ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS bounce_rate,
+           CAST(COUNT(DISTINCT entry_k) AS BIGINT) AS distinct_entries,
+           CAST(COUNT(DISTINCT exit_k) AS BIGINT) AS distinct_exits
+    FROM sess GROUP BY day
+    """,
+)
+def q217_entry_exit_bounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entry/exit-page and bounce analysis per day over (user, day)
+    sessions: the entry and exit page ids are per-session argmin/argmax
+    by (ts, event_id) — deterministic under same-timestamp events via
+    the unique tie-break — and a bounce is a single-event session.
+    One keyed session aggregate + one daily rollup."""
+    e = load_table(spark, sf_dir, "events")
+    ev = e.select(
+        "user_id",
+        F.to_date("ts").alias("day"),
+        F.struct("ts", "event_id").alias("_ord"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+    sess = ev.groupBy("user_id", "day").agg(
+        F.count("*").alias("n_events"),
+        F.min_by("k", F.col("_ord")).alias("entry_k"),
+        F.max_by("k", F.col("_ord")).alias("exit_k"),
+    )
+    return sess.groupBy("day").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_bounces"),
+        F.round(
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("*"),
+            6,
+        ).alias("bounce_rate"),
+        F.count_distinct("entry_k").alias("distinct_entries"),
+        F.count_distinct("exit_k").alias("distinct_exits"),
+    )
+
+
 # --- weighted similarity / token association --------------------------------
 
 
