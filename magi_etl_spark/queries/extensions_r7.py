@@ -1090,6 +1090,146 @@ def q204_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT4_ORACLE["q204_ivf_recall_eval"] = _ivf_recall_oracle()
 
 
+# --- corpus datasheet capstone ----------------------------------------------
+
+
+@ext4_query(
+    "q218_source_datasheet",
+    oracle="""
+    WITH base AS MATERIALIZED (
+        SELECT source, lang, doc_id, n_chars, md5(text) AS h,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                   AS n_toks,
+               CAST(length(text) - length(regexp_replace(text,
+                        '[^\\x00-\\x7F]', '', 'g')) AS DOUBLE)
+                   / GREATEST(length(text), 1) AS na_ratio
+        FROM documents
+    ),
+    dup AS (
+        SELECT source, h, COUNT(*) AS n FROM base GROUP BY source, h
+    ),
+    dupc AS (
+        SELECT source,
+               CAST(SUM(CASE WHEN n > 1 THEN n ELSE 0 END) AS BIGINT)
+                   AS n_dup_docs
+        FROM dup GROUP BY source
+    ),
+    ranked AS (
+        SELECT source, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM base
+    ),
+    med AS (
+        SELECT source, ROUND(AVG(CAST(n_chars AS DOUBLE)), 1)
+                   AS median_chars
+        FROM ranked
+        WHERE rk = (n + 1) // 2 OR rk = (n + 2) // 2
+        GROUP BY source
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT b.lang) AS BIGINT) AS n_langs,
+           dupc.n_dup_docs,
+           med.median_chars,
+           ROUND(CAST(SUM(b.n_toks) AS DOUBLE) / COUNT(*), 4)
+               AS mean_tokens,
+           CAST(SUM(CASE WHEN b.na_ratio > 0.05 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_nonascii_flagged
+    FROM base b
+    JOIN dupc ON dupc.source = b.source
+    JOIN med ON med.source = b.source
+    GROUP BY b.source, dupc.n_dup_docs, med.median_chars
+    """,
+)
+def q218_source_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytics-wave capstone: a per-source corpus DATASHEET in
+    one row — document and language counts, exact-duplicate document
+    count (md5 text groups), exact rank-median document length, mean
+    token count, and encoding-flag counts (non-ASCII ratio > 5%) —
+    the one-look summary a dataset card starts from, composed from the
+    wave's building blocks in a single oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.md5("text").alias("h"),
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z0-9]+"),
+                lambda t: t != "",
+            )
+        ).alias("n_toks"),
+        (
+            (
+                F.length("text")
+                - F.length(
+                    F.regexp_replace(F.col("text"), "[^\\x00-\\x7F]", "")
+                )
+            ).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        ).alias("na_ratio"),
+    )
+    dupc = (
+        base.groupBy("source", "h")
+        .agg(F.count("*").alias("_n"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("_n") > 1, F.col("_n")).otherwise(0))
+            .cast("long")
+            .alias("n_dup_docs")
+        )
+    )
+    from pyspark.sql import Window as PW
+
+    w = PW.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = base.select(
+        "source",
+        "n_chars",
+        F.row_number().over(w).alias("_rk"),
+        F.count("*").over(PW.partitionBy("source")).alias("_n"),
+    )
+    med = (
+        ranked.where(
+            (F.col("_rk") == F.expr("(_n + 1) DIV 2"))
+            | (F.col("_rk") == F.expr("(_n + 2) DIV 2"))
+        )
+        .groupBy("source")
+        .agg(
+            F.round(F.avg(F.col("n_chars").cast("double")), 1).alias(
+                "median_chars"
+            )
+        )
+    )
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct("lang").alias("n_langs"),
+            F.sum("n_toks").alias("_sum_toks"),
+            F.sum(F.when(F.col("na_ratio") > 0.05, 1).otherwise(0))
+            .cast("long")
+            .alias("n_nonascii_flagged"),
+        )
+        .join(dupc, "source")
+        .join(med, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_langs",
+            "n_dup_docs",
+            "median_chars",
+            F.round(
+                F.col("_sum_toks").cast("double") / F.col("n_docs"), 4
+            ).alias("mean_tokens"),
+            "n_nonascii_flagged",
+        )
+    )
+
+
 # --- session entry/exit analysis --------------------------------------------
 
 
