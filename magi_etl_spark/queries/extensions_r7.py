@@ -1090,6 +1090,87 @@ def q204_ivf_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXT4_ORACLE["q204_ivf_recall_eval"] = _ivf_recall_oracle()
 
 
+# --- transition entropy ------------------------------------------------------
+
+
+@ext4_query(
+    "q219_transition_entropy",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS a,
+               LEAD(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS b
+        FROM events
+    ),
+    c AS (
+        SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE b IS NOT NULL GROUP BY a, b
+    ),
+    rowt AS (SELECT a, CAST(SUM(n) AS BIGINT) AS na FROM c GROUP BY a),
+    tot AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM c)
+    SELECT c.a AS from_state, rowt.na AS n_out,
+           ROUND(SUM(-(CAST(c.n AS DOUBLE) / rowt.na)
+                     * LN(CAST(c.n AS DOUBLE) / rowt.na)
+                     / LN(2.0)), 4) AS row_entropy_bits,
+           (SELECT ROUND(SUM(-(CAST(c2.n AS DOUBLE) / tot.nt)
+                              * LN(CAST(c2.n AS DOUBLE)
+                                   / CAST(r2.na AS DOUBLE)) / LN(2.0)), 4)
+            FROM c c2 JOIN rowt r2 ON r2.a = c2.a, tot)
+               AS entropy_rate_bits
+    FROM c JOIN rowt ON rowt.a = c.a
+    GROUP BY c.a, rowt.na
+    """,
+)
+def q219_transition_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition entropy over per-user event sequences: each
+    from-state's conditional next-step entropy (bits) and the corpus
+    entropy rate under the empirical occupancy — the predictability
+    summary of the q141 transition matrix.  Integer transition counts;
+    one log per transition CELL (|states|^2, never corpus-sized)."""
+    import math
+
+    from pyspark.sql import Window as PW
+
+    ln2 = math.log(2.0)
+    e = load_table(spark, sf_dir, "events")
+    w = PW.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("a"),
+        F.lead("event_type").over(w).alias("b"),
+    ).where(F.col("b").isNotNull())
+    c = seq.groupBy("a", "b").agg(F.count("*").alias("n"))
+    rowt = c.groupBy("a").agg(F.sum("n").alias("na"))
+    tot = c.agg(F.sum("n").alias("nt"))
+    p = F.col("n").cast("double") / F.col("na")
+    per_row = (
+        c.join(rowt, "a")
+        .groupBy(F.col("a").alias("from_state"), F.col("na").alias("n_out"))
+        .agg(
+            F.round(
+                F.sum(-p * F.log(p) / F.lit(ln2)),
+                4,
+            ).alias("row_entropy_bits")
+        )
+    )
+    rate = (
+        c.join(rowt, "a")
+        .join(F.broadcast(tot))
+        .agg(
+            F.round(
+                F.sum(
+                    -(F.col("n").cast("double") / F.col("nt"))
+                    * F.log(
+                        F.col("n").cast("double") / F.col("na").cast("double")
+                    )
+                    / F.lit(ln2)
+                ),
+                4,
+            ).alias("entropy_rate_bits")
+        )
+    )
+    return per_row.join(F.broadcast(rate))
+
+
 # --- corpus datasheet capstone ----------------------------------------------
 
 
