@@ -147,7 +147,11 @@ def ecdf_normalize(
     w = W.partitionBy(*group_cols).orderBy(value_col)
     # right-continuous ECDF: count of values <= this one = max rank of
     # the tie group = row_number at the tie group's END.  cume_dist is
-    # exactly this divided by n.
+    # exactly this divided by n.  NULL values are excluded by contract
+    # — an ECDF of NULL is undefined, and engines disagree on default
+    # null ordering (Spark ASC NULLS FIRST, DuckDB NULLS LAST), so
+    # passing them through would be silently engine-dependent.
+    df = df.where(F.col(value_col).isNotNull())
     return df.select(
         *group_cols,
         id_col,

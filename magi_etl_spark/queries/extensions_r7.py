@@ -1823,7 +1823,7 @@ def q210_common_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, event_id, value,
            ROUND(cume_dist() OVER (PARTITION BY event_type
                                    ORDER BY value), 6) AS ecdf
-    FROM events
+    FROM events WHERE value IS NOT NULL
     """,
 )
 def q207_ecdf_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
