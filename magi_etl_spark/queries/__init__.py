@@ -88,6 +88,18 @@ _load_all()
 GATE_WINDOW = 50
 
 _PRIORITY: list[str] = [
+    # ROUND 7 NOTE: this is still the round-6 window, DELIBERATELY.
+    # The r6 driver artifacts (CORRECTNESS_r06/BENCH_r06/r6 VERDICT)
+    # were never delivered to the repo, so on disk q117-q132 and the
+    # r6 re-entries remain "never driver-verified" — rotating them out
+    # would violate the rotation rules and the gate-window invariant
+    # test (the round-2 silent-unverification mistake).  The r7 gate
+    # therefore re-runs the r6 window (its rows double as the missing
+    # verification), the r7 operator wave stages in
+    # queries/extensions_r7.py (q184+, hash-oracle-swept every suite
+    # run), and COVERAGE.md "Planned r8 window" pre-commits both
+    # rotation scenarios.
+    #
     # Round-6 window, exactly as pre-committed in COVERAGE.md ("Planned
     # r6 window").  Rule 1: the sixteen staged r5 operator-extension
     # queries (merged from queries/extensions_r5.py, oracle-verified
