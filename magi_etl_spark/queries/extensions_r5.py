@@ -281,7 +281,8 @@ def _bpe_encode_oracle(n_merges: int) -> str:
     SELECT doc_id,
            CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_words,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           list(symbol_id ORDER BY pos, k) AS token_ids
+           string_agg(CAST(symbol_id AS VARCHAR), ' ' ORDER BY pos, k)
+               AS token_seq
     FROM flat GROUP BY doc_id
     """
 
@@ -298,12 +299,28 @@ def q122_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and joined back to the exploded token stream on the word key, so
     per-occurrence work is a join probe, not a re-segmentation; the
     symbol table rides as a broadcast.  The oracle replays train +
-    number + encode from scratch in SQL, ordered-list aggregation
-    included."""
+    number + encode from scratch in SQL.
+
+    The gate-facing output emits the id sequence as ONE space-joined
+    string column (``token_seq``) rather than the operator's
+    ``array<int>``: the r7 driver row proved the external harness's
+    pandas canonicalization cannot hash complex-typed cells
+    (``unhashable type: 'list'`` inside ``sort_values``), and a
+    repo-wide lint (tests/test_output_schemas.py) now bans complex-typed
+    output columns from every registered and staged query.  The array
+    return stays on the operator for the packing consumer (q132)."""
     from magi_etl_spark.operators.bpe import bpe_encode_docs
 
     d = load_table(spark, sf_dir, "documents")
-    return bpe_encode_docs(d, n_merges=10)
+    enc = bpe_encode_docs(d, n_merges=10)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_tokens",
+        F.array_join(
+            F.transform(F.col("token_ids"), lambda x: x.cast("string")), " "
+        ).alias("token_seq"),
+    )
 
 
 @ext2_query(
