@@ -26,6 +26,12 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
+# EXT3 entries deliberately NOT merged at the r8 rotation: the q122 failure
+# re-entry takes one of the 50 window slots, so only the first 49 staged
+# entries fit (never-verified entries are interchangeable under rule 1,
+# failures are not).  These two lead the r9 queue ahead of the r7 wave.
+R9_QUEUE = frozenset({"q182_multi_touch", "q183_markov_attribution"})
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a query; ``oracle`` is the DuckDB-equivalent SQL (omit for
@@ -70,6 +76,22 @@ def _load_all() -> None:
         raise RuntimeError(f"r5 extension queries shadow registered ones: {dup2}")
     QUERIES.update(EXT2_QUERIES)
     ORACLE.update(EXT2_ORACLE)
+    # r8 rotation (COVERAGE.md "Planned r8 window", scenario 1 — the r6
+    # driver artifacts never arrived and the r7 gate re-ran the r6 window
+    # green): rule 1 front-loads the FIRST never-driver-verified staged
+    # entries in registration order.  The q122 failure re-entry takes one
+    # window slot, so 49 staged entries merge (q133-q181); the last two
+    # EXT3 entries (q182/q183) stay staged and lead the r9 queue together
+    # with the r7 wave (EXT4, q184-q219).
+    from magi_etl_spark.queries.extensions_r6 import EXT3_ORACLE, EXT3_QUERIES
+
+    merged_r6 = [n for n in EXT3_QUERIES if n not in R9_QUEUE]
+    dup3 = set(merged_r6) & set(QUERIES)
+    if dup3:
+        raise RuntimeError(f"r6 extension queries shadow registered ones: {dup3}")
+    for n in merged_r6:
+        QUERIES[n] = EXT3_QUERIES[n]
+        ORACLE[n] = EXT3_ORACLE[n]
 
 
 _load_all()
@@ -88,107 +110,75 @@ _load_all()
 GATE_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # ROUND 7 NOTE: this is still the round-6 window, DELIBERATELY.
-    # The r6 driver artifacts (CORRECTNESS_r06/BENCH_r06/r6 VERDICT)
-    # were never delivered to the repo, so on disk q117-q132 and the
-    # r6 re-entries remain "never driver-verified" — rotating them out
-    # would violate the rotation rules and the gate-window invariant
-    # test (the round-2 silent-unverification mistake).  The r7 gate
-    # therefore re-runs the r6 window (its rows double as the missing
-    # verification), the r7 operator wave stages in
-    # queries/extensions_r7.py (q184+, hash-oracle-swept every suite
-    # run), and COVERAGE.md "Planned r8 window" pre-commits both
-    # rotation scenarios.
+    # ROUND-8 WINDOW — COVERAGE.md "Planned r8 window", scenario 1
+    # (CORRECTNESS_r06 never arrived; the r7 gate re-ran the unchanged
+    # r6 window and CORRECTNESS_r07 delivered its verification one round
+    # late: 49 green rows, 1 err).
     #
-    # Round-6 window, exactly as pre-committed in COVERAGE.md ("Planned
-    # r6 window").  Rule 1: the sixteen staged r5 operator-extension
-    # queries (merged from queries/extensions_r5.py, oracle-verified
-    # every suite run through r5) have never had a driver row and go
-    # first.
-    "q117_bpe_merges",
-    "q118_bpe_segment",
-    "q119_bigram_logprob",
-    "q120_top_ngrams",
-    "q121_oot_split",
+    # Failure rule first: q122's r7 row was a driver err — the query
+    # emitted the repo's only complex-typed output column (token_ids:
+    # array<int>) and the driver's pandas canonicalization cannot hash
+    # list cells.  Fixed this round (token_seq string + string_agg
+    # oracle; class closed by tests/test_output_schemas.py's repo-wide
+    # no-complex-output lint).  It stays in the window until a green
+    # driver row lands.
     "q122_bpe_encode_docs",
-    "q123_multimodal_features",
-    "q124_audio_features",
-    "q125_enrich_summary",
-    "q126_enrich_poster",
-    "q127_dsir_importance",
-    "q128_ngram_novelty",
-    "q129_duplicated_spans",
-    "q130_merge_into",
-    "q131_weighted_sample",
-    "q132_tokenize_and_pack",
-    # The one red cell of r5: q89's gate row failed on the oracle's
-    # uncast HUGEINT value_c column (DuckDB SUM(BIGINT) → int128 →
-    # float64 under the driver's typed fetch; the r5 avg/frame rework
-    # never touched that channel).  The outer SELECT now casts it to
-    # BIGINT and a repo-wide no-HUGEINT oracle lint guards the class
-    # (tests/test_oracle_types.py).  Failure rule: q89 stays in the
-    # window until a green driver row lands.
-    "q89_rolling_7d",
-    # Rule 2: q104/q106 were rows-only in r5 ("no_oracle" driver rows —
-    # not a green hash row) and both gained full hash oracles this round
-    # (r5 VERDICT item 6: recursive-CTE reachability for the SemDeDup
-    # component fixpoint; hash-init codebooks make the whole PQ path
-    # relational).  New oracle ⇒ back into the window.
-    "q104_semantic_dedup",
-    "q106_pq_refine_topk",
-    # Rule 2 (dependency re-entry): operators/lsh_index.py changed this
-    # round (r5 ADVICE items 2/3 — checkpoint-not-persist + idempotent
-    # per-batch increment appends), so q114's r5-green row no longer
-    # covers its sources; the gate-window dependency test flags it back
-    # into the window.
-    "q114_incremental_lsh_index",
-    # Rule 2 (dependency re-entries, flagged mid-round by
-    # tests/test_gate_window.py): the round-6 operator wave APPENDED to
-    # operators/{dedup,similarity,mixing,stats,graph}.py (containment
-    # pairs, hard negatives, curriculum ordering, OLS/Wilson/AB stats,
-    # triangle counting), so every tail query transitively importing
-    # those modules lost source-coverage for its last green driver row
-    # and must re-enter the window — additions, not edits, but the
-    # file-granular dependency rule doesn't (and shouldn't) distinguish.
-    "q24_minhash_signatures",
-    "q25_minhash_lsh_neardup",
-    "q27_embedding_topk",
-    "q28_embedding_neardup",
-    "q29_ngram_jaccard_pairs",
-    "q41_ivf_topk",
-    "q44_lsh_blocked_embedding_dedup",
-    "q50_exact_ngram_jaccard_pairs",
-    "q55_decontaminate",
-    "q56_dataset_mix",
-    "q59_dedup_clusters",
-    "q64_stratified_sample",
-    "q69_repetition_score",
-    "q84_dataset_split",
-    "q86_ivf_kmeans_topk",
-    "q98_rrf_fusion",
-    "q99_temperature_mix",
-    "q103_winsorize",
-    "q107_join_estimate",
-    "q108_group_sample_n",
-    "q112_semantic_decontaminate",
-    "q113_corpus_curation",
-    "q115_incremental_ivf_index",
-    "q116_pagerank",
-    "q23_dedup_exact",
-    "q47_dedup_keep_best",
-    "q38_srp_lsh_buckets",
-    # dow_seasonal_index landed in operators/timeseries.py late in the
-    # round, flagging its importers: q89 was already in the window, q91
-    # re-enters here
-    "q91_gapfill_interpolate",
-    # Remaining slots (rule 3): the r5 tail, oldest-verified first —
-    # engine-surface entries last gate-verified in r3.  The rest of the
-    # planned tail fill (q05 onward) rotates to r7, displaced by the 28
-    # dependency re-entries above; all remain covered every round by
-    # the local DuckDB-oracle sweep and the sf0.01 driver-contract
-    # probe.
-    "q01_pricing_summary",
-    "q03_top_orders",
+    # Rule 1: the first FORTY-NINE never-driver-verified staged entries
+    # in registration order — the r6 operator wave (merged from
+    # queries/extensions_r6.py, hash-oracle + plan-lint green at every
+    # suite run since they were authored).  q122's failure slot
+    # displaces the LAST two staged entries (q182/q183 = R9_QUEUE),
+    # which lead the r9 window together with the r7 wave (EXT4,
+    # q184-q219, still staged in queries/extensions_r7.py).
+    "q133_kmv_distinct",
+    "q134_hll_distinct",
+    "q135_cms_heavy_hitters",
+    "q136_hard_negatives",
+    "q137_containment_pairs",
+    "q138_curriculum_order",
+    "q139_funnel",
+    "q140_cohort_retention",
+    "q141_markov_transitions",
+    "q142_copurchase_lift",
+    "q143_psi_drift",
+    "q144_mad_outliers",
+    "q145_random_projection",
+    "q146_rfm_segments",
+    "q147_triangle_count",
+    "q148_attribution",
+    "q149_kmv_set_overlap",
+    "q150_image_phash",
+    "q151_image_near_dup",
+    "q152_ols_trend",
+    "q153_wilson_ci",
+    "q154_ab_compare",
+    "q155_benford_audit",
+    "q156_mutual_information",
+    "q157_revenue_concentration",
+    "q158_dow_seasonality",
+    "q159_corr_matrix",
+    "q160_personalized_pagerank",
+    "q161_fs_linkage",
+    "q162_grid_quantiles",
+    "q163_frequent_triples",
+    "q164_kneser_ney",
+    "q165_shard_plan",
+    "q166_top_event_paths",
+    "q167_phrase_search",
+    "q168_seed_classifier",
+    "q169_domain_curation",
+    "q170_k_anonymity",
+    "q171_soft_dedup_weights",
+    "q172_golden_records",
+    "q173_l_diversity",
+    "q174_dp_noisy_counts",
+    "q175_curation_manifest",
+    "q176_tokenizer_fertility",
+    "q177_score_calibration",
+    "q178_span_removal",
+    "q179_entity_resolution",
+    "q180_readability",
+    "q181_fk_discovery",
 ]
 
 
