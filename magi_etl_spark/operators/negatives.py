@@ -40,13 +40,21 @@ def negative_edge_samples(
     empty, or whose candidate happens to be adjacent (or the source
     itself), yields no row — callers oversample ``n_trials`` for a
     target count, keeping the operator join-shaped instead of
-    rejection-looped."""
+    rejection-looped.
+
+    The within-bucket pick is keyed by ``(src, trial, dst)`` — NOT by
+    ``dst`` alone (the r7 ADVICE defect: a dst-only rank made every
+    bucket elect one global winner, capping the corpus-wide negative
+    vocabulary at ``n_buckets`` distinct destinations and duplicating
+    the (src, dst) pair whenever two trials of one source hashed to the
+    same bucket).  Trial-dependent ranking gives every (src, trial) an
+    independent draw from its bucket, so collisions across trials are
+    hash-coincidences, not structural."""
     src = edges.select(F.col(src_col).alias("src")).distinct()
     dst = edges.select(F.col(dst_col).alias("dst")).distinct()
     dstb = dst.select(
         "dst",
         (_h32(F.lit(f"{seed}|b"), F.col("dst")) % n_buckets).alias("_b"),
-        _h32(F.lit(f"{seed}|p"), F.col("dst")).alias("_hp"),
     )
     trials = src.select(
         "src",
@@ -57,10 +65,13 @@ def negative_edge_samples(
         "_b",
         _h32(F.lit(f"{seed}|t"), F.col("src"), F.col("trial")) % n_buckets,
     )
+    rank = _h32(
+        F.lit(f"{seed}|p"), F.col("src"), F.col("trial"), F.col("dst")
+    )
     cand = (
         trials.join(dstb, "_b")
         .groupBy("src", "trial")
-        .agg(F.min_by("dst", F.struct(F.col("_hp"), F.col("dst"))).alias("dst"))
+        .agg(F.min_by("dst", F.struct(rank.alias("_hp"), F.col("dst"))).alias("dst"))
     )
     pos = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")

@@ -32,6 +32,28 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+# sort-key type categories the manifest records; bound comparison happens
+# in the key's NATIVE ordering, never on str()-ified values (the r7 ADVICE
+# defect: lexicographic '10' < '9' silently gave a numeric key string-range
+# semantics in both the file cut and the returned rows)
+_NUMERIC = {"byte", "short", "int", "integer", "long", "bigint", "float",
+            "double", "decimal"}
+_ISO_SORTABLE = {"string", "date", "timestamp", "timestamp_ntz"}
+
+
+def _key_kind(dtype: str) -> str:
+    base = dtype.split("(")[0].lower()
+    if base in _NUMERIC:
+        return "numeric"
+    if base in _ISO_SORTABLE:
+        return "iso"
+    raise TypeError(
+        f"write_with_stats sort key has unsupported type {dtype!r}: min/max "
+        "skipping needs a totally ordered key (numeric, string, date or "
+        "timestamp)"
+    )
+
+
 def write_with_stats(
     df: DataFrame,
     path: str,
@@ -40,7 +62,15 @@ def write_with_stats(
 ) -> dict:
     """Write ``df`` range-partitioned on ``sort_col`` into ``n_files``
     parquet files plus a ``_stats.json`` sidecar recording each file's
-    min/max of the sort key.  Returns the manifest."""
+    min/max of the sort key.  Returns the manifest.
+
+    The manifest records the key's type KIND alongside the bounds:
+    numeric keys store native JSON numbers (compared numerically at
+    read), string/date/timestamp keys store ISO-sortable strings (where
+    lexicographic order IS the native order).  Other key types raise —
+    the contract is validated, not left to a docstring aside."""
+    dtype = dict(df.dtypes)[sort_col]
+    kind = _key_kind(dtype)
     (
         df.repartitionByRange(n_files, F.col(sort_col))
         .write.mode("overwrite")
@@ -56,10 +86,18 @@ def write_with_stats(
         )
         .collect()
     )
+
+    def _bound(v):
+        if kind == "numeric":
+            return float(v) if isinstance(v, float) else int(v)
+        return v.isoformat() if hasattr(v, "isoformat") else str(v)
+
     manifest = {
         "sort_col": sort_col,
+        "kind": kind,
         "files": [
-            {"file": r.file, "lo": str(r.lo), "hi": str(r.hi), "rows": r.rows}
+            {"file": r.file, "lo": _bound(r.lo), "hi": _bound(r.hi),
+             "rows": r.rows}
             for r in stats
         ],
     }
@@ -71,27 +109,37 @@ def write_with_stats(
 def pruned_read(
     spark: SparkSession,
     path: str,
-    lo: str,
-    hi: str,
+    lo,
+    hi,
 ) -> tuple[DataFrame, int, int]:
-    """Read only the files whose [min, max] overlaps ``[lo, hi]`` (string
-    comparison on the sidecar's stringified bounds — callers use
-    ISO-sortable keys), then re-apply the exact predicate.  Returns
-    ``(frame, n_files_read, n_files_total)``."""
+    """Read only the files whose [min, max] overlaps ``[lo, hi]``, then
+    re-apply the exact predicate.  Bounds compare in the key's native
+    order: numerically for numeric keys (``lo``/``hi`` may arrive as
+    strings and are parsed), lexicographically for ISO-sortable keys.
+    The row predicate casts the BOUNDS to the column's type — never the
+    column to string.  Returns ``(frame, n_files_read, n_files_total)``."""
     with open(os.path.join(path, "_stats.json")) as f:
         manifest = json.load(f)
+    kind = manifest.get("kind", "iso")
+    if kind == "numeric":
+        lo_v, hi_v = float(lo), float(hi)
+        bounds = [(float(e["lo"]), float(e["hi"])) for e in manifest["files"]]
+    else:
+        lo_v, hi_v = str(lo), str(hi)
+        bounds = [(str(e["lo"]), str(e["hi"])) for e in manifest["files"]]
     keep = [
         e["file"]
-        for e in manifest["files"]
-        if not (e["hi"] < lo or e["lo"] > hi)
+        for e, (b_lo, b_hi) in zip(manifest["files"], bounds)
+        if not (b_hi < lo_v or b_lo > hi_v)
     ]
     total = len(manifest["files"])
     sc = manifest["sort_col"]
     df = spark.read.parquet(*keep) if keep else spark.read.parquet(path).limit(0)
+    col_t = dict(df.dtypes)[sc]
+    lo_lit = F.lit(lo).cast(col_t)
+    hi_lit = F.lit(hi).cast(col_t)
     return (
-        df.where(
-            (F.col(sc).cast("string") >= lo) & (F.col(sc).cast("string") <= hi)
-        ),
+        df.where((F.col(sc) >= lo_lit) & (F.col(sc) <= hi_lit)),
         len(keep),
         total,
     )

@@ -48,12 +48,11 @@ def winnow_fingerprints(
         ).alias("pos", "tok"),
     )
     byw = W.partitionBy("doc_id").orderBy("pos")
+    leads = [F.col("tok")] + [F.lead("tok", i).over(byw) for i in range(1, k)]
     grams = toks.select(
         "doc_id",
         "pos",
-        F.concat_ws(
-            " ", "tok", F.lead("tok", 1).over(byw), F.lead("tok", 2).over(byw)
-        ).alias("gram"),
+        F.concat_ws(" ", *leads).alias("gram"),
         F.lead("tok", k - 1).over(byw).isNotNull().alias("_full"),
     ).where("_full")
     hashed = grams.select(

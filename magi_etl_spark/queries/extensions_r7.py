@@ -1622,9 +1622,7 @@ def q214_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     dstb AS (
         SELECT dst,
                CAST(concat('0x', substr(md5(concat('neg|b|',
-                    CAST(dst AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b,
-               CAST(concat('0x', substr(md5(concat('neg|p|',
-                    CAST(dst AS VARCHAR))), 1, 8)) AS BIGINT) AS hp
+                    CAST(dst AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b
         FROM dsts
     ),
     trials AS (
@@ -1639,7 +1637,11 @@ def q214_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT src, trial, dst FROM (
             SELECT tr.src, tr.trial, db.dst,
                    ROW_NUMBER() OVER (PARTITION BY tr.src, tr.trial
-                                      ORDER BY db.hp, db.dst) AS rn
+                       ORDER BY CAST(concat('0x', substr(md5(concat('neg|p|',
+                           CAST(tr.src AS VARCHAR), '|',
+                           CAST(tr.trial AS VARCHAR), '|',
+                           CAST(db.dst AS VARCHAR))), 1, 8)) AS BIGINT),
+                           db.dst) AS rn
             FROM trials tr JOIN dstb db ON db.b = tr.b
         ) WHERE rn = 1
     )
@@ -1654,8 +1656,11 @@ def q211_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase graph — the contrastive negatives a link-prediction
     trainer consumes.  No global vertex index: destinations hash into
     64 fixed buckets, each (src, trial) hashes to one bucket, the
-    candidate is the bucket's md5-argmin destination, existing edges
-    drop via one anti-join — all md5 arithmetic, keyed joins only."""
+    candidate is the bucket's md5-argmin destination under a
+    (src, trial, dst)-keyed rank (trial-dependent — a dst-only rank
+    would cap the corpus-wide negative vocabulary at 64 global bucket
+    winners), existing edges drop via one anti-join — all md5
+    arithmetic, keyed joins only."""
     from magi_etl_spark.operators.negatives import negative_edge_samples
 
     orders = load_table(spark, sf_dir, "orders")

@@ -50,6 +50,36 @@ def test_winnow_every_window_is_covered(spark):
         assert any(j <= p <= j + 3 for p in sel), f"window {j} uncovered"
 
 
+def test_winnow_gram_size_follows_k(spark):
+    """r7 ADVICE regression: the gram build used hardcoded lead(1)/lead(2)
+    (3-token grams) regardless of k, so k=2 silently hashed 3-token
+    interior grams and k>3 hashed 3-token grams gated as k-grams.  With
+    w=1 every gram is its own fingerprint, so gram semantics are directly
+    observable through hash equality: two docs agreeing on exactly their
+    first k tokens must share the position-0 fingerprint (and only
+    same-k-prefix grams may collide — all tokens are otherwise unique)."""
+    from magi_etl_spark.operators.winnow import winnow_fingerprints
+
+    for k in (2, 5):
+        prefix = " ".join(f"s{i}" for i in range(k))
+        docs = _docs(
+            spark,
+            [(1, f"{prefix} a1 a2 a3"), (2, f"{prefix} b1 b2 b3")],
+        )
+        rows = winnow_fingerprints(docs, k=k, w=1).collect()
+        by_doc = {
+            d: {r.pos: r.fp_hash for r in rows if r.doc_id == d} for d in (1, 2)
+        }
+        # a doc with k+3 tokens has exactly 4 full k-grams
+        assert set(by_doc[1]) == set(by_doc[2]) == {0, 1, 2, 3}, by_doc
+        # the k-token prefix gram matches; every gram touching the
+        # divergent tail does not (the buggy k=2 build hashed
+        # "s0 s1 a1" vs "s0 s1 b1" at pos 0 — a mismatch)
+        assert by_doc[1][0] == by_doc[2][0], f"k={k}: prefix gram differs"
+        for p in (1, 2, 3):
+            assert by_doc[1][p] != by_doc[2][p], f"k={k}: tail gram collides"
+
+
 def test_winnow_pairs_requires_min_shared(spark):
     from magi_etl_spark.operators.winnow import (
         fingerprint_pairs,

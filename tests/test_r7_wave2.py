@@ -111,6 +111,34 @@ def test_pruned_read_is_exact_and_prunes(spark, sf_dir, tmp_path):
     assert n0 == 0 and df0.count() == 0
 
 
+def test_pruned_read_numeric_key_is_numeric_not_lexicographic(spark, tmp_path):
+    """r7 ADVICE regression: bounds compared as str()-ified values gave
+    numeric keys string-range semantics ('10' < '9') in both the file
+    cut and the returned rows.  The manifest now records the key kind
+    and compares natively; [9, 30] over a 1..200 long key must return
+    exactly the 22 numeric matches — the lexicographic read would both
+    drop (100..200 sort before '9') and keep ('3' ranges) wrong rows."""
+    import pytest
+
+    from magi_etl_spark.operators.skipping import pruned_read, write_with_stats
+
+    df = spark.range(1, 201).withColumn("k", F.col("id"))
+    path = str(tmp_path / "numeric_skip")
+    m = write_with_stats(df, path, "k", n_files=6)
+    assert m["kind"] == "numeric"
+    got, n_read, n_total = pruned_read(spark, path, 9, 30)
+    rows = sorted(r.k for r in got.collect())
+    assert rows == list(range(9, 31)), rows
+    assert 0 < n_read < n_total
+    # string-typed bound inputs parse, same result
+    got2, _, _ = pruned_read(spark, path, "9", "30")
+    assert sorted(r.k for r in got2.collect()) == rows
+    # unsupported key types are rejected at write time, not mis-pruned
+    arr = df.withColumn("a", F.array("id"))
+    with pytest.raises(TypeError, match="unsupported type"):
+        write_with_stats(arr, str(tmp_path / "bad"), "a")
+
+
 def test_dpp_plan_injection(spark, sf_dir, tmp_path):
     from magi_etl_spark.operators.skipping import (
         dpp_join,

@@ -114,6 +114,33 @@ def test_negative_samples_are_nonedges_and_deterministic(spark):
     }
 
 
+def test_negative_samples_vary_across_trials(spark):
+    """r7 ADVICE regression: the within-bucket pick was keyed by dst
+    alone, so every bucket elected one GLOBAL winner — at most n_buckets
+    distinct destinations corpus-wide, and two trials of one source
+    hashing to the same bucket emitted duplicate (src, dst) rows.  The
+    rank is now (src, trial, dst)-keyed: with a dense vertex set and
+    many more trials than buckets, the negative vocabulary must exceed
+    n_buckets, and per-source duplicates must be rare coincidences, not
+    the norm."""
+    from magi_etl_spark.operators.negatives import negative_edge_samples
+
+    edges_rows = [
+        (u, v) for u in range(60) for v in range(1000, 1400) if (u + v) % 5 == 0
+    ]
+    edges = spark.createDataFrame(edges_rows, "src long, dst long")
+    out = negative_edge_samples(edges, n_trials=8, n_buckets=16).collect()
+    distinct_dsts = {r.dst for r in out}
+    # dst-only ranking caps this at 16; trial-keyed ranking draws
+    # independently per (src, trial) from ~25-dst buckets
+    assert len(distinct_dsts) > 16, len(distinct_dsts)
+    # per-source (src, dst) duplicates only via genuine hash collisions:
+    # same bucket AND same argmin — must not dominate
+    n_rows = len(out)
+    n_unique_pairs = len({(r.src, r.dst) for r in out})
+    assert n_unique_pairs > 0.8 * n_rows, (n_unique_pairs, n_rows)
+
+
 def test_rendezvous_minimal_disruption(spark):
     """Removing a shard only remaps the keys that lived on it."""
     from magi_etl_spark.operators.rendezvous import rendezvous_shard
