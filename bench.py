@@ -124,6 +124,57 @@ HEADLINE = [
     "q130_merge_into",
     "q131_weighted_sample",
     "q132_tokenize_and_pack",
+    # r6 staged extensions, registered at the r8 rotation — same
+    # promotion rule as the prior waves
+    "q133_kmv_distinct",
+    "q134_hll_distinct",
+    "q135_cms_heavy_hitters",
+    "q136_hard_negatives",
+    "q137_containment_pairs",
+    "q138_curriculum_order",
+    "q139_funnel",
+    "q140_cohort_retention",
+    "q141_markov_transitions",
+    "q142_copurchase_lift",
+    "q143_psi_drift",
+    "q144_mad_outliers",
+    "q145_random_projection",
+    "q146_rfm_segments",
+    "q147_triangle_count",
+    "q148_attribution",
+    "q149_kmv_set_overlap",
+    "q150_image_phash",
+    "q151_image_near_dup",
+    "q152_ols_trend",
+    "q153_wilson_ci",
+    "q154_ab_compare",
+    "q155_benford_audit",
+    "q156_mutual_information",
+    "q157_revenue_concentration",
+    "q158_dow_seasonality",
+    "q159_corr_matrix",
+    "q160_personalized_pagerank",
+    "q161_fs_linkage",
+    "q162_grid_quantiles",
+    "q163_frequent_triples",
+    "q164_kneser_ney",
+    "q165_shard_plan",
+    "q166_top_event_paths",
+    "q167_phrase_search",
+    "q168_seed_classifier",
+    "q169_domain_curation",
+    "q170_k_anonymity",
+    "q171_soft_dedup_weights",
+    "q172_golden_records",
+    "q173_l_diversity",
+    "q174_dp_noisy_counts",
+    "q175_curation_manifest",
+    "q176_tokenizer_fertility",
+    "q177_score_calibration",
+    "q178_span_removal",
+    "q179_entity_resolution",
+    "q180_readability",
+    "q181_fk_discovery",
 ]
 
 _RUNS = 2  # best-of-N: local-mode timings are noisy
@@ -158,27 +209,57 @@ def _materialize(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _isolate(spark) -> None:
+    """Per-query isolation: drop every cached table and persistent RDD
+    left behind by the previous query.  Operators persist/localCheckpoint
+    deliberately and their OWN run pays that cost, but without this the
+    residue accumulates across the 139-query session and executor memory
+    pressure bleeds into LATER queries' timings — the r8 first run
+    measured q107-q109 at 5×+ their standalone wall purely from
+    neighbor pollution.  Production runs one query per job; the bench
+    should time that."""
+    spark.catalog.clearCache()
+    for _id, rdd in spark.sparkContext._jsc.getPersistentRDDs().items():
+        rdd.unpersist()
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(app_name="magi-etl-bench")
 
     load_before = os.getloadavg()
+    # the r7 headline slowed +43% round-over-round with ZERO plan
+    # fingerprints changed — pure host contention (load_avg 6-8 at bench
+    # start), but the artifact couldn't prove it without forensic git
+    # archaeology.  Noise evidence now rides in the artifacts themselves:
+    # every run's wall time is recorded (not just the best), and the 1-min
+    # load average is sampled DURING the run, per query.
     timings: dict[str, float] = {}
+    runs: dict[str, list[float]] = {}
     plans: dict[str, str] = {}
+    load_during: list[float] = []
     names = [n for n in HEADLINE if n in QUERIES]
     # warm the JVM + parquet footers once so timings measure the queries
     _materialize(QUERIES[names[0]](spark, sf_dir))
+    _isolate(spark)
     for name in names:
-        best = None
+        walls: list[float] = []
         for _ in range(_RUNS):
             t0 = time.perf_counter()
             _materialize(QUERIES[name](spark, sf_dir))
-            dt = time.perf_counter() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+            walls.append(round(time.perf_counter() - t0, 3))
+            _isolate(spark)
+        runs[name] = walls
+        timings[name] = min(walls)
+        load_during.append(os.getloadavg()[0])
         plans[name] = _plan_fingerprint(QUERIES[name](spark, sf_dir))
-        print(f"# {name}: {timings[name]:.3f}s plan={plans[name]}", file=sys.stderr)
+        spread = max(walls) - min(walls)
+        print(
+            f"# {name}: best={timings[name]:.3f}s spread={spread:.3f}s "
+            f"plan={plans[name]}",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     # Plan fingerprints go to a SIDE FILE, not the headline line: the r4
@@ -196,6 +277,11 @@ def main() -> None:
                 "runs_per_query": _RUNS,
                 "plan_fingerprints": plans,
                 "timings": timings,
+                # every run's wall time (timings keeps the best) plus the
+                # 1-min load average sampled after each query: the host-
+                # contention evidence the r7 +43% ghost slowdown lacked
+                "run_walls": runs,
+                "load_1m_during": [round(x, 2) for x in load_during],
             },
             fh,
             indent=1,
@@ -216,6 +302,13 @@ def main() -> None:
             "runs_per_query": _RUNS,
             "load_avg_before": [round(x, 2) for x in load_before],
             "load_avg_after": [round(x, 2) for x in os.getloadavg()],
+            # max and mean of the 1-min load sampled per query DURING
+            # the run — the single number that says whether this bench
+            # shared the host (the r7 lesson)
+            "load_1m_during_max": round(max(load_during), 2),
+            "load_1m_during_mean": round(
+                sum(load_during) / len(load_during), 2
+            ),
         }
     )
     assert len(headline) < 300, f"headline line too long: {len(headline)}B"

@@ -1,0 +1,108 @@
+"""Token-budget epoch planning across corpus sources.
+
+Given a token budget for a training run and per-source mixture weights,
+answer the question every data-curation run starts with: how many
+tokens does each source contribute, and how many EPOCHS (repetitions)
+of each source does that imply — the "4 epochs of Wikipedia, 0.3 of
+CommonCrawl" arithmetic of LLM data recipes (Hoffmann-style token
+accounting; cf. operators/mixing.py, which materializes a mixture at
+row level, where this plans the allocation at ledger level).
+
+All arithmetic is integer: targets are a Hamilton largest-remainder
+apportionment of the budget over the weights (exact integer remainders,
+ties broken by source ascending — the operators/mlprep.py discipline),
+epochs are a ceiling division, oversampling is reported per-mille.
+
+Scale shape: one aggregation over the corpus (per-source token counts);
+everything after runs on the sources ledger — a bounded, broadcast-tiny
+frame (the deliberately bounded single-partition window is pinned via
+``pinned_partition``, the same idiom quota_allocate uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from magi_etl_spark.functions import pinned_partition
+
+_WORD_RE = "[a-z]+"
+
+
+def source_token_counts(
+    df: DataFrame, source_col: str = "source", text_col: str = "text"
+) -> DataFrame:
+    """``source, available_tokens``: corpus token ledger per source."""
+    return df.groupBy(F.col(source_col).alias("source")).agg(
+        F.sum(
+            F.size(
+                F.regexp_extract_all(
+                    F.lower(F.col(text_col)), F.lit(_WORD_RE), 0
+                )
+            ).cast("long")
+        ).alias("available_tokens")
+    )
+
+
+def epoch_mixture_plan(
+    df: DataFrame,
+    weights: DataFrame,
+    token_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """``source, weight, available_tokens, target_tokens, epochs,
+    oversample_permille``.
+
+    ``weights`` is a ``(source, weight)`` ledger (integer weights).
+    ``target_tokens`` apportions ``token_budget`` proportionally to the
+    weights with largest-remainder rounding, so targets sum EXACTLY to
+    the budget; ``epochs = ceil(target / available)`` is the repetition
+    count a sampler needs; ``oversample_permille = 1000 · target ÷
+    available`` (integer division) makes sub-epoch sampling rates
+    comparable across sources."""
+    counts = source_token_counts(df, source_col, text_col)
+    j = counts.join(
+        F.broadcast(weights.select("source", F.col("weight").cast("long").alias("weight"))),
+        "source",
+    )
+    tot = j.agg(F.sum("weight").alias("_W"))
+    j = j.join(F.broadcast(tot)).select(
+        "source",
+        "weight",
+        "available_tokens",
+        F.expr(f"(weight * CAST({int(token_budget)} AS BIGINT)) DIV _W").alias(
+            "_floor"
+        ),
+        ((F.col("weight") * F.lit(int(token_budget)).cast("long")) % F.col("_W")).alias("_rem"),
+    )
+    short = j.agg((F.lit(int(token_budget)) - F.sum("_floor")).alias("_short"))
+    w = W.partitionBy(pinned_partition(F.col("weight"))).orderBy(
+        F.desc("_rem"), F.asc("source")
+    )
+    planned = (
+        j.join(F.broadcast(short))
+        .withColumn("_rk", F.row_number().over(w))
+        .select(
+            "source",
+            "weight",
+            "available_tokens",
+            (
+                F.col("_floor")
+                + F.when(F.col("_rk") <= F.col("_short"), 1).otherwise(0)
+            ).alias("target_tokens"),
+        )
+    )
+    return planned.select(
+        "source",
+        "weight",
+        "available_tokens",
+        "target_tokens",
+        F.expr(
+            "CAST((target_tokens + available_tokens - 1) DIV available_tokens"
+            " AS INT)"
+        ).alias("epochs"),
+        F.expr(
+            "(1000 * target_tokens) DIV available_tokens"
+        ).alias("oversample_permille"),
+    )

