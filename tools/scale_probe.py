@@ -1030,6 +1030,66 @@ def main() -> None:
 
         return lambda: shard_assignment_profile(d, "doc_id", 16)
 
+    # --- r8 staged families ----------------------------------------------
+
+    def kcenter(em):
+        from magi_etl_spark.operators.coreset import kcenter_trace
+
+        # k fixed (8 rounds), corpus grows: each round is one broadcast
+        # + one max_by aggregate, so runtime should track the scan
+        return lambda: kcenter_trace(em, k=8)
+
+    def labelprop_probe(o, li):
+        from magi_etl_spark.operators.labelprop import label_propagation
+
+        # custkeys shift per copy, suppkeys fixed: the bipartite graph
+        # gains customer vertices linearly; 3 rounds of join+agg
+        def run():
+            edges = (
+                o.join(li, o.o_orderkey == li.l_orderkey)
+                .select(
+                    F.col("o_custkey").alias("src"),
+                    (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+                )
+                .distinct()
+            )
+            return label_propagation(edges, n_rounds=3)
+
+        return run
+
+    def good_turing_probe(d):
+        from magi_etl_spark.operators.spectrum import good_turing
+
+        # replication multiplies token FREQUENCIES (r -> n·r) but not
+        # types: the spectrum shifts, stays O(sqrt) rows; runtime rides
+        # the two corpus aggregations
+        return lambda: good_turing(d)
+
+    def epoch_plan_probe(d):
+        from magi_etl_spark.operators.epochs import epoch_mixture_plan
+        from magi_etl_spark.operators.hashing_trick import _h32
+
+        def run():
+            weights = d.select("source").distinct().select(
+                "source", ((_h32(F.lit("w"), F.col("source")) % 3) + 1).alias("weight")
+            )
+            return epoch_mixture_plan(d, weights, token_budget=1_000_000)
+
+        return run
+
+    def feature_hash_probe(d):
+        from magi_etl_spark.operators.hashing_trick import bucket_profile
+
+        return lambda: bucket_profile(d, n_buckets=256)
+
+    def rare_bigram_probe(d):
+        from magi_etl_spark.operators.fluency import rare_bigram_band
+
+        # replication multiplies every bigram's corpus count, so "rare"
+        # empties out — the full window/count/join/verdict path still
+        # runs at the replicated scale
+        return lambda: rare_bigram_band(d)
+
     def twap(e):
         from magi_etl_spark.operators.engagement import time_weighted_average
 
@@ -1136,6 +1196,16 @@ def main() -> None:
         ),
         ("rendezvous", rendezvous_probe(docs1), rendezvous_probe(docsN)),
         ("twap", twap(events1), twap(eventsN)),
+        ("kcenter", kcenter(emb1), kcenter(embN)),
+        (
+            "labelprop",
+            labelprop_probe(orders_b, lineitem1),
+            labelprop_probe(ordersN_b, lineitemN),
+        ),
+        ("good_turing", good_turing_probe(docs1), good_turing_probe(docsN)),
+        ("epoch_plan", epoch_plan_probe(docs1), epoch_plan_probe(docsN)),
+        ("feature_hash", feature_hash_probe(docs1), feature_hash_probe(docsN)),
+        ("rare_bigram", rare_bigram_probe(docs1), rare_bigram_probe(docsN)),
     ):
         if only is not None and label not in only:
             continue
