@@ -80,10 +80,22 @@ def bucket_profile(
     ``bucket, n_occurrences, n_distinct_tokens, signed_sum`` — the
     collision diagnostic that says whether ``n_buckets`` is adequate
     (distinct-token load per bucket) and whether sign-cancellation is
-    behaving (signed_sum ≪ n_occurrences)."""
+    behaving (signed_sum ≪ n_occurrences).
+
+    Two-level aggregation instead of ``count_distinct``: a single-pass
+    distinct count plants an Expand that doubles the exploded token
+    stream through the shuffle (measured super-linear at the 32×
+    probe).  Aggregating per ``(bucket, tok)`` first lets the map-side
+    combine collapse the stream to vocabulary size — sign is a pure
+    function of ``tok``, so it rides along — and the second aggregate
+    runs on the tiny per-type frame."""
     ht = hashed_tokens(df, id_col, text_col, n_buckets, seed)
-    return ht.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n_occurrences"),
-        F.count_distinct("tok").alias("n_distinct_tokens"),
-        F.sum("sign").alias("signed_sum"),
+    per_type = ht.groupBy("bucket", "tok").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.first("sign").alias("_sign"),
+    )
+    return per_type.groupBy("bucket").agg(
+        F.sum("_n").alias("n_occurrences"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.sum(F.col("_sign") * F.col("_n")).alias("signed_sum"),
     )
