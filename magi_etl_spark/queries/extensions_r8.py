@@ -228,6 +228,7 @@ _EPOCH_BUDGET = 1_000_000
                CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+')))
                     AS BIGINT) AS available_tokens
         FROM documents GROUP BY source
+        HAVING SUM(len(regexp_extract_all(lower(text), '[a-z]+'))) > 0
     ),
     wts AS (
         SELECT source,

@@ -42,6 +42,32 @@ def test_kcenter_tie_breaks_to_smallest_id(spark):
     assert rows[2] == 7
 
 
+def test_kcenter_stops_when_duplicates_exhaust_coverage(spark):
+    """Two distinct positions, four points, k=4: after both positions
+    are chosen every remaining point is an exact duplicate (min-dist 0),
+    so the trace stops at 2 instead of re-selecting duplicates."""
+    from magi_etl_spark.operators.coreset import kcenter_trace
+
+    pts = [(1, [0.0, 0.0]), (2, [0.0, 0.0]), (3, [3.0, 4.0]), (4, [3.0, 4.0])]
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<float>")
+    rows = sorted(kcenter_trace(df, k=4).collect(), key=lambda r: r.sel_rank)
+    assert [r.vec_id for r in rows] == [1, 3]
+    assert rows[1].sq_dist == 25.0
+
+
+def test_kcenter_selected_distances_never_increase(spark, sf_dir):
+    """Farthest-point invariant: each round's selected max-min distance
+    is bounded by the previous round's (the chosen set only grows, so
+    every point's min-dist is non-increasing)."""
+    from magi_etl_spark.operators.coreset import kcenter_trace
+    from magi_etl_spark.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    rows = sorted(kcenter_trace(e, k=6).collect(), key=lambda r: r.sel_rank)
+    dists = [r.sq_dist for r in rows[1:]]  # seed's 0.0 excluded
+    assert all(a >= b for a, b in zip(dists, dists[1:])), dists
+
+
 # --- label propagation ---------------------------------------------------------
 
 
@@ -126,6 +152,54 @@ def test_epoch_plan_hamilton_exactness_and_ceiling(spark):
     assert plan["web"].epochs == 1  # ceil(3/3)
     assert plan["wiki"].oversample_permille == 1750
     assert plan["web"].oversample_permille == 1000
+
+
+def test_epoch_plan_drops_empty_sources_and_reapportions(spark):
+    from magi_etl_spark.operators.epochs import epoch_mixture_plan
+
+    docs = spark.createDataFrame(
+        [("wiki", "one two"), ("empty", "123 456 !!!"), ("web", "three four")],
+        "source string, text string",
+    )  # "empty" has no [a-z]+ tokens at all
+    weights = spark.createDataFrame(
+        [("wiki", 1), ("empty", 5), ("web", 1)], "source string, weight long"
+    )
+    plan = {r.source: r for r in epoch_mixture_plan(docs, weights, 10).collect()}
+    assert set(plan) == {"wiki", "web"}  # empty source dropped
+    # the budget reapportions over the surviving weights (1:1)
+    assert plan["wiki"].target_tokens + plan["web"].target_tokens == 10
+    assert plan["wiki"].target_tokens == 5 and plan["web"].target_tokens == 5
+
+
+def test_epoch_plan_hamilton_exactness_property(spark):
+    """Property sweep: for arbitrary weights and budgets, targets sum
+    exactly to the budget and every epoch count covers its target
+    (epochs · available >= target > (epochs - 1) · available)."""
+    from magi_etl_spark.operators.epochs import epoch_mixture_plan
+
+    import random
+
+    rng = random.Random(8)
+    for trial in range(4):
+        srcs = [f"s{i}" for i in range(rng.randint(2, 6))]
+        docs = spark.createDataFrame(
+            [
+                (s, " ".join("tok" for _ in range(rng.randint(1, 30))))
+                for s in srcs
+                for _ in range(rng.randint(1, 3))
+            ],
+            "source string, text string",
+        )
+        weights = spark.createDataFrame(
+            [(s, rng.randint(1, 9)) for s in srcs], "source string, weight long"
+        )
+        budget = rng.randint(10, 5000)
+        rows = epoch_mixture_plan(docs, weights, budget).collect()
+        assert sum(r.target_tokens for r in rows) == budget, (trial, budget)
+        for r in rows:
+            assert r.epochs * r.available_tokens >= r.target_tokens
+            if r.target_tokens > 0:
+                assert (r.epochs - 1) * r.available_tokens < r.target_tokens
 
 
 # --- feature hashing --------------------------------------------------------------
