@@ -211,23 +211,33 @@ def rfm_segments(
     score = 1 + #quartile-thresholds exceeded — 4 is best).
 
     Returns per-segment rollup: ``r_score, f_score, m_score,
-    n_customers, avg_monetary`` (rounded to 2).
+    n_customers, avg_monetary`` (dollars, 2 dp).
 
     Quartiles come from one scalar ``percentile`` aggregate broadcast
     back — NOT ``ntile()`` over every customer, which is an
     unpartitioned global sort (the exact shape the plan linter rejects).
     Threshold scoring changes tie handling vs ntile (equal values always
     land in the same bucket) — the right trade at scale.
+
+    Monetary is INTEGER CENTS end-to-end (the repo's money rule): the
+    earlier round-the-double-sum version survived sf0.001/sf0.01 but
+    flipped an ``avg_monetary`` cell at the 6-dp grid at sf0.1 — a
+    summation-order last-ulp landing on a ROUND boundary.  With cents,
+    the per-customer sum and the segment total are exact BIGINTs, the
+    quartile interpolation is dyadic-exact on integer inputs, and the
+    final average is a single division chain — bit-identical anywhere.
     """
     per_cust = orders.groupBy(cust_col).agg(
         F.datediff(F.max(date_col).cast("date"), F.lit("1970-01-01").cast("date"))
         .cast("double")
         .alias("recency"),
         F.count("*").cast("double").alias("frequency"),
-        # rounded so threshold comparisons are exact in any engine:
-        # the raw double sum is partition-order-dependent at the 1e-10
-        # level, which would make quartile-boundary customers flaky
-        F.round(F.sum(amount_col), 2).alias("monetary"),
+        F.sum(F.round(F.col(amount_col) * 100).cast("long")).alias(
+            "monetary_cents"
+        ),
+    )
+    per_cust = per_cust.withColumn(
+        "monetary", F.col("monetary_cents").cast("double")
     )
     qs = per_cust.agg(
         *[
@@ -251,12 +261,18 @@ def rfm_segments(
             score("recency").alias("r_score"),
             score("frequency").alias("f_score"),
             score("monetary").alias("m_score"),
-            F.col("monetary"),
+            F.col("monetary_cents"),
         )
         .groupBy("r_score", "f_score", "m_score")
         .agg(
             F.count("*").cast("long").alias("n_customers"),
-            F.round(F.avg("monetary"), 2).alias("avg_monetary"),
+            # exact bigint total, then ONE division chain — never an
+            # order-dependent double average
+            (
+                F.sum("monetary_cents").cast("double")
+                / F.count("*")
+                / F.lit(100.0)
+            ).alias("avg_monetary"),
         )
     )
 

@@ -650,7 +650,8 @@ def q145_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(date_diff('day', DATE '1970-01-01',
                     CAST(MAX(o_orderdate) AS DATE)) AS DOUBLE) AS recency,
                CAST(COUNT(*) AS DOUBLE) AS frequency,
-               ROUND(SUM(o_totalprice), 2) AS monetary
+               CAST(CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                    AS BIGINT) AS DOUBLE) AS monetary
         FROM orders GROUP BY o_custkey
     ),
     q AS (
@@ -677,7 +678,8 @@ def q145_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r_score, f_score, m_score,
            CAST(COUNT(*) AS BIGINT) AS n_customers,
-           ROUND(AVG(monetary), 2) AS avg_monetary
+           CAST(CAST(SUM(CAST(monetary AS BIGINT)) AS BIGINT) AS DOUBLE)
+               / COUNT(*) / 100.0 AS avg_monetary
     FROM scored GROUP BY r_score, f_score, m_score
     """,
 )
@@ -685,8 +687,11 @@ def q146_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RFM segmentation rollup: per-customer recency/frequency/monetary
     scored 1-4 against GLOBAL quartiles from one scalar percentile
     aggregate broadcast back — deliberately not ntile() over every
-    customer (an unpartitioned global sort).  Monetary is rounded to 2
-    before scoring so quartile-boundary comparisons are engine-exact."""
+    customer (an unpartitioned global sort).  Monetary is integer CENTS
+    end-to-end (exact BIGINT sums, dyadic-exact quartile interpolation,
+    one division chain for the average): the round-the-double-sum
+    version flipped an avg_monetary cell at the 6-dp grid at sf0.1 —
+    caught by this round's full-registry sf0.1 parity sweep."""
     from magi_etl_spark.operators.behavior import rfm_segments
 
     o = load_table(spark, sf_dir, "orders")
