@@ -21,9 +21,10 @@ driver rows); per-element products and the left-to-right fold are then
 bit-identical in any IEEE-double engine, and ties on exact distance
 break to the smallest id on both sides.
 
-Reference parity: the reference's sampling surface exposes diversity
-subset selection over feature vectors (magi-etl analytics/sampling);
-this is the Spark-first equivalent.
+Scope note: the reference app has no diversity-selection surface —
+this operator belongs to the training-data-pipeline extension family
+(dedup/similarity/mixing/curation) the engine adds beyond reference
+parity.
 """
 
 from __future__ import annotations
