@@ -211,7 +211,9 @@ def rfm_segments(
     score = 1 + #quartile-thresholds exceeded — 4 is best).
 
     Returns per-segment rollup: ``r_score, f_score, m_score,
-    n_customers, avg_monetary`` (dollars, 2 dp).
+    n_customers, avg_monetary`` (the exact unrounded dollar average
+    ``sum_cents / n / 100`` — rounding is deferred to the caller /
+    compare grid).
 
     Quartiles come from one scalar ``percentile`` aggregate broadcast
     back — NOT ``ntile()`` over every customer, which is an

@@ -75,14 +75,19 @@ def epoch_mixture_plan(
         "source",
     )
     tot = j.agg(F.sum("weight").alias("_W"))
-    j = j.join(F.broadcast(tot)).select(
-        "source",
-        "weight",
-        "available_tokens",
-        F.expr(f"(weight * CAST({int(token_budget)} AS BIGINT)) DIV _W").alias(
-            "_floor"
-        ),
-        ((F.col("weight") * F.lit(int(token_budget)).cast("long")) % F.col("_W")).alias("_rem"),
+    budget = F.lit(int(token_budget)).cast("long")
+    j = (
+        j.join(F.broadcast(tot))
+        .withColumn("_prod", F.col("weight") * budget)
+        .select(
+            "source",
+            "weight",
+            "available_tokens",
+            # BIGINT floor-div; the budget rides in as a Column literal,
+            # never spliced into the expr string
+            F.expr("_prod DIV _W").alias("_floor"),
+            (F.col("_prod") % F.col("_W")).alias("_rem"),
+        )
     )
     short = j.agg((F.lit(int(token_budget)) - F.sum("_floor")).alias("_short"))
     w = W.partitionBy(pinned_partition(F.col("weight"))).orderBy(

@@ -25,6 +25,8 @@ format (Delta / Iceberg / Hudi) is built on:
 
 from __future__ import annotations
 
+import datetime as _dt
+import decimal
 import json
 import os
 
@@ -64,13 +66,22 @@ def write_with_stats(
     parquet files plus a ``_stats.json`` sidecar recording each file's
     min/max of the sort key.  Returns the manifest.
 
-    The manifest records the key's type KIND alongside the bounds:
-    numeric keys store native JSON numbers (compared numerically at
-    read), string/date/timestamp keys store ISO-sortable strings (where
-    lexicographic order IS the native order).  Other key types raise —
-    the contract is validated, not left to a docstring aside."""
+    The manifest records the key's type KIND and BASE type alongside the
+    bounds: numeric keys store native JSON numbers — except decimal
+    keys, whose bounds serialize as ``str(v)`` so fractional digits are
+    never truncated (the r8 ADVICE defect: ``int(Decimal('123.45'))``
+    recorded ``hi=123``, silently skipping files for in-range
+    predicates) — and read-side comparison goes through
+    ``decimal.Decimal`` so bigints beyond 2**53 stay exact too.
+    Date/timestamp bounds are canonicalized through ``fromisoformat`` on
+    BOTH the write and read sides, so the ``'T'``-vs-space separator
+    difference between ``isoformat()`` and ``str(datetime)`` can never
+    flip a lexicographic comparison (the r8 ADVICE medium).  Plain
+    string keys compare lexicographically as-is.  Other key types raise
+    — the contract is validated, not left to a docstring aside."""
     dtype = dict(df.dtypes)[sort_col]
     kind = _key_kind(dtype)
+    base = dtype.split("(")[0].lower()
     (
         df.repartitionByRange(n_files, F.col(sort_col))
         .write.mode("overwrite")
@@ -89,12 +100,19 @@ def write_with_stats(
 
     def _bound(v):
         if kind == "numeric":
-            return float(v) if isinstance(v, float) else int(v)
+            if isinstance(v, bool):  # guard: bool is an int subclass
+                raise TypeError("boolean sort keys are not skippable")
+            if isinstance(v, int):
+                return v  # exact (JSON ints are arbitrary precision)
+            if isinstance(v, float):
+                return v
+            return str(v)  # Decimal: keep every fractional digit
         return v.isoformat() if hasattr(v, "isoformat") else str(v)
 
     manifest = {
         "sort_col": sort_col,
         "kind": kind,
+        "base": base,
         "files": [
             {"file": r.file, "lo": _bound(r.lo), "hi": _bound(r.hi),
              "rows": r.rows}
@@ -114,16 +132,38 @@ def pruned_read(
 ) -> tuple[DataFrame, int, int]:
     """Read only the files whose [min, max] overlaps ``[lo, hi]``, then
     re-apply the exact predicate.  Bounds compare in the key's native
-    order: numerically for numeric keys (``lo``/``hi`` may arrive as
-    strings and are parsed), lexicographically for ISO-sortable keys.
-    The row predicate casts the BOUNDS to the column's type — never the
-    column to string.  Returns ``(frame, n_files_read, n_files_total)``."""
+    order: via ``decimal.Decimal`` for numeric keys (exact for bigints
+    past 2**53 and for decimal fractions; ``lo``/``hi`` may arrive as
+    strings and are parsed), via ``fromisoformat`` for date/timestamp
+    keys (so ``'T'`` and space separators compare identically),
+    lexicographically for plain strings.  The row predicate casts the
+    BOUNDS to the column's type — never the column to string.  Returns
+    ``(frame, n_files_read, n_files_total)``."""
     with open(os.path.join(path, "_stats.json")) as f:
         manifest = json.load(f)
     kind = manifest.get("kind", "iso")
+    base = manifest.get("base", "string")
     if kind == "numeric":
-        lo_v, hi_v = float(lo), float(hi)
-        bounds = [(float(e["lo"]), float(e["hi"])) for e in manifest["files"]]
+        def _num(x):
+            return decimal.Decimal(str(x))
+
+        lo_v, hi_v = _num(lo), _num(hi)
+        bounds = [(_num(e["lo"]), _num(e["hi"])) for e in manifest["files"]]
+    elif base in {"timestamp", "timestamp_ntz", "date"}:
+        def _ts(x):
+            # py>=3.11 fromisoformat accepts both 'T' and ' ' separators,
+            # with or without a time component — one canonical ordering
+            # for datetime objects, isoformat strings and SQL-style
+            # strings alike.
+            if isinstance(x, _dt.datetime):
+                return x
+            if isinstance(x, _dt.date):
+                return _dt.datetime(x.year, x.month, x.day)
+            d = _dt.datetime.fromisoformat(str(x))
+            return d
+
+        lo_v, hi_v = _ts(lo), _ts(hi)
+        bounds = [(_ts(e["lo"]), _ts(e["hi"])) for e in manifest["files"]]
     else:
         lo_v, hi_v = str(lo), str(hi)
         bounds = [(str(e["lo"]), str(e["hi"])) for e in manifest["files"]]

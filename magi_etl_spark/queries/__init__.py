@@ -26,11 +26,11 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
-# EXT3 entries deliberately NOT merged at the r8 rotation: the q122 failure
-# re-entry takes one of the 50 window slots, so only the first 49 staged
-# entries fit (never-verified entries are interchangeable under rule 1,
-# failures are not).  These two lead the r9 queue ahead of the r7 wave.
-R9_QUEUE = frozenset({"q182_multi_touch", "q183_markov_attribution"})
+# r9 rotation (COVERAGE.md "Planned r9 window"): CORRECTNESS_r08 came back
+# 50/50 green, so the displaced EXT3 residue (q182/q183) merges now along
+# with the full r7 wave (EXT4, q184-q219) and r8 wave (EXT5, q220-q225) —
+# draining the staged backlog to ZERO for the first time since round 5.
+R9_QUEUE: frozenset[str] = frozenset()
 
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
@@ -92,6 +92,24 @@ def _load_all() -> None:
     for n in merged_r6:
         QUERIES[n] = EXT3_QUERIES[n]
         ORACLE[n] = EXT3_ORACLE[n]
+    # r9 rotation: the r7 wave (EXT4, q184-q219, oracle-verified all through
+    # r7/r8 by tests/test_extensions_r7.py) and the r8 wave (EXT5,
+    # q220-q225, tests/test_extensions_r8.py) merge the same way —
+    # COVERAGE.md "Planned r9 window", rotation rule 1.
+    from magi_etl_spark.queries.extensions_r7 import EXT4_ORACLE, EXT4_QUERIES
+    from magi_etl_spark.queries.extensions_r8 import EXT5_ORACLE, EXT5_QUERIES
+
+    for tag, (q, o) in {
+        "r7": (EXT4_QUERIES, EXT4_ORACLE),
+        "r8": (EXT5_QUERIES, EXT5_ORACLE),
+    }.items():
+        dup = set(q) & set(QUERIES)
+        if dup:
+            raise RuntimeError(
+                f"{tag} extension queries shadow registered ones: {dup}"
+            )
+        QUERIES.update(q)
+        ORACLE.update(o)
 
 
 _load_all()
@@ -110,75 +128,68 @@ _load_all()
 GATE_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # ROUND-8 WINDOW — COVERAGE.md "Planned r8 window", scenario 1
-    # (CORRECTNESS_r06 never arrived; the r7 gate re-ran the unchanged
-    # r6 window and CORRECTNESS_r07 delivered its verification one round
-    # late: 49 green rows, 1 err).
-    #
-    # Failure rule first: q122's r7 row was a driver err — the query
-    # emitted the repo's only complex-typed output column (token_ids:
-    # array<int>) and the driver's pandas canonicalization cannot hash
-    # list cells.  Fixed this round (token_seq string + string_agg
-    # oracle; class closed by tests/test_output_schemas.py's repo-wide
-    # no-complex-output lint).  It stays in the window until a green
-    # driver row lands.
-    "q122_bpe_encode_docs",
-    # Rule 1: the first FORTY-NINE never-driver-verified staged entries
-    # in registration order — the r6 operator wave (merged from
-    # queries/extensions_r6.py, hash-oracle + plan-lint green at every
-    # suite run since they were authored).  q122's failure slot
-    # displaces the LAST two staged entries (q182/q183 = R9_QUEUE),
-    # which lead the r9 window together with the r7 wave (EXT4,
-    # q184-q219, still staged in queries/extensions_r7.py).
-    "q133_kmv_distinct",
-    "q134_hll_distinct",
-    "q135_cms_heavy_hitters",
-    "q136_hard_negatives",
-    "q137_containment_pairs",
-    "q138_curriculum_order",
-    "q139_funnel",
-    "q140_cohort_retention",
-    "q141_markov_transitions",
-    "q142_copurchase_lift",
-    "q143_psi_drift",
-    "q144_mad_outliers",
-    "q145_random_projection",
-    "q146_rfm_segments",
-    "q147_triangle_count",
-    "q148_attribution",
-    "q149_kmv_set_overlap",
-    "q150_image_phash",
-    "q151_image_near_dup",
-    "q152_ols_trend",
-    "q153_wilson_ci",
-    "q154_ab_compare",
-    "q155_benford_audit",
-    "q156_mutual_information",
-    "q157_revenue_concentration",
-    "q158_dow_seasonality",
-    "q159_corr_matrix",
-    "q160_personalized_pagerank",
-    "q161_fs_linkage",
-    "q162_grid_quantiles",
-    "q163_frequent_triples",
-    "q164_kneser_ney",
-    "q165_shard_plan",
-    "q166_top_event_paths",
-    "q167_phrase_search",
-    "q168_seed_classifier",
-    "q169_domain_curation",
-    "q170_k_anonymity",
-    "q171_soft_dedup_weights",
-    "q172_golden_records",
-    "q173_l_diversity",
-    "q174_dp_noisy_counts",
-    "q175_curation_manifest",
-    "q176_tokenizer_fertility",
-    "q177_score_calibration",
-    "q178_span_removal",
-    "q179_entity_resolution",
-    "q180_readability",
-    "q181_fk_discovery",
+    # ROUND-9 WINDOW — COVERAGE.md "Planned r9 window".  CORRECTNESS_r08
+    # was 50/50 green (no failure re-entries), so rule 1 front-loads ALL
+    # 44 remaining never-driver-verified entries in registration order:
+    # the displaced EXT3 residue (q182/q183), the r7 wave (EXT4,
+    # q184-q219, 36 entries), and the r8 wave (EXT5, q220-q225, 6
+    # entries).  This drains the staged backlog to ZERO — every
+    # registered query has a driver row after this gate.
+    "q182_multi_touch",
+    "q183_markov_attribution",
+    # EXT4 in registration order (declaration order in extensions_r7.py)
+    "q184_active_user_stickiness",
+    "q185_concurrency_peaks",
+    "q187_decay_engagement",
+    "q186_revenue_gini",
+    "q188_target_encoding",
+    "q189_woe_iv",
+    "q190_quota_sample",
+    "q191_cusum_alarms",
+    "q192_holt_smoothing",
+    "q193_winnow_profile",
+    "q194_winnow_pairs",
+    "q195_similarity_join",
+    "q196_script_profile",
+    "q197_extract_summary",
+    "q198_asof_enrichment",
+    "q199_kcore",
+    "q200_data_skipping",
+    "q201_dynamic_partition_pruning",
+    "q202_lsh_candidate_eval",
+    "q204_ivf_recall_eval",
+    "q219_transition_entropy",
+    "q218_source_datasheet",
+    "q217_entry_exit_bounce",
+    "q215_weighted_jaccard",
+    "q216_token_pmi",
+    "q214_conversion_latency",
+    "q211_negative_edges",
+    "q212_rendezvous_shards",
+    "q213_twap",
+    "q210_common_runs",
+    "q207_ecdf_normalize",
+    "q208_chi_square",
+    "q209_survival_curve",
+    "q206_langid_confusion",
+    "q205_theil_sen_trend",
+    "q203_lorenz_points",
+    # EXT5 in registration order
+    "q220_kcenter_coreset",
+    "q221_label_propagation",
+    "q222_good_turing",
+    "q223_epoch_plan",
+    "q224_feature_hashing",
+    "q225_rare_bigram_band",
+    # Tail fill, oldest-driver-verified-first (rows from rounds 1-3;
+    # sources unchanged since, dependency-map-checked) — the refresh
+    # rotation COVERAGE.md prescribes.
+    "q05_region_revenue",
+    "q06_semi_join",
+    "q08_full_outer_cast_keys",
+    "q09_top1_per_group",
+    "q10_topk_per_group",
+    "q11_sessionize",
 ]
 
 

@@ -7,8 +7,9 @@ refuses never-verified queries outside it — so new operators land here,
 in a SEPARATE registry (``EXT5_QUERIES`` / ``EXT5_ORACLE``) that
 ``__spark_entry__.queries()`` does NOT include yet, with the driver's
 own hash comparison run over every entry each suite run
-(tests/test_extensions_r8.py).  At the r9 rotation these merge behind
-the R9_QUEUE residue (q182/q183) and the r7 wave (q184-q219).
+(tests/test_extensions_r8.py).  At the r9 rotation these MERGED behind
+the R9_QUEUE residue (q182/q183) and the r7 wave (q184-q219) — the
+sweep now rides tests/test_queries_oracle.py like every merged wave.
 
 Round-8 wave — deliberately SMALL (the r7 verdict: the verification
 backlog must drain faster than it grows), six queries across six NEW
@@ -127,10 +128,11 @@ def q220_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _lpa_oracle(n_rounds: int) -> str:
     ctes = [
         "ed AS MATERIALIZED (SELECT DISTINCT o.o_custkey AS src,"
-        " 1000000 + l.l_suppkey AS dst"
+        " -l.l_suppkey AS dst"
         " FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey)",
-        "und AS MATERIALIZED (SELECT src, dst FROM ed"
-        " UNION SELECT dst, src FROM ed)",
+        "und AS MATERIALIZED (SELECT src, dst FROM"
+        " (SELECT src, dst FROM ed UNION SELECT dst, src FROM ed)"
+        " WHERE src <> dst)",
         "l0 AS (SELECT DISTINCT src AS id, src AS label FROM und)",
     ]
     for t in range(1, n_rounds + 1):
@@ -154,12 +156,17 @@ def _lpa_oracle(n_rounds: int) -> str:
 @ext5_query("q221_label_propagation", oracle=_lpa_oracle(3))
 def q221_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three rounds of synchronous label propagation over the
-    customer-supplier transaction graph (supplier ids offset into a
-    disjoint vertex range).  Deterministic LPA: synchronous updates,
-    identity initialization, neighbor-majority vote with smallest-label
-    tie-break — the oracle unrolls all three rounds.  One keyed shuffle
-    join + two aggregates per round, labels localCheckpoint-ed so
-    lineage stays flat (the graph.py discipline)."""
+    customer-supplier transaction graph.  Supplier vertices live in the
+    NEGATED id range (``dst = -l_suppkey``) — disjoint from customer
+    keys at EVERY scale factor (the r8 ADVICE defect: a fixed +1,000,000
+    offset collides with o_custkey at sf >= ~7, merging unrelated
+    vertices); the oracle also mirrors the operator's self-loop filter
+    (moot under disjoint ranges, but kept aligned by construction).
+    Deterministic LPA: synchronous updates, identity initialization,
+    neighbor-majority vote with smallest-label tie-break — the oracle
+    unrolls all three rounds.  One keyed shuffle join + two aggregates
+    per round, labels localCheckpoint-ed so lineage stays flat (the
+    graph.py discipline)."""
     from magi_etl_spark.operators.labelprop import label_propagation
 
     o = load_table(spark, sf_dir, "orders")
@@ -168,7 +175,7 @@ def q221_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("src"),
-            (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+            (-F.col("l_suppkey")).alias("dst"),
         )
         .distinct()
     )

@@ -139,6 +139,60 @@ def test_pruned_read_numeric_key_is_numeric_not_lexicographic(spark, tmp_path):
         write_with_stats(arr, str(tmp_path / "bad"), "a")
 
 
+def test_pruned_read_decimal_key_keeps_fractional_bounds(spark, tmp_path):
+    """r8 ADVICE regression (high): decimal bounds were serialized with
+    int(v), truncating Decimal('123.45') to 123 in the manifest — a file
+    whose true range was [123.10, 123.45] recorded hi=123 and was
+    dropped for pruned_read(123.2, 123.4), silently losing matching
+    rows (the exact predicate only re-runs on KEPT files).  Bounds now
+    serialize as str(v) and compare via decimal.Decimal."""
+    from magi_etl_spark.operators.skipping import pruned_read, write_with_stats
+
+    df = (
+        spark.range(0, 60)
+        .withColumn("k", (F.lit(123) + F.col("id") / 100).cast("decimal(10,2)"))
+    )
+    path = str(tmp_path / "decimal_skip")
+    m = write_with_stats(df, path, "k", n_files=6)
+    assert m["kind"] == "numeric"
+    # every stored bound keeps its fractional digits
+    assert any("." in str(e["hi"]) for e in m["files"]), m["files"]
+    got, n_read, n_total = pruned_read(spark, path, "123.20", "123.40")
+    rows = sorted(float(r.k) for r in got.collect())
+    assert rows == [round(123.20 + i / 100, 2) for i in range(21)], rows
+    assert 0 < n_read < n_total
+
+
+def test_pruned_read_timestamp_key_separator_insensitive(spark, tmp_path):
+    """r8 ADVICE regression (medium): manifest bounds were written with
+    isoformat() ('T' separator) but compared against str(lo) (space
+    separator); since 'T' > ' ' lexicographically, an in-range file was
+    wrongly skipped.  Both sides now canonicalize through fromisoformat,
+    so datetime objects, 'T'-strings and SQL-style space-strings all
+    compare in timestamp order."""
+    import datetime as dt
+
+    from magi_etl_spark.operators.skipping import pruned_read, write_with_stats
+
+    df = spark.range(0, 48).select(
+        (F.to_timestamp(F.lit("2023-01-06 00:00:00"))
+         + F.make_interval(hours=F.col("id"))).alias("ts")
+    )
+    path = str(tmp_path / "ts_skip")
+    m = write_with_stats(df, path, "ts", n_files=6)
+    assert m["kind"] == "iso" and m["base"] == "timestamp"
+    want = [dt.datetime(2023, 1, 6, 10) + dt.timedelta(hours=i)
+            for i in range(13)]
+    for lo, hi in [
+        (dt.datetime(2023, 1, 6, 10), dt.datetime(2023, 1, 6, 22)),
+        ("2023-01-06 10:00:00", "2023-01-06 22:00:00"),
+        ("2023-01-06T10:00:00", "2023-01-06T22:00:00"),
+    ]:
+        got, n_read, n_total = pruned_read(spark, path, lo, hi)
+        assert sorted(r.ts for r in got.collect()) == want, (lo, hi)
+        assert 0 < n_read < n_total, (lo, hi)
+
+
 def test_dpp_plan_injection(spark, sf_dir, tmp_path):
     from magi_etl_spark.operators.skipping import (
         dpp_join,
