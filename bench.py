@@ -175,6 +175,52 @@ HEADLINE = [
     "q179_entity_resolution",
     "q180_readability",
     "q181_fk_discovery",
+    # r6-residue + r7 + r8 staged extensions, registered at the r9
+    # rotation — same promotion rule as the prior waves
+    "q182_multi_touch",
+    "q183_markov_attribution",
+    "q184_active_user_stickiness",
+    "q185_concurrency_peaks",
+    "q186_revenue_gini",
+    "q187_decay_engagement",
+    "q188_target_encoding",
+    "q189_woe_iv",
+    "q190_quota_sample",
+    "q191_cusum_alarms",
+    "q192_holt_smoothing",
+    "q193_winnow_profile",
+    "q194_winnow_pairs",
+    "q195_similarity_join",
+    "q196_script_profile",
+    "q197_extract_summary",
+    "q198_asof_enrichment",
+    "q199_kcore",
+    "q200_data_skipping",
+    "q201_dynamic_partition_pruning",
+    "q202_lsh_candidate_eval",
+    "q203_lorenz_points",
+    "q204_ivf_recall_eval",
+    "q205_theil_sen_trend",
+    "q206_langid_confusion",
+    "q207_ecdf_normalize",
+    "q208_chi_square",
+    "q209_survival_curve",
+    "q210_common_runs",
+    "q211_negative_edges",
+    "q212_rendezvous_shards",
+    "q213_twap",
+    "q214_conversion_latency",
+    "q215_weighted_jaccard",
+    "q216_token_pmi",
+    "q217_entry_exit_bounce",
+    "q218_source_datasheet",
+    "q219_transition_entropy",
+    "q220_kcenter_coreset",
+    "q221_label_propagation",
+    "q222_good_turing",
+    "q223_epoch_plan",
+    "q224_feature_hashing",
+    "q225_rare_bigram_band",
 ]
 
 _RUNS = 2  # best-of-N: local-mode timings are noisy

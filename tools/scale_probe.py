@@ -1049,7 +1049,9 @@ def main() -> None:
                 o.join(li, o.o_orderkey == li.l_orderkey)
                 .select(
                     F.col("o_custkey").alias("src"),
-                    (F.lit(1000000) + F.col("l_suppkey")).alias("dst"),
+                    # negated supplier range: disjoint from customer ids
+                    # at every scale (matches the q221 operator fix)
+                    (-F.col("l_suppkey")).alias("dst"),
                 )
                 .distinct()
             )
@@ -1094,6 +1096,76 @@ def main() -> None:
         from magi_etl_spark.operators.engagement import time_weighted_average
 
         return lambda: time_weighted_average(e, ["event_type"])
+
+    # --- r9 staged families ----------------------------------------------
+
+    def kl_novelty(d):
+        from magi_etl_spark.operators.novelty import source_kl_novelty
+
+        # replication multiplies per-(source, token) counts, not types:
+        # both keyed aggregations stay vocabulary-sized after map-side
+        # combine; runtime rides the token-stream scan
+        return lambda: source_kl_novelty(d)
+
+    def dispersion_probe(d):
+        from magi_etl_spark.operators.dispersion import token_dispersion
+
+        # (doc, token) pairs grow linearly with the corpus; the per-token
+        # rollup stays vocabulary-sized
+        return lambda: token_dispersion(d, min_df=5, top_n=200)
+
+    def wquantile_probe(li):
+        from magi_etl_spark.operators.wquantile import weighted_quantiles
+
+        # per-(group, value) collapse grows with distinct values; the
+        # window partitions by group, never global
+        def run():
+            f = li.select(
+                F.col("l_returnflag").alias("rf"),
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("v"),
+                F.col("l_quantity").cast("long").alias("w"),
+            )
+            return weighted_quantiles(f, ["rf"], "v", "w", [0.25, 0.5, 0.9])
+
+        return run
+
+    def conformal_probe(o):
+        from magi_etl_spark.operators.conformal import split_conformal
+
+        # folds split the replicated keys ~evenly; the calibration
+        # window partitions by group
+        def run():
+            base = o.select(
+                F.col("o_orderpriority").alias("prio"),
+                "o_orderkey",
+                "o_totalprice",
+            )
+            return split_conformal(
+                base,
+                ["prio"],
+                "o_orderkey",
+                F.round(F.col("o_totalprice") * 100),
+                alpha=0.1,
+                seed="probe",
+            )
+
+        return run
+
+    def maxcover_probe(d):
+        from magi_etl_spark.operators.maxcover import vocab_cover_trace
+
+        # k fixed greedy rounds; each is one anti-join + one aggregate
+        # over the (doc, bigram) pairs, which grow linearly
+        return lambda: vocab_cover_trace(d, k=4)
+
+    def hill_probe(d):
+        from magi_etl_spark.operators.tailindex import hill_tail_index
+
+        # one token aggregation + TakeOrdered top-k per requested k;
+        # replication multiplies frequencies, not types
+        return lambda: hill_tail_index(d, ks=[50, 100])
 
     lineitemN_parts = replicate(
         lineitem1, ["l_orderkey", "l_partkey"], n, 10_000_000
@@ -1206,6 +1278,12 @@ def main() -> None:
         ("epoch_plan", epoch_plan_probe(docs1), epoch_plan_probe(docsN)),
         ("feature_hash", feature_hash_probe(docs1), feature_hash_probe(docsN)),
         ("rare_bigram", rare_bigram_probe(docs1), rare_bigram_probe(docsN)),
+        ("kl_novelty", kl_novelty(docs1), kl_novelty(docsN)),
+        ("dispersion", dispersion_probe(docs1), dispersion_probe(docsN)),
+        ("wquantile", wquantile_probe(lineitem1), wquantile_probe(lineitemN)),
+        ("conformal", conformal_probe(orders_b), conformal_probe(ordersN_b)),
+        ("maxcover", maxcover_probe(docs1), maxcover_probe(docsN)),
+        ("hill_tail", hill_probe(docs1), hill_probe(docsN)),
     ):
         if only is not None and label not in only:
             continue
