@@ -181,15 +181,19 @@ _PRIORITY: list[str] = [
     "q223_epoch_plan",
     "q224_feature_hashing",
     "q225_rare_bigram_band",
-    # Tail fill, oldest-driver-verified-first (rows from rounds 1-3;
-    # sources unchanged since, dependency-map-checked) — the refresh
-    # rotation COVERAGE.md prescribes.
-    "q05_region_revenue",
-    "q06_semi_join",
-    "q08_full_outer_cast_keys",
-    "q09_top1_per_group",
-    "q10_topk_per_group",
-    "q11_sessionize",
+    # Dependency re-entries (rule 2, machine-checked by
+    # tests/test_gate_window.py): the r9-session ADVICE fix touched
+    # operators/behavior.py (docstring correction), which re-flags its
+    # six tail dependents — they take the remaining slots, displacing
+    # the planned oldest-first tail re-entries (q05 q06 q08 q09 q10
+    # q11) to the r10 fill, exactly as prior rounds handled in-session
+    # operator edits.
+    "q139_funnel",
+    "q140_cohort_retention",
+    "q141_markov_transitions",
+    "q146_rfm_segments",
+    "q148_attribution",
+    "q166_top_event_paths",
 ]
 
 

@@ -64,10 +64,13 @@ def main() -> None:
             ("simjoin", lambda d=docs: similarity_join(
                 shingle_sets(d), Fraction(1, 2))),
         ):
+            # ONE timed count() pass: for these families the wall is the
+            # pair join itself, and a count materializes every pair
+            # through the full verification path — a second noop pass
+            # would double a multi-ten-minute 32x job for no evidence
             t0 = time.perf_counter()
-            build().write.format("noop").mode("overwrite").save()
-            wall = round(time.perf_counter() - t0, 3)
             pairs = build().count()
+            wall = round(time.perf_counter() - t0, 3)
             pt[f"{label}_sec"] = wall
             pt[f"{label}_pairs"] = pairs
             us_per_pair = 1e6 * wall / max(pairs, 1)
