@@ -7,15 +7,28 @@ linked — the contrastive negatives a link-prediction or two-tower
 trainer consumes alongside the positive edge list.
 
 The draw is scalable without any global vertex index: destinations are
-hashed into ``n_buckets`` fixed buckets, each (src, trial) pair is
-hashed to one bucket, and the candidate is the md5-argmin destination
-WITHIN that bucket — a keyed equi-join on the bucket id, never a
-cross join, never a corpus-wide window.  Existing edges are removed
-with one anti-join; everything is md5 arithmetic, so the sample is
+hashed into ``n_buckets`` buckets, each (src, trial) pair is hashed to
+one bucket, and the candidate is the md5-argmin destination WITHIN
+that bucket — a keyed equi-join on the bucket id, never a cross join,
+never a corpus-wide window.  Existing edges are removed with one
+anti-join; everything is md5 arithmetic, so the sample is
 deterministic, repartition-stable, and SQL-replayable.
+
+Scale shape: the candidate stream is ``n_src x n_trials x (n_dst /
+n_buckets)`` rows, each paying one md5 — so the BUCKET SIZE
+``n_dst / n_buckets`` is the per-trial work and must stay O(1) as the
+graph grows.  A fixed bucket count makes the operator quadratic in
+vertex count (the r9 bench measured exactly that: 64 buckets over a
+20k-destination graph = 312-wide buckets = a 19M-row md5 stream,
+44 s at sf0.1).  The default therefore DERIVES ``n_buckets`` from the
+destination count (one 1-row aggregate) targeting ~64 destinations
+per bucket; pass an explicit ``n_buckets`` only when the oracle needs
+a pinned modulus.
 """
 
 from __future__ import annotations
+
+import math
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,12 +40,20 @@ def _h32(*cols) -> F.Column:
     ).cast("long")
 
 
+def auto_bucket_count(n_dst: int, target: int = 64) -> int:
+    """Bucket count for ~``target`` destinations per bucket: the next
+    power of two of ``n_dst / target``, floored at 64.  Mirrored by the
+    q211 oracle in SQL (GREATEST/POWER/CEIL/LOG2 over the same exact
+    double division), so keep the two in lockstep."""
+    return max(64, 1 << max(0, math.ceil(math.log2(max(n_dst, 1) / target))))
+
+
 def negative_edge_samples(
     edges: DataFrame,
     src_col: str = "src",
     dst_col: str = "dst",
     n_trials: int = 4,
-    n_buckets: int = 64,
+    n_buckets: int | None = None,
     seed: str = "neg",
 ) -> DataFrame:
     """Per source vertex: up to ``n_trials`` distinct non-adjacent
@@ -41,6 +62,12 @@ def negative_edge_samples(
     itself), yields no row — callers oversample ``n_trials`` for a
     target count, keeping the operator join-shaped instead of
     rejection-looped.
+
+    ``n_buckets=None`` (the default) derives the bucket count from the
+    destination-vertex count so buckets hold ~64 destinations each
+    (power of two, floor 64) — the O(1)-bucket-size contract that keeps
+    the candidate stream linear in ``n_src`` at any graph scale.  An
+    explicit ``n_buckets`` is honored verbatim (oracles pin it).
 
     The within-bucket pick is keyed by ``(src, trial, dst)`` — NOT by
     ``dst`` alone (the r7 ADVICE defect: a dst-only rank made every
@@ -52,6 +79,9 @@ def negative_edge_samples(
     hash-coincidences, not structural."""
     src = edges.select(F.col(src_col).alias("src")).distinct()
     dst = edges.select(F.col(dst_col).alias("dst")).distinct()
+    if n_buckets is None:
+        # one 1-row aggregate (the PageRank dangling-mass idiom)
+        n_buckets = auto_bucket_count(dst.count())
     dstb = dst.select(
         "dst",
         (_h32(F.lit(f"{seed}|b"), F.col("dst")) % n_buckets).alias("_b"),

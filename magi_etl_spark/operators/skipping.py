@@ -76,9 +76,16 @@ def write_with_stats(
     Date/timestamp bounds are canonicalized through ``fromisoformat`` on
     BOTH the write and read sides, so the ``'T'``-vs-space separator
     difference between ``isoformat()`` and ``str(datetime)`` can never
-    flip a lexicographic comparison (the r8 ADVICE medium).  Plain
-    string keys compare lexicographically as-is.  Other key types raise
-    — the contract is validated, not left to a docstring aside."""
+    flip a lexicographic comparison (the r8 ADVICE medium) — and they
+    are rendered by SPARK (``cast(string)``, session-timezone wall
+    time), never by Python's OS-local ``datetime.fromtimestamp``: with
+    the session pinned to UTC and the OS on another zone, a
+    Python-collected bound is shifted by the zone offset relative to
+    the query literal's session-frame interpretation, and the file cut
+    silently drops in-range files (caught by the dual-TZ suite under
+    TZ=America/New_York).  Plain string keys compare lexicographically
+    as-is.  Other key types raise — the contract is validated, not left
+    to a docstring aside."""
     dtype = dict(df.dtypes)[sort_col]
     kind = _key_kind(dtype)
     base = dtype.split("(")[0].lower()
@@ -88,11 +95,17 @@ def write_with_stats(
         .parquet(path)
     )
     back = df.sparkSession.read.parquet(path)
+    # temporal bounds cross the collect() boundary as session-frame
+    # STRINGS; numeric/plain-string bounds are frame-free and collect
+    # natively
+    temporal = base in {"timestamp", "timestamp_ntz", "date"}
+    lo_c = F.min(sort_col).cast("string") if temporal else F.min(sort_col)
+    hi_c = F.max(sort_col).cast("string") if temporal else F.max(sort_col)
     stats = (
         back.groupBy(F.input_file_name().alias("file"))
         .agg(
-            F.min(sort_col).alias("lo"),
-            F.max(sort_col).alias("hi"),
+            lo_c.alias("lo"),
+            hi_c.alias("hi"),
             F.count("*").alias("rows"),
         )
         .collect()
@@ -136,8 +149,14 @@ def pruned_read(
     past 2**53 and for decimal fractions; ``lo``/``hi`` may arrive as
     strings and are parsed), via ``fromisoformat`` for date/timestamp
     keys (so ``'T'`` and space separators compare identically),
-    lexicographically for plain strings.  The row predicate casts the
-    BOUNDS to the column's type — never the column to string.  Returns
+    lexicographically for plain strings.  Temporal bounds are SESSION-
+    TIMEZONE wall times end to end: a naive datetime or string means a
+    session-frame (UTC-pinned) wall time, an aware datetime is
+    converted, and the row predicate is built from the canonical ISO
+    string so Spark's session-frame string→timestamp cast interprets
+    it — never ``F.lit(datetime)``, whose embedding goes through the
+    OS-local zone.  The row predicate casts the BOUNDS to the column's
+    type — never the column to string.  Returns
     ``(frame, n_files_read, n_files_total)``."""
     with open(os.path.join(path, "_stats.json")) as f:
         manifest = json.load(f)
@@ -154,12 +173,18 @@ def pruned_read(
             # py>=3.11 fromisoformat accepts both 'T' and ' ' separators,
             # with or without a time component — one canonical ordering
             # for datetime objects, isoformat strings and SQL-style
-            # strings alike.
+            # strings alike.  Naive datetimes/strings mean SESSION-frame
+            # wall times; aware datetimes convert to the session zone
+            # (UTC) and drop tzinfo.
             if isinstance(x, _dt.datetime):
+                if x.tzinfo is not None:
+                    return x.astimezone(_dt.timezone.utc).replace(tzinfo=None)
                 return x
             if isinstance(x, _dt.date):
                 return _dt.datetime(x.year, x.month, x.day)
             d = _dt.datetime.fromisoformat(str(x))
+            if d.tzinfo is not None:
+                return d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
             return d
 
         lo_v, hi_v = _ts(lo), _ts(hi)
@@ -176,8 +201,14 @@ def pruned_read(
     sc = manifest["sort_col"]
     df = spark.read.parquet(*keep) if keep else spark.read.parquet(path).limit(0)
     col_t = dict(df.dtypes)[sc]
-    lo_lit = F.lit(lo).cast(col_t)
-    hi_lit = F.lit(hi).cast(col_t)
+    if base in {"timestamp", "timestamp_ntz", "date"}:
+        # session-frame string → column type; F.lit(datetime) would
+        # embed through the OS-local zone instead
+        lo_lit = F.lit(lo_v.isoformat(sep=" ")).cast(col_t)
+        hi_lit = F.lit(hi_v.isoformat(sep=" ")).cast(col_t)
+    else:
+        lo_lit = F.lit(lo).cast(col_t)
+        hi_lit = F.lit(hi).cast(col_t)
     return (
         df.where((F.col(sc) >= lo_lit) & (F.col(sc) <= hi_lit)),
         len(keep),

@@ -1619,19 +1619,25 @@ def q214_conversion_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     srcs AS (SELECT DISTINCT src FROM edges),
     dsts AS (SELECT DISTINCT dst FROM edges),
+    nb AS (
+        SELECT GREATEST(64, CAST(POWER(2, CEIL(LOG2(
+                   CAST(GREATEST(COUNT(*), 1) AS DOUBLE) / 64.0)))
+               AS BIGINT)) AS n
+        FROM dsts
+    ),
     dstb AS (
         SELECT dst,
                CAST(concat('0x', substr(md5(concat('neg|b|',
-                    CAST(dst AS VARCHAR))), 1, 8)) AS BIGINT) % 64 AS b
-        FROM dsts
+                    CAST(dst AS VARCHAR))), 1, 8)) AS BIGINT) % nb.n AS b
+        FROM dsts, nb
     ),
     trials AS (
         SELECT src, CAST(t.trial AS INT) AS trial,
                CAST(concat('0x', substr(md5(concat('neg|t|',
                     CAST(src AS VARCHAR), '|',
                     CAST(t.trial AS VARCHAR))), 1, 8)) AS BIGINT)
-                   % 64 AS b
-        FROM srcs, LATERAL unnest([0, 1, 2, 3]) AS t(trial)
+                   % nb.n AS b
+        FROM srcs, nb, LATERAL unnest([0, 1, 2, 3]) AS t(trial)
     ),
     cand AS (
         SELECT src, trial, dst FROM (
@@ -1655,12 +1661,17 @@ def q211_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Derandomized negative-edge samples over the customer-part
     purchase graph — the contrastive negatives a link-prediction
     trainer consumes.  No global vertex index: destinations hash into
-    64 fixed buckets, each (src, trial) hashes to one bucket, the
-    candidate is the bucket's md5-argmin destination under a
-    (src, trial, dst)-keyed rank (trial-dependent — a dst-only rank
-    would cap the corpus-wide negative vocabulary at 64 global bucket
-    winners), existing edges drop via one anti-join — all md5
-    arithmetic, keyed joins only."""
+    COUNT-DERIVED buckets (~64 destinations each, power of two, floor
+    64 — the O(1)-bucket-size contract that keeps the candidate stream
+    linear in source count; the r9 bench measured the old fixed-64
+    profile at 44 s / 19M md5 rows at sf0.1, quadratic in vertex
+    count), each (src, trial) hashes to one bucket, the candidate is
+    the bucket's md5-argmin destination under a (src, trial, dst)-keyed
+    rank (trial-dependent — a dst-only rank would cap the corpus-wide
+    negative vocabulary at one winner per bucket), existing edges drop
+    via one anti-join — all md5 arithmetic, keyed joins only; the
+    oracle derives the identical modulus from its own distinct-dst
+    count."""
     from magi_etl_spark.operators.negatives import negative_edge_samples
 
     orders = load_table(spark, sf_dir, "orders")
@@ -1672,7 +1683,7 @@ def q211_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return negative_edge_samples(edges, "src", "dst", n_trials=4, n_buckets=64)
+    return negative_edge_samples(edges, "src", "dst", n_trials=4)
 
 
 @ext4_query(

@@ -169,7 +169,15 @@ def test_pruned_read_timestamp_key_separator_insensitive(spark, tmp_path):
     separator); since 'T' > ' ' lexicographically, an in-range file was
     wrongly skipped.  Both sides now canonicalize through fromisoformat,
     so datetime objects, 'T'-strings and SQL-style space-strings all
-    compare in timestamp order."""
+    compare in timestamp order.
+
+    r9 hardening (caught by this test's NY leg): bounds and predicate
+    are SESSION-frame (UTC) wall times end to end — the manifest is
+    rendered by Spark's cast(string), never Python's OS-local
+    fromtimestamp, and the predicate literal is the canonical ISO
+    string, never F.lit(datetime) (OS-local embedding).  The assertions
+    below compare session-frame date_format strings so the expected
+    values are OS-timezone-independent."""
     import datetime as dt
 
     from magi_etl_spark.operators.skipping import pruned_read, write_with_stats
@@ -181,15 +189,32 @@ def test_pruned_read_timestamp_key_separator_insensitive(spark, tmp_path):
     path = str(tmp_path / "ts_skip")
     m = write_with_stats(df, path, "ts", n_files=6)
     assert m["kind"] == "iso" and m["base"] == "timestamp"
-    want = [dt.datetime(2023, 1, 6, 10) + dt.timedelta(hours=i)
-            for i in range(13)]
+    # manifest bounds are Spark-rendered session-frame walls: the global
+    # min is the seed value regardless of the OS zone
+    assert min(e["lo"] for e in m["files"]).startswith("2023-01-06 00:00")
+    want = [
+        f"2023-01-06 {h:02d}:00:00" for h in range(10, 23)
+    ]
     for lo, hi in [
         (dt.datetime(2023, 1, 6, 10), dt.datetime(2023, 1, 6, 22)),
         ("2023-01-06 10:00:00", "2023-01-06 22:00:00"),
         ("2023-01-06T10:00:00", "2023-01-06T22:00:00"),
+        (  # aware datetimes convert to the session zone: 05:00-17:00
+           # at UTC-5 are the same instants as 10:00-22:00 UTC
+            dt.datetime(2023, 1, 6, 5,
+                        tzinfo=dt.timezone(dt.timedelta(hours=-5))),
+            dt.datetime(2023, 1, 6, 17,
+                        tzinfo=dt.timezone(dt.timedelta(hours=-5))),
+        ),
     ]:
         got, n_read, n_total = pruned_read(spark, path, lo, hi)
-        assert sorted(r.ts for r in got.collect()) == want, (lo, hi)
+        rows = sorted(
+            r.s
+            for r in got.select(
+                F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("s")
+            ).collect()
+        )
+        assert rows == want, (lo, hi)
         assert 0 < n_read < n_total, (lo, hi)
 
 

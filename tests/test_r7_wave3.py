@@ -181,3 +181,24 @@ def test_twap_hand_fixture(spark):
     r = time_weighted_average(df, ["event_type"]).collect()[0]
     assert r.n_obs == 2 and r.total_seconds == 40
     assert r.twap == pytest.approx((10 * 10 + 20 * 30) / 40, abs=1e-6)
+
+
+def test_negative_samples_auto_bucket_count():
+    """r9 perf regression: a FIXED 64-bucket default made the candidate
+    stream quadratic in vertex count (bucket size = n_dst/64 grows with
+    the graph; the r9 bench measured 19M md5 rows / 44 s at sf0.1).
+    The default now derives the count for ~64-destination buckets —
+    power of two, floored at 64 — and the q211 oracle mirrors the same
+    formula in SQL."""
+    from magi_etl_spark.operators.negatives import auto_bucket_count
+
+    assert auto_bucket_count(0) == 64
+    assert auto_bucket_count(1) == 64
+    assert auto_bucket_count(64) == 64
+    assert auto_bucket_count(4096) == 64          # 4096/64 = 64 → 2^6
+    assert auto_bucket_count(4097) == 128         # next power of two
+    assert auto_bucket_count(20_000) == 512       # the sf0.1 q211 shape
+    assert auto_bucket_count(20_000_000) == 524_288  # ~38/bucket at 100 TB
+    # bucket size stays bounded: n_dst / buckets <= target for all sizes
+    for n in (1, 63, 64, 65, 1000, 12_345, 10**6, 10**9):
+        assert n / auto_bucket_count(n) <= 64
