@@ -46,7 +46,8 @@ def split_conformal(
 ) -> DataFrame:
     """``*group_cols, n_train, n_cal, qhat_cents, n_test, n_covered``
     — split-conformal calibration of the per-group train-mean predictor
-    at miscoverage ``alpha``.  All columns BIGINT.  A group missing any
+    at miscoverage ``alpha`` (a whole percent in (0, 1) — anything else
+    raises, see the validation below).  All columns BIGINT.  A group missing any
     of the three folds drops out of the result (inner joins): with no
     train rows there is no predictor, with no calibration rows no
     quantile, with no test rows no coverage to report."""
@@ -91,8 +92,16 @@ def split_conformal(
         F.count(F.lit(1)).over(W.partitionBy(*group_cols)).alias("n_cal"),
     )
     # k = ceil((n_cal + 1) * (1 - alpha)) via exact integer arithmetic on
-    # alpha's rational form (alpha assumed a round percent; scaled by 100)
+    # alpha's rational form (alpha must be a round percent; scaled by 100
+    # and VALIDATED — a silently-coerced 0.025 would banker-round to 2%
+    # and compute a miscalibrated quantile, the r9 ADVICE defect)
     a100 = int(round(alpha * 100))
+    if abs(alpha * 100 - a100) > 1e-9 or not 0 < a100 < 100:
+        raise ValueError(
+            f"alpha={alpha!r} is not a whole percent in (0, 1): the exact "
+            "integer quantile arithmetic supports k/100 miscoverage levels "
+            "only (use 0.01..0.99 in steps of 0.01)"
+        )
     k = (
         F.ceil(((F.col("n_cal") + 1) * (100 - a100)).cast("double") / 100.0)
         .cast("int")

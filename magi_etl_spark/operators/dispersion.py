@@ -16,11 +16,15 @@ that lack t):
              = (D * ssq_t - tot_t^2) / (D * tot_t)
 
 The last form needs no zero cells — they contribute nothing to ``ssq``
-— and is evaluated in DOUBLE arithmetic on the exactly-ingested integer
+— and is evaluated in DOUBLE arithmetic on exactly-ingested integer
 aggregates (each factor cast before multiplying): at 100 TB a frequent
 token's ``total**2`` overflows int64 (~1e12 occurrences squared), while
 the double expression stays finite and, being the identical operand
-sequence on any IEEE engine, per-row deterministic.
+sequence on any IEEE engine, per-row deterministic.  The ``ssq``
+aggregate itself accumulates in decimal(38,0), not bigint — a single
+million-count cell squares to 1e12, and a bigint sum of such cells can
+wrap silently under non-ANSI Spark while DuckDB promotes to HUGEINT;
+decimal summation is exact (and order-free) to 1e38 on both engines.
 
 Scale shape: one (doc, token) aggregation, one token aggregation, one
 broadcast scalar (D), and a top-k by total count — no corpus-wide
@@ -61,7 +65,14 @@ def token_dispersion(
     per_tok = td.groupBy("tok").agg(
         F.count(F.lit(1)).alias("doc_freq"),
         F.sum("c").alias("total"),
-        F.sum(F.col("c") * F.col("c")).alias("ssq"),
+        # ssq accumulates in decimal(38,0): exact AND unwrappable — a
+        # BIGINT sum of c*c can wrap silently under non-ANSI Spark at
+        # corpus scale while the DuckDB oracle promotes to HUGEINT (the
+        # r9 ADVICE defect).  decimal(19,0) x decimal(19,0) → (38,0),
+        # matching HUGEINT semantics for every value below 1e38.
+        F.sum(
+            F.col("c").cast("decimal(19,0)") * F.col("c").cast("decimal(19,0)")
+        ).alias("ssq"),
     )
     d_docs = df.agg(F.count(F.lit(1)).alias("D"))
     return (

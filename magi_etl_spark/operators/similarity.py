@@ -8,6 +8,8 @@ reference computes full cosine-similarity matrices driver-side with scipy
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -109,9 +111,20 @@ def blocked_neardup_pairs(
     )
 
 
+def auto_n_lists(n_vectors: int, floor: int = 8) -> int:
+    """IVF list count ~ sqrt(n) (the FAISS guideline): the next power of
+    two of ``sqrt(n_vectors)``, floored at ``floor`` and capped at
+    ``n_vectors``.  A FIXED list count makes the probe cost ``n_probe x
+    n / n_lists`` grow linearly with the corpus (the q211
+    fixed-bucket-count class of defect); sqrt keeps both the centroid
+    table and the per-probe list scan O(sqrt n)."""
+    n = max(n_vectors, 1)
+    return max(1, min(n, max(floor, 1 << max(0, math.ceil(math.log2(n) / 2)))))
+
+
 def ivf_index(
     df: DataFrame,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -119,13 +132,22 @@ def ivf_index(
     """IVF coarse quantizer: KMeans centroids + per-vector inverted-list
     assignment.  The index is (assigned vectors, centroid table); at
     cluster scale the assigned side is written partitioned by ``list_id``
-    so probes become partition pruning."""
+    so probes become partition pruning.
+
+    ``n_lists=None`` (the default) derives the list count as ~sqrt(n)
+    from one corpus count (:func:`auto_n_lists`), so the per-probe scan
+    fraction shrinks as the corpus grows instead of staying a constant
+    1/16th of it.  An explicit ``n_lists`` is honored verbatim (oracles
+    pin theirs)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feat = _fan_out(
         df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     ).withColumn("_feat", array_to_vector("_v")).persist()
+    if n_lists is None:
+        # one 1-row aggregate over the (persisted) feature frame
+        n_lists = auto_n_lists(feat.count(), floor=16)
     model = KMeans(k=n_lists, seed=seed, featuresCol="_feat", predictionCol="list_id").fit(feat)
     assigned = model.transform(feat).select(
         id_col, F.col("_v"), F.col("list_id")
@@ -165,7 +187,7 @@ def _farthest_point_select(cands: list, n: int) -> list:
 
 def ivf_index_sampled(
     df: DataFrame,
-    n_lists: int = 8,
+    n_lists: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "first",
@@ -198,6 +220,13 @@ def ivf_index_sampled(
     base = _fan_out(
         df.select(F.col(id_col), as_double(F.col(vec_col)).alias("_v"))
     )
+    if n_lists is None:
+        # ~sqrt(n) lists from one corpus count — same derivation (and
+        # rationale) as ivf_index; explicit arguments stay honored.
+        # Note: init="spread" selects driver-side over oversample*n_lists
+        # candidates (O(candidates² · dim)), so very large corpora should
+        # pass an explicit n_lists or use "hash" with the derived default.
+        n_lists = auto_n_lists(base.count(), floor=8)
     hash_key = F.md5(F.concat(F.lit(f"s{seed}"), F.col(id_col).cast("string")))
     if init == "first":
         rows = base.orderBy(F.col(id_col)).limit(n_lists).collect()
@@ -346,21 +375,50 @@ def hard_negatives(
     )
 
 
+def auto_n_planes(n_vectors: int, target: int = 64) -> int:
+    """SRP plane count for ~``target`` vectors per bucket: ``2^planes``
+    buckets track the corpus size (p = ceil(log2(n / target)), clamped
+    to [4, 32]).  A FIXED plane count makes bucket occupancy — and the
+    sum-of-squares pair economics of any within-bucket comparison —
+    grow linearly with the corpus (the q211 fixed-bucket-count class of
+    defect)."""
+    n = max(n_vectors, 1)
+    return max(4, min(32, math.ceil(math.log2(max(n / target, 2.0)))))
+
+
 def srp_lsh_buckets(
     df: DataFrame,
-    n_planes: int = 8,
+    n_planes: int | None = None,
     seed_planes: list[list[float]] | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    seed: int = 7,
 ) -> DataFrame:
     """Sign-random-projection LSH: bucket = sign bits against fixed planes.
 
     Planes are passed in (deterministic, seeded by the caller) as literal
     arrays — broadcast as constants into codegen, no second input needed.
+    With ``seed_planes=None`` the planes are GENERATED here (seeded RNG,
+    deterministic): the vector dimension comes from one sampled row and
+    the plane count from :func:`auto_n_planes` over one corpus count
+    (``n_planes`` overrides it), so the default bucket population stays
+    ~64 at any corpus size instead of ``n / 2^8`` — the previous default
+    (no planes at all) degenerated to a single corpus-wide bucket.
     """
+    if seed_planes is None:
+        import random
+
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        dim = int(first["d"]) if first else 1
+        if n_planes is None:
+            n_planes = auto_n_planes(df.count())
+        rng = random.Random(seed)
+        seed_planes = [
+            [rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_planes)
+        ]
     v = as_double(F.col(vec_col))
     bits = []
-    for i, plane in enumerate(seed_planes or []):
+    for i, plane in enumerate(seed_planes):
         p = F.array(*[F.lit(float(x)) for x in plane])
         d = F.aggregate(
             F.zip_with(v, p, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
@@ -372,7 +430,7 @@ def srp_lsh_buckets(
 def semantic_dedup(
     df: DataFrame,
     threshold: float = 0.95,
-    n_lists: int = 16,
+    n_lists: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     init: str = "hash",
@@ -401,6 +459,10 @@ def semantic_dedup(
     ``kept`` marks the representative (isolated vectors keep
     themselves).  Filter ``kept`` for the deduplicated corpus; join
     ``rep_id`` back to re-route references to dropped duplicates.
+
+    ``n_lists=None`` derives ~sqrt(n) lists (:func:`auto_n_lists`), so
+    the within-list pair economics stay sum-of-squares-of-O(sqrt n)
+    lists as the corpus grows; explicit values are honored verbatim.
     """
     from magi_etl_spark.operators.components import connected_components
 

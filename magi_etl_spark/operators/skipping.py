@@ -29,6 +29,7 @@ import datetime as _dt
 import decimal
 import json
 import os
+import zoneinfo
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -151,8 +152,9 @@ def pruned_read(
     keys (so ``'T'`` and space separators compare identically),
     lexicographically for plain strings.  Temporal bounds are SESSION-
     TIMEZONE wall times end to end: a naive datetime or string means a
-    session-frame (UTC-pinned) wall time, an aware datetime is
-    converted, and the row predicate is built from the canonical ISO
+    session-frame wall time, an aware datetime is converted to the
+    zone ``spark.sql.session.timeZone`` actually names (never an
+    assumed UTC), and the row predicate is built from the canonical ISO
     string so Spark's session-frame string→timestamp cast interprets
     it — never ``F.lit(datetime)``, whose embedding goes through the
     OS-local zone.  The row predicate casts the BOUNDS to the column's
@@ -169,22 +171,30 @@ def pruned_read(
         lo_v, hi_v = _num(lo), _num(hi)
         bounds = [(_num(e["lo"]), _num(e["hi"])) for e in manifest["files"]]
     elif base in {"timestamp", "timestamp_ntz", "date"}:
+        # the ACTUAL session zone, not an assumed UTC (the r9 ADVICE
+        # defect: astimezone(utc) hardcoded the session frame, so a
+        # non-UTC session shifted aware bounds by the zone offset and
+        # silently dropped in-range files)
+        sess_zone = zoneinfo.ZoneInfo(
+            spark.conf.get("spark.sql.session.timeZone")
+        )
+
         def _ts(x):
             # py>=3.11 fromisoformat accepts both 'T' and ' ' separators,
             # with or without a time component — one canonical ordering
             # for datetime objects, isoformat strings and SQL-style
             # strings alike.  Naive datetimes/strings mean SESSION-frame
             # wall times; aware datetimes convert to the session zone
-            # (UTC) and drop tzinfo.
+            # and drop tzinfo.
             if isinstance(x, _dt.datetime):
                 if x.tzinfo is not None:
-                    return x.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                    return x.astimezone(sess_zone).replace(tzinfo=None)
                 return x
             if isinstance(x, _dt.date):
                 return _dt.datetime(x.year, x.month, x.day)
             d = _dt.datetime.fromisoformat(str(x))
             if d.tzinfo is not None:
-                return d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return d.astimezone(sess_zone).replace(tzinfo=None)
             return d
 
         lo_v, hi_v = _ts(lo), _ts(hi)

@@ -26,10 +26,9 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
-# r9 rotation (COVERAGE.md "Planned r9 window"): CORRECTNESS_r08 came back
-# 50/50 green, so the displaced EXT3 residue (q182/q183) merges now along
-# with the full r7 wave (EXT4, q184-q219) and r8 wave (EXT5, q220-q225) —
-# draining the staged backlog to ZERO for the first time since round 5.
+# r10 rotation (COVERAGE.md "Planned r10 window"): CORRECTNESS_r09 came
+# back 50/50 green, so the r9 wave (EXT6, q226-q231) merges and the
+# staged backlog stays drained.
 R9_QUEUE: frozenset[str] = frozenset()
 
 
@@ -99,9 +98,15 @@ def _load_all() -> None:
     from magi_etl_spark.queries.extensions_r7 import EXT4_ORACLE, EXT4_QUERIES
     from magi_etl_spark.queries.extensions_r8 import EXT5_ORACLE, EXT5_QUERIES
 
+    # r10 rotation: the r9 wave (EXT6, q226-q231, oracle-verified all
+    # through r9 by tests/test_extensions_r9.py) merges the same way —
+    # COVERAGE.md "Planned r10 window", rotation rule 1.
+    from magi_etl_spark.queries.extensions_r9 import EXT6_ORACLE, EXT6_QUERIES
+
     for tag, (q, o) in {
         "r7": (EXT4_QUERIES, EXT4_ORACLE),
         "r8": (EXT5_QUERIES, EXT5_ORACLE),
+        "r9": (EXT6_QUERIES, EXT6_ORACLE),
     }.items():
         dup = set(q) & set(QUERIES)
         if dup:
@@ -128,72 +133,73 @@ _load_all()
 GATE_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # ROUND-9 WINDOW — COVERAGE.md "Planned r9 window".  CORRECTNESS_r08
-    # was 50/50 green (no failure re-entries), so rule 1 front-loads ALL
-    # 44 remaining never-driver-verified entries in registration order:
-    # the displaced EXT3 residue (q182/q183), the r7 wave (EXT4,
-    # q184-q219, 36 entries), and the r8 wave (EXT5, q220-q225, 6
-    # entries).  This drains the staged backlog to ZERO — every
-    # registered query has a driver row after this gate.
-    "q182_multi_touch",
-    "q183_markov_attribution",
-    # EXT4 in registration order (declaration order in extensions_r7.py)
-    "q184_active_user_stickiness",
-    "q185_concurrency_peaks",
-    "q187_decay_engagement",
-    "q186_revenue_gini",
-    "q188_target_encoding",
-    "q189_woe_iv",
-    "q190_quota_sample",
-    "q191_cusum_alarms",
-    "q192_holt_smoothing",
-    "q193_winnow_profile",
-    "q194_winnow_pairs",
-    "q195_similarity_join",
-    "q196_script_profile",
-    "q197_extract_summary",
-    "q198_asof_enrichment",
-    "q199_kcore",
+    # ROUND-10 WINDOW — COVERAGE.md "Planned r10 window".  CORRECTNESS_r09
+    # was 50/50 green (no failure re-entries), so rule 1 front-loads the
+    # r9 staged wave (EXT6, q226-q231) in registration order — the staged
+    # backlog stays at ZERO.
+    "q226_source_kl_novelty",
+    "q227_token_burstiness",
+    "q228_weighted_median",
+    "q229_conformal_coverage",
+    "q230_vocab_cover",
+    "q231_hill_tail",
+    # Dependency re-entries (rule 2, machine-checked by
+    # tests/test_gate_window.py): this round lands the two deferred
+    # scale-default derivations (operators/packing.py auto bucket count;
+    # operators/similarity.py IVF n_lists ~ sqrt(n)) plus the r9 ADVICE
+    # skipping.py session-zone fix — re-flagging every tail dependent of
+    # similarity.py (11), packing.py (2) and skipping.py (2), exactly as
+    # the VERDICT pre-budgeted ("the r10 tail refresh re-verifies their
+    # queries anyway").  Listed in registration order.
+    "q27_embedding_topk",
+    "q28_embedding_neardup",
+    "q38_srp_lsh_buckets",
+    "q41_ivf_topk",
+    "q44_lsh_blocked_embedding_dedup",
+    "q57_sequence_packing",
+    "q86_ivf_kmeans_topk",
+    "q98_rrf_fusion",
+    "q104_semantic_dedup",
+    "q106_pq_refine_topk",
+    "q115_incremental_ivf_index",
+    "q132_tokenize_and_pack",
+    "q136_hard_negatives",
     "q200_data_skipping",
     "q201_dynamic_partition_pruning",
-    "q202_lsh_candidate_eval",
     "q204_ivf_recall_eval",
-    "q219_transition_entropy",
-    "q218_source_datasheet",
-    "q217_entry_exit_bounce",
-    "q215_weighted_jaccard",
-    "q216_token_pmi",
-    "q214_conversion_latency",
-    "q211_negative_edges",
-    "q212_rendezvous_shards",
-    "q213_twap",
-    "q210_common_runs",
-    "q207_ecdf_normalize",
-    "q208_chi_square",
-    "q209_survival_curve",
-    "q206_langid_confusion",
-    "q205_theil_sen_trend",
-    "q203_lorenz_points",
-    # EXT5 in registration order
-    "q220_kcenter_coreset",
-    "q221_label_propagation",
-    "q222_good_turing",
-    "q223_epoch_plan",
-    "q224_feature_hashing",
-    "q225_rare_bigram_band",
-    # Dependency re-entries (rule 2, machine-checked by
-    # tests/test_gate_window.py): the r9-session ADVICE fix touched
-    # operators/behavior.py (docstring correction), which re-flags its
-    # six tail dependents — they take the remaining slots, displacing
-    # the planned oldest-first tail re-entries (q05 q06 q08 q09 q10
-    # q11) to the r10 fill, exactly as prior rounds handled in-session
-    # operator edits.
-    "q139_funnel",
-    "q140_cohort_retention",
-    "q141_markov_transitions",
-    "q146_rfm_segments",
-    "q148_attribution",
-    "q166_top_event_paths",
+    # Oldest-verified-first tail refresh (rule 1 fill, 28 slots): the
+    # r3-era rows displaced twice now (q05-q11 from the r9 fill), the
+    # seven further r3-era rows, then the r4-era rows in order.  The 16
+    # re-entry slots above displace q48 q51 q52 q53 q58 q60 q63 q65 q66
+    # q78 q80 q85 q87 q88 q90 q92 (plus q93/q94 from r9's plan) to r11.
+    "q05_region_revenue",
+    "q06_semi_join",
+    "q08_full_outer_cast_keys",
+    "q09_top1_per_group",
+    "q10_topk_per_group",
+    "q11_sessionize",
+    "q12_conditional_agg",
+    "q13_distinct_derived_key",
+    "q14_json_extract",
+    "q18_week_buckets",
+    "q30_metric_query_events",
+    "q31_metric_query_unnest",
+    "q77_cached_metric_query",
+    "q20_token_stats",
+    "q21_quality_scores",
+    "q22_language_id",
+    "q26_fingerprints",
+    "q32_simhash",
+    "q33_kv_parse",
+    "q34_date_functions",
+    "q35_vector_stats",
+    "q36_rollup",
+    "q37_pivot",
+    "q39_token_cosine_pairs",
+    "q40_corpus_pipeline",
+    "q42_window_benchmark",
+    "q43_simhash_neardup",
+    "q46_above_avg_customers",
 ]
 
 

@@ -1,14 +1,14 @@
 """STAGED r10 gate queries over the round-9 operator additions.
 
 Same staging pattern five prior rotations proved out: the r9 driver
-window is full (the 44-entry staged-backlog drain + 6 tail re-entries,
+window was full (the 44-entry staged-backlog drain + 6 tail re-entries,
 COVERAGE.md "Planned r9 window"), and the gate-window invariant test
-refuses never-verified queries outside it — so new operators land here,
-in a SEPARATE registry (``EXT6_QUERIES`` / ``EXT6_ORACLE``) that
-``__spark_entry__.queries()`` does NOT include yet, with the driver's
-own hash comparison run over every entry each suite run
-(tests/test_extensions_r9.py).  At the r10 rotation these merge and the
-window refills with tail re-entries (oldest driver rows first).
+refuses never-verified queries outside it — so new operators landed
+here, in a SEPARATE registry (``EXT6_QUERIES`` / ``EXT6_ORACLE``), with
+the driver's own hash comparison run over every entry each suite run.
+At the r10 rotation these MERGED at the front of the window
+(COVERAGE.md "Planned r10 window") — the sweep now rides
+tests/test_queries_oracle.py like every merged wave.
 
 Round-9 wave — deliberately SMALL (the r8 verdict: keep the wave at or
 under six so the backlog stays drained), six queries across six NEW
@@ -144,9 +144,11 @@ def q226_source_kl_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks GROUP BY 1, 2
     ),
     pt AS (
+        -- ssq in HUGEINT mirrors the Spark side's decimal(38,0) sum:
+        -- exact to 1e38, no silent bigint wrap at corpus scale
         SELECT tok, CAST(COUNT(*) AS BIGINT) AS doc_freq,
                CAST(SUM(c) AS BIGINT) AS total,
-               CAST(SUM(c * c) AS BIGINT) AS ssq
+               SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT)) AS ssq
         FROM td GROUP BY 1
     ),
     dd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents)
@@ -329,11 +331,17 @@ def _maxcover_oracle(k: int) -> str:
     selects = []
     for r in range(1, k + 1):
         cum = " + ".join(f"(SELECT g FROM p{i})" for i in range(1, r + 1))
+        # EXISTS-guard mirrors the operator's early stop: a round whose
+        # uncovered set is empty emits NO row (p{r} empty ⇔ vocabulary
+        # exhausted ⇔ vocab_cover_select broke out of the loop), instead
+        # of the NULL-filled row an unconditional unroll would produce —
+        # the r9 ADVICE latent parity break on short corpora.
         selects.append(
             f"SELECT CAST({r} AS INTEGER) AS sel_rank,"
             f" (SELECT doc_id FROM p{r}) AS doc_id,"
             f" (SELECT g FROM p{r}) AS new_tokens,"
             f" CAST({cum} AS BIGINT) AS cum_tokens"
+            f" WHERE EXISTS (SELECT 1 FROM p{r})"
         )
     return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects)
 

@@ -1,14 +1,12 @@
-"""Staged r10 gate queries (q226-q231): run the driver's own DuckDB
-comparison over every EXT6_QUERIES entry so the staging surface carries
-hash-level correctness evidence before it ever enters the external
-window — the same discipline every prior staged registry carried
-through its staging rounds."""
+"""The r9 staged registry (EXT6, q226-q231) merged into the main
+registry at the r10 rotation (COVERAGE.md "Planned r10 window").  The
+per-entry DuckDB-oracle sweep these tests used to run now happens
+through the main-registry sweep (tests/test_queries_oracle.py), the
+plan lint through tests/test_plan_lint.py, and the no-HUGEINT lint
+through tests/test_oracle_types.py.  What remains here is the merge
+invariant."""
 
 from __future__ import annotations
-
-import pytest
-
-from oracle_harness import compare, duckdb_connection
 
 
 def _ext6():
@@ -17,61 +15,14 @@ def _ext6():
     return EXT6_QUERIES, EXT6_ORACLE
 
 
-def test_staging_registry_is_disjoint_from_the_gate_registry():
-    from magi_etl_spark.queries import QUERIES
+def test_r9_extension_registry_is_fully_merged():
+    """r10 rotation rule 1: every EXT6 entry is registered (same function
+    object — merged, not shadowed) and its oracle rode along; the
+    all-query oracle sweep therefore covers them every run."""
+    from magi_etl_spark.queries import ORACLE, QUERIES
 
     ext_q, ext_o = _ext6()
-    assert not set(ext_q) & set(QUERIES)
-    # every staged entry carries a full hash oracle
-    assert set(ext_q) == set(ext_o)
-
-
-def test_staged_oracles_emit_no_hugeint(sf_dir):
-    """The q89 lesson applies to staging too: no staged oracle may emit
-    HUGEINT/UHUGEINT output columns."""
-    _, ext_o = _ext6()
-    con = duckdb_connection(sf_dir)
-    offenders = {}
-    for name, sql in ext_o.items():
-        rel = con.sql(sql)
-        bad = [
-            f"{c}:{t}"
-            for c, t in zip(rel.columns, rel.types)
-            if str(t).upper() in ("HUGEINT", "UHUGEINT")
-        ]
-        if bad:
-            offenders[name] = bad
-    assert not offenders, offenders
-
-
-@pytest.fixture(scope="module")
-def con(sf_dir):
-    c = duckdb_connection(sf_dir)
-    yield c
-    c.close()
-
-
-def _names():
-    ext_q, _ = _ext6()
-    return sorted(ext_q)
-
-
-@pytest.mark.parametrize("name", _names())
-def test_staged_query_matches_oracle(spark, sf_dir, con, name):
-    ext_q, ext_o = _ext6()
-    ok, msg = compare(ext_q[name](spark, sf_dir), con, ext_o[name])
-    assert ok, f"{name}: {msg}"
-
-
-def test_staged_queries_are_lint_clean(spark, sf_dir):
-    """The staged-lint discipline: every r9 staged entry passes the
-    plan linter BEFORE it enters the gate."""
-    from magi_etl_spark.plans import lint
-
-    ext_q, _ = _ext6()
-    errors = {}
+    assert len(ext_q) == 6 and set(ext_q) == set(ext_o)
     for name, fn in ext_q.items():
-        errs = [f for f in lint(fn(spark, sf_dir)) if f.severity == "error"]
-        if errs:
-            errors[name] = [f.rule for f in errs]
-    assert not errors, errors
+        assert QUERIES.get(name) is fn, f"{name} not merged into QUERIES"
+        assert ORACLE.get(name) == ext_o[name], f"{name} oracle not merged"
