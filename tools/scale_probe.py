@@ -1167,6 +1167,53 @@ def main() -> None:
         # replication multiplies frequencies, not types
         return lambda: hill_tail_index(d, ks=[50, 100])
 
+    def ivf_default_probe(em):
+        # r10 scale-default: n_lists derives ~sqrt(n) at build time, so a
+        # fixed query set's probe cost (n_probe lists x n/n_lists rows
+        # per list) grows O(sqrt n) with the corpus instead of linearly.
+        # The index build (one narrow assignment pass) is setup, not the
+        # timed pass — mirroring the lsh_index_increment convention.
+        from magi_etl_spark.operators.similarity import (
+            ivf_index_sampled,
+            ivf_topk,
+        )
+
+        assigned, cents = ivf_index_sampled(em, init="hash", seed=7)
+        assigned.count()
+        q = emb1.where(F.col("vec_id") < 3)
+        return lambda: ivf_topk(assigned, cents, q, k=10, n_probe=2)
+
+    def srp_default_probe(em):
+        # r10 scale-default: plane count derives ceil(log2(n/64)), so
+        # bucket occupancy stays ~64 at any corpus size.  Expected ratio
+        # is slightly SUPER-linear (each row pays n_planes ~ log n dot
+        # products) — the price of a bucket count that tracks the data;
+        # the old default hashed the whole corpus into ONE bucket.
+        from magi_etl_spark.operators.similarity import srp_lsh_buckets
+
+        return lambda: (
+            srp_lsh_buckets(em).groupBy("bucket").agg(F.count("*").alias("n"))
+        )
+
+    def pack_default_probe(d):
+        # r10 scale-default: bucket count derives from the chunk count
+        # (~4096 chunks per bucket), so per-bucket greedy work is O(1)
+        # in corpus size — the old fixed-16 layout funneled the whole
+        # corpus through 16 pandas groups.
+        from magi_etl_spark.operators.packing import pack_chunks
+
+        def run():
+            chunks = d.select(
+                "doc_id",
+                F.lit(0).alias("chunk_idx"),
+                (F.coalesce(F.col("n_chars"), F.lit(100)) / 4)
+                .cast("int")
+                .alias("n_chunk_tokens"),
+            )
+            return pack_chunks(chunks, budget=2048)
+
+        return run
+
     lineitemN_parts = replicate(
         lineitem1, ["l_orderkey", "l_partkey"], n, 10_000_000
     )
@@ -1284,6 +1331,9 @@ def main() -> None:
         ("conformal", conformal_probe(orders_b), conformal_probe(ordersN_b)),
         ("maxcover", maxcover_probe(docs1), maxcover_probe(docsN)),
         ("hill_tail", hill_probe(docs1), hill_probe(docsN)),
+        ("ivf_default", ivf_default_probe(emb1), ivf_default_probe(embN)),
+        ("srp_default", srp_default_probe(emb1), srp_default_probe(embN)),
+        ("pack_default", pack_default_probe(docs1), pack_default_probe(docsN)),
     ):
         if only is not None and label not in only:
             continue
