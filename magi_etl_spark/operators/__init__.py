@@ -15,7 +15,10 @@ drift/audit monitoring (PSI, MAD outliers, Benford screening),
 closed-form statistics (grouped OLS, Wilson intervals, A/B z-tests,
 mutual information, correlation matrices, concentration indices,
 seasonal indices), mergeable sketches (KMV + set algebra, HLL,
-Count-Min), embedding projection (JL), perceptual image hashing, and
-engine services (cardinality estimation, skew tooling, z-order /
-bucketed layout).  Each is a ``DataFrame -> DataFrame`` composition of
-built-in ops (SURVEY.md §2 + §2.14)."""
+Count-Min), embedding projection (JL), perceptual image hashing,
+experimentation readouts (CUPED variance reduction, delta-method ratio
+CIs, stratified log-rank, exact two-sample KS), exact distributed
+order statistics (histogram-narrowing selection), inverted-index
+retrieval, and engine services (cardinality estimation, skew tooling,
+z-order / bucketed layout).  Each is a ``DataFrame -> DataFrame``
+composition of built-in ops (SURVEY.md §2 + §2.14)."""

@@ -63,9 +63,17 @@ def _unsafe_single_partition_exchanges(p: str) -> int:
         if "Exchange SinglePartition" not in line:
             continue
         child = lines[i + 1] if i + 1 < len(lines) else ""
-        is_agg_merge = (
-            "HashAggregate" in child or "SortAggregate" in child
-        ) and ("partial_" in child or "merge_" in child)
+        is_agg = "HashAggregate" in child or "SortAggregate" in child
+        is_agg_merge = is_agg and (
+            "partial_" in child
+            or "merge_" in child
+            # a column-pruned scalar aggregate renders with an EMPTY
+            # function list ("functions=[]") and no partial_ marker, but
+            # is the same safe shape: keys=[] emits at most one row per
+            # upstream partition before the funnel (seen when Catalyst
+            # prunes every column off a broadcast 1-row aggregate)
+            or ("keys=[]" in child and "functions=[]" in child)
+        )
         if not is_agg_merge:
             unsafe += 1
     return unsafe

@@ -219,6 +219,33 @@ def _transitive_files(first_hop: set[str]) -> set[str]:
     return seen - _EXEMPT
 
 
+def _semantic_fingerprint(src: str) -> str:
+    """ast.dump of the module with every docstring removed — the
+    comment/docstring-insensitive identity of a Python file.  Sound for
+    the re-entry rule because comments never execute and no operator
+    serves ``__doc__`` into query results; a docstring-only edit cannot
+    change what the driver hashes.  (The r9 rotation paid six window
+    slots for a one-line docstring correction — the r9 VERDICT asked
+    for exactly this exemption if it could be done soundly.)"""
+    import ast
+
+    tree = ast.parse(src)
+    for node in ast.walk(tree):
+        if isinstance(
+            node,
+            (ast.Module, ast.FunctionDef, ast.AsyncFunctionDef, ast.ClassDef),
+        ):
+            body = getattr(node, "body", None)
+            if (
+                body
+                and isinstance(body[0], ast.Expr)
+                and isinstance(body[0].value, ast.Constant)
+                and isinstance(body[0].value.value, str)
+            ):
+                node.body = body[1:] if len(body) > 1 else [ast.Pass()]
+    return ast.dump(tree)
+
+
 def test_tail_queries_with_changed_sources_reenter_the_window():
     from magi_etl_spark.queries import GATE_WINDOW, QUERIES
 
@@ -226,6 +253,24 @@ def test_tail_queries_with_changed_sources_reenter_the_window():
     window = set(names[:GATE_WINDOW])
     gates = _gate_commits()
     last = _last_green_round()
+    fp_cache: dict[tuple[str, str], str | None] = {}
+
+    def _really_changed(commit: str, rel: str) -> bool:
+        """True unless the file's docstring-stripped AST is identical
+        between the gate commit and the CURRENT working tree (the tree
+        the driver will actually run)."""
+        key = (commit, rel)
+        if key not in fp_cache:
+            try:
+                old = _semantic_fingerprint(_git("show", f"{commit}:{rel}"))
+                new = _semantic_fingerprint(
+                    open(os.path.join(REPO, rel)).read()
+                )
+                fp_cache[key] = "same" if old == new else None
+            except (Exception,):  # new/deleted file, syntax drift: changed
+                fp_cache[key] = None
+        return fp_cache[key] != "same"
+
     stale: dict[str, list[str]] = {}
     for name in names:
         if name in window or name not in last or last[name] not in gates:
@@ -241,8 +286,11 @@ def test_tail_queries_with_changed_sources_reenter_the_window():
         # uncommitted edits count too — the window must be correct at the
         # tree the driver will actually run
         changed += _git("diff", "--name-only", "--", *sorted(deps)).split()
-        if changed:
-            stale[name] = sorted(set(changed))
+        real = sorted(
+            {f for f in changed if _really_changed(gates[last[name]], f)}
+        )
+        if real:
+            stale[name] = real
     assert not stale, (
         "tail queries whose transitive sources changed since their last "
         f"green driver row must re-enter the first-{GATE_WINDOW} window: {stale}"
@@ -270,6 +318,24 @@ def test_tail_queries_with_changed_plan_or_oracle_reenter_the_window():
             continue
         fn = QUERIES[name]
         rel = os.path.relpath(inspect.getsourcefile(fn), REPO)
+        def _fn_dumps(src: str) -> dict[str, str]:
+            # docstring-stripped, same exemption (and rationale) as
+            # _semantic_fingerprint: a docstring edit cannot change what
+            # the driver hashes, so it must not burn a window slot
+            out = {}
+            for n in ast.parse(src).body:
+                if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef)):
+                    body = n.body
+                    if (
+                        body
+                        and isinstance(body[0], ast.Expr)
+                        and isinstance(body[0].value, ast.Constant)
+                        and isinstance(body[0].value.value, str)
+                    ):
+                        n.body = body[1:] if len(body) > 1 else [ast.Pass()]
+                    out[n.name] = ast.dump(n)
+            return out
+
         key = (gates[last[name]], rel)
         if key not in old_trees:
             try:
@@ -277,16 +343,8 @@ def test_tail_queries_with_changed_plan_or_oracle_reenter_the_window():
             except Exception:
                 old_trees[key] = {}
             else:
-                old_trees[key] = {
-                    n.name: ast.dump(n)
-                    for n in ast.parse(old_src).body
-                    if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
-                }
-        cur = {
-            n.name: ast.dump(n)
-            for n in ast.parse(open(os.path.join(REPO, rel)).read()).body
-            if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))
-        }
+                old_trees[key] = _fn_dumps(old_src)
+        cur = _fn_dumps(open(os.path.join(REPO, rel)).read())
         fname = fn.__name__
         if old_trees[key].get(fname) != cur.get(fname):
             stale.append(name)

@@ -1167,6 +1167,115 @@ def main() -> None:
         # replication multiplies frequencies, not types
         return lambda: hill_tail_index(d, ks=[50, 100])
 
+    # --- r10 wave --------------------------------------------------------
+    def cuped_probe(o):
+        from magi_etl_spark.operators.cuped import cuped_adjust
+
+        # custkey shifts per copy: UNIT COUNT grows, per-unit fixed —
+        # two keyed aggregations + a 1-row pooled broadcast
+        def run():
+            cents = F.round(F.col("o_totalprice") * 100).cast("long")
+            pre = F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")
+            per_cust = (
+                o.groupBy("o_custkey")
+                .agg(
+                    F.sum(F.when(pre, cents).otherwise(F.lit(0))).alias("x"),
+                    F.sum(F.when(~pre, cents).otherwise(F.lit(0))).alias("y"),
+                )
+                .select(
+                    (F.pmod(F.xxhash64("o_custkey"), F.lit(2)))
+                    .cast("int")
+                    .alias("arm"),
+                    "x",
+                    "y",
+                )
+            )
+            return cuped_adjust(per_cust, "arm", F.col("y"), F.col("x"))
+
+        return run
+
+    def selection_probe(li):
+        from magi_etl_spark.operators.selection import exact_quantiles
+
+        # per-round histogram aggregation over the scan: rounds are
+        # range-bounded (constant), so cost tracks the scan linearly
+        def run():
+            v = li.select(
+                F.round(F.col("l_extendedprice") * 100)
+                .cast("long")
+                .alias("v")
+            )
+            return exact_quantiles(v, "v", [(1, 2), (99, 100)])
+
+        return run
+
+    def invindex_probe(d):
+        from magi_etl_spark.operators.invindex import (
+            boolean_and_query,
+            build_postings,
+        )
+
+        # postings build is one (doc, token) agg; the AND query touches
+        # three posting lists only
+        return lambda: boolean_and_query(
+            build_postings(d), ["merge", "scan", "sort"]
+        )
+
+    def kstest_probe(e):
+        from magi_etl_spark.operators.kstest import ks_two_sample
+
+        # the window input is one row per (day, distinct cent value) —
+        # bounded by value cardinality, not the row count
+        def run():
+            ev = e.select(
+                F.to_date("ts").alias("day"),
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            return ks_two_sample(
+                ev, ["day"], "event_type", "cents", "click", "purchase"
+            )
+
+        return run
+
+    def logrank_probe(e):
+        from magi_etl_spark.operators.logrank import logrank_test
+
+        # user count grows with replication; the at-risk window runs
+        # over (week, distinct duration) rows — bounded by the calendar
+        def run():
+            per_user = e.groupBy("user_id").agg(
+                F.min(F.to_date("ts")).alias("_fd"),
+                F.max(F.to_date("ts")).alias("_ld"),
+                F.max(
+                    F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+                ).alias("_isp"),
+            )
+            horizon = e.agg(F.max(F.to_date("ts")).alias("_gd"))
+            users = per_user.join(F.broadcast(horizon)).select(
+                F.date_trunc("week", F.col("_fd")).cast("date").alias("wk"),
+                F.when(F.col("_isp") == 1, "p").otherwise("np").alias("grp"),
+                F.datediff(F.col("_ld"), F.col("_fd")).alias("t"),
+                F.when(F.col("_ld") < F.date_sub(F.col("_gd"), 7), 1)
+                .otherwise(0)
+                .alias("e"),
+            )
+            return logrank_test(users, ["wk"], "grp", "t", "e", "p", "np")
+
+        return run
+
+    def deltamethod_probe(e):
+        from magi_etl_spark.operators.deltamethod import ratio_metric_ci
+
+        # one unit-grain aggregation + one group aggregation
+        return lambda: ratio_metric_ci(
+            e,
+            ["event_type"],
+            "user_id",
+            F.round(F.col("value") * 100).cast("long"),
+            F.lit(1),
+        )
+
     def ivf_default_probe(em):
         # r10 scale-default: n_lists derives ~sqrt(n) at build time, so a
         # fixed query set's probe cost (n_probe lists x n/n_lists rows
@@ -1334,6 +1443,12 @@ def main() -> None:
         ("ivf_default", ivf_default_probe(emb1), ivf_default_probe(embN)),
         ("srp_default", srp_default_probe(emb1), srp_default_probe(embN)),
         ("pack_default", pack_default_probe(docs1), pack_default_probe(docsN)),
+        ("cuped", cuped_probe(orders_b), cuped_probe(ordersN_b)),
+        ("selection", selection_probe(lineitem1), selection_probe(lineitemN)),
+        ("invindex", invindex_probe(docs1), invindex_probe(docsN)),
+        ("kstest", kstest_probe(events1), kstest_probe(eventsN)),
+        ("logrank", logrank_probe(events1), logrank_probe(eventsN)),
+        ("deltamethod", deltamethod_probe(events1), deltamethod_probe(eventsN)),
     ):
         if only is not None and label not in only:
             continue
