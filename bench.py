@@ -233,139 +233,13 @@ HEADLINE = [
 _RUNS = 2  # best-of-N: local-mode timings are noisy
 
 
-def _canon_v1(plan: str) -> str:
-    """The original canonicalization: strips expression/plan ids,
-    scratch paths, size/statistics annotations."""
-    import re
-
-    s = plan
-    s = re.sub(r"#\d+[L]?", "#", s)  # expression ids
-    s = re.sub(r"plan_id=\d+", "plan_id=", s)
-    s = re.sub(r"\[id=#\]", "", s)
-    s = re.sub(r"(file:)?/[\w./\-]+", "<path>", s)  # scratch + data dirs
-    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
-    s = re.sub(r"\d+\.\d+ [KMGT]?i?B", "<size>", s)
-    s = re.sub(r"\s+", " ", s).strip()
-    return s
-
-
-def _split_top_level(body: str) -> list[str]:
-    """Split on commas at bracket depth 0 (list entries contain nested
-    parens/brackets of their own)."""
-    parts, depth, cur = [], 0, []
-    for ch in body:
-        if ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        if ch == "," and depth == 0:
-            parts.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    if cur:
-        parts.append("".join(cur).strip())
-    return parts
-
-
-def _sort_unordered_lists(s: str) -> str:
-    """Sort the top-level entries of every ``keys=[...]``,
-    ``functions=[...]``, ``output=[...]``, ``hashpartitioning(...)``
-    and ``Expand [...]`` list.  Catalyst's distinct-aggregate rewrite
-    (RewriteDistinctAggregates) assigns Expand projections,
-    grouping-key order and gid labels from hash iteration order, so
-    two compiles of the IDENTICAL query can render these lists
-    permuted (observed on q184's triple count-distinct: gid 1 vs 3,
-    DAU/MAU key swap across keys, outputs, partitioning args and
-    Expand projections alike).  Entry order in these constructs
-    carries no plan semantics — unlike e.g. Sort orderings or window
-    frames, which are left untouched."""
-    def _sort_entry(e: str) -> str:
-        # a bracketed group entry (an Expand projection) sorts its own
-        # members first, so [day, exit_k, null] and [day, null, exit_k]
-        # collapse to one canonical rendering before the group sort
-        if e.startswith("[") and e.endswith("]"):
-            return "[" + ", ".join(sorted(
-                _sort_entry(x) for x in _split_top_level(e[1:-1])
-            )) + "]"
-        return e
-
-    def _close(text: str, start: int) -> int:
-        depth = 1
-        j = start
-        while j < len(text) and depth:
-            if text[j] in "([":
-                depth += 1
-            elif text[j] in ")]":
-                depth -= 1
-            j += 1
-        return j
-
-    out = []
-    i = 0
-    markers = ("keys=[", "key=[", "functions=[", "output=[", "Expand [",
-               "hashpartitioning(")
-    while i < len(s):
-        for m in markers:
-            if s.startswith(m, i):
-                start = i + len(m)
-                j = _close(s, start)
-                body = s[start : j - 1]
-                inner = ", ".join(sorted(
-                    _sort_entry(e) for e in _split_top_level(body)
-                ))
-                out.append(m + inner + s[j - 1])
-                i = j
-                # Expand carries a SECOND positional list (its output
-                # attributes) right after the projections — same
-                # permutation source, same treatment
-                while m == "Expand [" and s.startswith(", [", i):
-                    k = _close(s, i + 3)
-                    body2 = s[i + 3 : k - 1]
-                    out.append(", [" + ", ".join(sorted(
-                        _sort_entry(e) for e in _split_top_level(body2)
-                    )) + "]")
-                    i = k
-                break
-        else:
-            out.append(s[i])
-            i += 1
-    return "".join(out)
-
-
-def _plan_fingerprint(df, plan: str | None = None) -> str:
-    """Stable hash of the canonicalized initial physical plan, so
-    plan-identical queries are machine-verifiably plan-identical across
-    rounds and host-level timing noise can never masquerade as a plan
-    regression (VERDICT r3 item 3).  Canonicalization strips everything
-    run-specific: expression/plan ids, scratch paths, size/statistics
-    annotations — and, since r10 (the q184 finding: Catalyst's
-    distinct-aggregate rewrite permutes Expand/key/output lists and gid
-    labels between two compiles of one query), ALL numeric literals
-    plus the order of unordered list constructs.  The fingerprint is a
-    plan-SHAPE identity: operators, wiring, expressions — not literal
-    values, which belong to the query source the gate window already
-    tracks."""
-    import hashlib
-    import re
-
-    s = _canon_v1(plan if plan is not None
-                  else df._jdf.queryExecution().executedPlan().toString())
-    s = re.sub(r"\d+", "", s)
-    s = _sort_unordered_lists(s)
-    return hashlib.md5(s.encode()).hexdigest()[:12]
-
-
-def _plan_fingerprint_v1(df, plan: str | None = None) -> str:
-    """The pre-r10 fingerprint algorithm, kept one transition round so
-    the committed artifact stays diffable against BENCH_r09's
-    fingerprints (the v2 canonicalization changes every hash by
-    construction, not because any plan changed)."""
-    import hashlib
-
-    s = _canon_v1(plan if plan is not None
-                  else df._jdf.queryExecution().executedPlan().toString())
-    return hashlib.md5(s.encode()).hexdigest()[:12]
+# Fingerprint canonicalization lives in magi_etl_spark/plans.py (the
+# plan-tooling library) so tests can pin its compile-order stability;
+# bench keeps thin aliases for its call sites and artifact notes.
+from magi_etl_spark.plans import (  # noqa: E402
+    plan_fingerprint as _plan_fingerprint,
+    plan_fingerprint_v1 as _plan_fingerprint_v1,
+)
 
 
 def _materialize(df) -> None:

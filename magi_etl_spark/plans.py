@@ -51,6 +51,140 @@ def _physical(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+# --- plan fingerprints ------------------------------------------------------
+#
+# Cross-round plan-identity evidence (bench.py writes them into
+# BENCH_PLANS.json): a stable hash of the canonicalized physical plan,
+# so host-level timing noise can never masquerade as a plan regression.
+
+
+def _canon_v1(plan: str) -> str:
+    """The original canonicalization: strips expression/plan ids,
+    scratch paths, size/statistics annotations."""
+    s = plan
+    s = re.sub(r"#\d+[L]?", "#", s)  # expression ids
+    s = re.sub(r"plan_id=\d+", "plan_id=", s)
+    s = re.sub(r"\[id=#\]", "", s)
+    s = re.sub(r"(file:)?/[\w./\-]+", "<path>", s)  # scratch + data dirs
+    s = re.sub(r"Statistics\([^)]*\)", "Statistics()", s)
+    s = re.sub(r"\d+\.\d+ [KMGT]?i?B", "<size>", s)
+    s = re.sub(r"\s+", " ", s).strip()
+    return s
+
+
+def _split_top_level(body: str) -> list[str]:
+    """Split on commas at bracket depth 0 (list entries contain nested
+    parens/brackets of their own)."""
+    parts, depth, cur = [], 0, []
+    for ch in body:
+        if ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if cur:
+        parts.append("".join(cur).strip())
+    return parts
+
+
+def _sort_unordered_lists(s: str) -> str:
+    """Sort the top-level entries of every ``keys=[...]``, ``key=[...]``,
+    ``functions=[...]``, ``output=[...]``, ``hashpartitioning(...)``
+    and ``Expand [...]`` list.  Catalyst's distinct-aggregate rewrite
+    (RewriteDistinctAggregates) assigns Expand projections,
+    grouping-key order and gid labels from hash iteration order, so
+    two compiles of the IDENTICAL query can render these lists
+    permuted (the r10 q184 finding: gid 1 vs 3, DAU/MAU key swap
+    across keys, outputs, partitioning args and Expand projections
+    alike).  Entry order in these constructs carries no plan
+    semantics — unlike e.g. Sort orderings or window frames, which are
+    left untouched."""
+    def _sort_entry(e: str) -> str:
+        # a bracketed group entry (an Expand projection) sorts its own
+        # members first, so [day, exit_k, null] and [day, null, exit_k]
+        # collapse to one canonical rendering before the group sort
+        if e.startswith("[") and e.endswith("]"):
+            return "[" + ", ".join(sorted(
+                _sort_entry(x) for x in _split_top_level(e[1:-1])
+            )) + "]"
+        return e
+
+    def _close(text: str, start: int) -> int:
+        depth = 1
+        j = start
+        while j < len(text) and depth:
+            if text[j] in "([":
+                depth += 1
+            elif text[j] in ")]":
+                depth -= 1
+            j += 1
+        return j
+
+    out = []
+    i = 0
+    markers = ("keys=[", "key=[", "functions=[", "output=[", "Expand [",
+               "hashpartitioning(")
+    while i < len(s):
+        for m in markers:
+            if s.startswith(m, i):
+                start = i + len(m)
+                j = _close(s, start)
+                body = s[start : j - 1]
+                inner = ", ".join(sorted(
+                    _sort_entry(e) for e in _split_top_level(body)
+                ))
+                out.append(m + inner + s[j - 1])
+                i = j
+                # Expand carries a SECOND positional list (its output
+                # attributes) right after the projections — same
+                # permutation source, same treatment
+                while m == "Expand [" and s.startswith(", [", i):
+                    k = _close(s, i + 3)
+                    body2 = s[i + 3 : k - 1]
+                    out.append(", [" + ", ".join(sorted(
+                        _sort_entry(e) for e in _split_top_level(body2)
+                    )) + "]")
+                    i = k
+                break
+        else:
+            out.append(s[i])
+            i += 1
+    return "".join(out)
+
+
+def plan_fingerprint(df: DataFrame | None, plan: str | None = None) -> str:
+    """Stable hash of the canonicalized initial physical plan.
+    Canonicalization strips everything run-specific: expression/plan
+    ids, scratch paths, size/statistics annotations — and, since r10
+    (the q184 finding: Catalyst's distinct-aggregate rewrite permutes
+    Expand/key/output lists and gid labels between two compiles of one
+    query), ALL numeric literals plus the order of unordered list
+    constructs.  The fingerprint is a plan-SHAPE identity: operators,
+    wiring, expressions — not literal values, which belong to the query
+    source the gate window already tracks."""
+    import hashlib
+
+    s = _canon_v1(plan if plan is not None else _physical(df))
+    s = re.sub(r"\d+", "", s)
+    s = _sort_unordered_lists(s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+def plan_fingerprint_v1(df: DataFrame | None, plan: str | None = None) -> str:
+    """The pre-r10 fingerprint algorithm, kept one transition round so
+    the committed artifact stays diffable against BENCH_r09's
+    fingerprints (the v2 canonicalization changes every hash by
+    construction, not because any plan changed)."""
+    import hashlib
+
+    s = _canon_v1(plan if plan is not None else _physical(df))
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
 def _unsafe_single_partition_exchanges(p: str) -> int:
     """Count ``Exchange SinglePartition`` nodes whose child is NOT a
     partial/merge aggregate.  In the tree rendering the child is the

@@ -127,6 +127,37 @@ def test_token_dispersion_hand_values_and_decimal_ssq(spark):
     assert out["y"].dispersion == pytest.approx(2.0 / 3.0, abs=1e-9)
 
 
+# --- plan fingerprints are compile-order stable ------------------------------
+
+
+def test_plan_fingerprint_stable_across_distinct_rewrite_compiles(spark, sf_dir):
+    """r10 finding: Catalyst's distinct-aggregate rewrite permutes
+    Expand projections, grouping keys, output attributes and gid labels
+    between two compiles of one query, so the v1 fingerprint of a
+    multi-count-distinct plan was a coin flip (q184: 4 compiles = 4
+    hashes).  v2 strips numeric literals and sorts the unordered list
+    constructs — compile-order stable by construction."""
+    from magi_etl_spark.plans import plan_fingerprint
+    from magi_etl_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def build():
+        # triple count-distinct with heterogeneous arguments — the
+        # Expand/gid rewrite shape that exposed the flake
+        return ev.groupBy(F.to_date("ts").alias("day")).agg(
+            F.countDistinct("user_id").alias("u"),
+            F.countDistinct("event_type").alias("t"),
+            F.countDistinct(F.round(F.col("value") * 100)).alias("v"),
+        )
+
+    fps = {plan_fingerprint(build()) for _ in range(4)}
+    assert len(fps) == 1, f"fingerprint not compile-order stable: {fps}"
+    # still a SHAPE identity: a different plan hashes differently
+    other = plan_fingerprint(ev.groupBy("event_type").count())
+    assert other not in fps
+
+
 # --- scale default 1: packing bucket count derives from the chunk count -----
 
 
