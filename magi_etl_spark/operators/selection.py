@@ -35,6 +35,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _prepared(df: DataFrame, col: str) -> DataFrame:
+    """The single-column long projection the selection rounds scan."""
+    return df.select(F.col(col).cast("long").alias("_v")).where(
+        F.col("_v").isNotNull()
+    )
+
+
 def kth_smallest(
     df: DataFrame,
     col: str,
@@ -43,12 +50,24 @@ def kth_smallest(
 ) -> int:
     """The exact k-th smallest (1-indexed, duplicates counted) of an
     integer column, via histogram-narrowing rounds.  Raises on an empty
-    frame or out-of-range ``k``."""
+    frame or out-of-range ``k``.
+
+    The projected column is persisted for the duration of the call
+    (MEMORY_AND_DISK, so it spills rather than OOMs): every narrowing
+    round re-aggregates the same single-column frame, and without the
+    persist each of the ~log_bins(range) rounds would re-read the
+    source scan — a 12× source-scan bill at 100 TB for a 3-quantile
+    call."""
+    vals = _prepared(df, col).persist()
+    try:
+        return _kth_prepared(vals, k, n_bins)
+    finally:
+        vals.unpersist()
+
+
+def _kth_prepared(vals: DataFrame, k: int, n_bins: int = 256) -> int:
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    vals = df.select(F.col(col).cast("long").alias("_v")).where(
-        F.col("_v").isNotNull()
-    )
     row = vals.agg(
         F.min("_v").alias("lo"), F.max("_v").alias("hi"),
         F.count(F.lit(1)).alias("n"),
@@ -94,13 +113,19 @@ def exact_quantiles(
     ``(9, 10)`` = p90) as ``q_num, q_den, k, value`` — the lower
     empirical quantile convention ``k = ceil(q * n)`` (exact integer
     arithmetic, no float boundary).  One bounded selection per ratio;
-    exactly ``len(qs)`` scalar results cross the driver."""
+    exactly ``len(qs)`` scalar results cross the driver.  The projected
+    column is persisted ONCE across all ratios (see
+    :func:`kth_smallest` for why)."""
     spark: SparkSession = df.sparkSession
-    n = df.where(F.col(col).isNotNull()).count()
-    rows = []
-    for num, den in qs:
-        k = max(1, -((-num * n) // den))  # ceil(num*n/den), integers only
-        rows.append((num, den, k, kth_smallest(df, col, k, n_bins)))
+    vals = _prepared(df, col).persist()
+    try:
+        n = vals.count()
+        rows = []
+        for num, den in qs:
+            k = max(1, -((-num * n) // den))  # ceil(num*n/den), ints only
+            rows.append((num, den, k, _kth_prepared(vals, k, n_bins)))
+    finally:
+        vals.unpersist()
     return spark.createDataFrame(
         rows, "q_num int, q_den int, k long, value long"
     )
