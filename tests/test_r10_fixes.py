@@ -242,6 +242,36 @@ def test_auto_n_planes_and_srp_default_generates_planes(spark, sf_dir):
     assert len({b for _, b in rows1}) > 1  # not one corpus-wide bucket
 
 
+def test_srp_derived_planes_keep_neardup_recall(spark):
+    """Quality pin for the derived plane count: near-identical vectors
+    (cosine ≈ 1) must still co-bucket under the derived number of
+    planes — deriving MORE planes for bigger corpora must not break
+    the LSH property the buckets exist for."""
+    from magi_etl_spark.operators.similarity import srp_lsh_buckets
+
+    rows = []
+    for i in range(200):
+        base = [((i * 37 + d * 11) % 19) - 9.0 for d in range(8)]
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, [x + 0.001 * ((d + i) % 3) for d, x in
+                                 enumerate(base)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    buckets = {r.vec_id: r.bucket for r in srp_lsh_buckets(df).collect()}
+    hits = sum(1 for i in range(200) if buckets[2 * i] == buckets[2 * i + 1])
+    assert hits >= 180, f"near-dup co-bucket rate too low: {hits}/200"
+
+
+def test_ivf_kmeans_default_derives_n_lists(spark, sf_dir):
+    from magi_etl_spark.operators.similarity import auto_n_lists, ivf_index
+    from magi_etl_spark.tables import load_table
+
+    em = load_table(spark, sf_dir, "embeddings")
+    n = em.count()
+    assigned, centroids = ivf_index(em, seed=42)
+    assert len(centroids) == auto_n_lists(n, floor=16)
+    assigned.unpersist()
+
+
 def test_ivf_sampled_default_derives_n_lists(spark, sf_dir):
     from magi_etl_spark.operators.similarity import (
         auto_n_lists,
