@@ -65,6 +65,29 @@ def posting_stats(postings: DataFrame) -> DataFrame:
     )
 
 
+def boolean_or_query(
+    postings: DataFrame,
+    terms: list[str],
+) -> DataFrame:
+    """Documents containing ANY of ``terms``: ``doc_id, n_terms,
+    tf_sum`` (how many distinct query terms matched, and the summed
+    term frequency).  Same term-pruned scan shape as the AND query —
+    candidates are the union of the terms' posting lists, never the
+    corpus; the disjunction is the same single aggregation without the
+    HAVING cut."""
+    if not terms:
+        raise ValueError("boolean_or_query needs at least one term")
+    uniq = sorted(set(terms))
+    return (
+        postings.where(F.col("tok").isin(uniq))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("tf").alias("tf_sum"),
+        )
+    )
+
+
 def boolean_and_query(
     postings: DataFrame,
     terms: list[str],

@@ -142,6 +142,33 @@ def test_inverted_index_and_query(spark):
         boolean_and_query(postings, [])
 
 
+def test_inverted_index_or_query(spark):
+    from magi_etl_spark.operators.invindex import (
+        boolean_or_query,
+        build_postings,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "fast scan beats slow scan"),
+            (2, "merge sort then scan"),
+            (3, "merge only"),
+        ],
+        "doc_id long, text string",
+    )
+    postings = build_postings(docs)
+    hits = {
+        r.doc_id: (r.n_terms, r.tf_sum)
+        for r in boolean_or_query(postings, ["merge", "scan"]).collect()
+    }
+    # doc 1: scan only (tf 2); doc 2: both (tf 1+1); doc 3: merge only
+    assert hits == {1: (1, 2), 2: (2, 2), 3: (1, 1)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        boolean_or_query(postings, [])
+
+
 # --- KS two-sample ---------------------------------------------------------------
 
 
