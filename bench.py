@@ -238,7 +238,7 @@ _RUNS = 2  # best-of-N: local-mode timings are noisy
 # bench keeps thin aliases for its call sites and artifact notes.
 from magi_etl_spark.plans import (  # noqa: E402
     plan_fingerprint as _plan_fingerprint,
-    plan_fingerprint_v1 as _plan_fingerprint_v1,
+    plan_fingerprint_v2 as _plan_fingerprint_v2,
 )
 
 
@@ -279,7 +279,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     plans: dict[str, str] = {}
-    plans_v1: dict[str, str] = {}
+    plans_v2: dict[str, str] = {}
     load_during: list[float] = []
     names = [n for n in HEADLINE if n in QUERIES]
     # warm the JVM + parquet footers once so timings measure the queries
@@ -303,7 +303,7 @@ def main() -> None:
             .toString()
         )
         plans[name] = _plan_fingerprint(None, cold_plan)
-        plans_v1[name] = _plan_fingerprint_v1(None, cold_plan)
+        plans_v2[name] = _plan_fingerprint_v2(None, cold_plan)
         walls: list[float] = []
         for _ in range(_RUNS):
             t0 = time.perf_counter()
@@ -335,10 +335,11 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": _RUNS,
                 "plan_fingerprints": plans,
-                # transition-round bridge: v1 = the pre-r10 algorithm,
-                # diffable against BENCH_r09's committed fingerprints
-                # (v2 rehashes everything by construction)
-                "plan_fingerprints_v1": plans_v1,
+                # transition-round bridge: v2 = the r10 algorithm,
+                # diffable against BENCH_r10's committed fingerprints
+                # (v3 rehashes everything by construction — it KEEPS the
+                # plan-level numeric literals v2 deleted, the r10 ADVICE)
+                "plan_fingerprints_v2": plans_v2,
                 "timings": timings,
                 # every run's wall time (timings keeps the best) plus the
                 # 1-min load average sampled after each query: the host-

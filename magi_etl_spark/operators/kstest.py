@@ -45,7 +45,12 @@ def ks_two_sample(
     ``sample_a`` vs ``sample_b`` (other rows ignored).  ``value_col``
     must be integer-comparable (cast to BIGINT); ``d_stat`` is a 6-dp
     double.  A stratum missing either sample drops out (no CDF to
-    compare)."""
+    compare).  Null values (or values the BIGINT cast nulls) are
+    dropped — the KS statistic is undefined at a null point, and
+    keeping them would make the CDF ordering engine-dependent (Spark's
+    ascending window sorts NULLS FIRST, DuckDB's NULLS LAST — the r10
+    ADVICE parity trap); the same null-dropping projection
+    ``selection.py`` uses."""
     base = df.where(
         F.col(sample_col).isin([sample_a, sample_b])
     ).select(
@@ -53,7 +58,7 @@ def ks_two_sample(
         F.col(value_col).cast("long").alias("_v"),
         F.when(F.col(sample_col) == sample_a, 1).otherwise(0).alias("_ia"),
         F.when(F.col(sample_col) == sample_b, 1).otherwise(0).alias("_ib"),
-    )
+    ).where(F.col("_v").isNotNull())
     pv = base.groupBy(*strata_cols, "_v").agg(
         F.sum("_ia").alias("_da"),
         F.sum("_ib").alias("_db"),

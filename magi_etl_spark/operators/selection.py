@@ -78,9 +78,16 @@ def _kth_prepared(vals: DataFrame, k: int, n_bins: int = 256) -> int:
     while lo < hi:
         width = (hi - lo) // n_bins + 1
         # one aggregation: counts per equal-width bin inside [lo, hi].
-        # Bin id is BIGINT floor division (`DIV` on named columns — the
+        # Bin id is exact floor division (`DIV` on named columns — the
         # epochs idiom, no value splicing): a double `/` would lose
-        # precision past 2**53 and misroute boundary values.
+        # precision past 2**53 and misroute boundary values.  The
+        # subtraction runs in decimal(38,0) — the codebase's wrap-free
+        # idiom — because the first round's span ``hi - lo`` can exceed
+        # LONG_MAX (lo near LONG_MIN with non-negative values), where a
+        # BIGINT subtraction raises under ANSI Spark (the 4.x default)
+        # or silently wraps to a negative bin id the 0..n_bins driver
+        # walk never visits, re-running the same round forever (r10
+        # ADVICE).  ``width`` itself always fits: span/n_bins ≤ 2**56.
         hist = dict(
             vals.where((F.col("_v") >= lo) & (F.col("_v") <= hi))
             .select(
@@ -88,7 +95,12 @@ def _kth_prepared(vals: DataFrame, k: int, n_bins: int = 256) -> int:
                 F.lit(lo).alias("_lo"),
                 F.lit(width).alias("_w"),
             )
-            .groupBy(F.expr("(_v - _lo) DIV _w").alias("_b"))
+            .groupBy(
+                F.expr(
+                    "(CAST(_v AS DECIMAL(38,0))"
+                    " - CAST(_lo AS DECIMAL(38,0))) DIV _w"
+                ).alias("_b")
+            )
             .agg(F.count(F.lit(1)).alias("c"))
             .collect()
         )

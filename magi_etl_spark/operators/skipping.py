@@ -29,6 +29,7 @@ import datetime as _dt
 import decimal
 import json
 import os
+import re
 import zoneinfo
 
 from pyspark.sql import DataFrame, SparkSession
@@ -138,6 +139,35 @@ def write_with_stats(
     return manifest
 
 
+def _session_zone(spark: SparkSession) -> _dt.tzinfo:
+    """The tzinfo ``spark.sql.session.timeZone`` names.  Spark accepts
+    region ids AND fixed-offset ids ("+08:00", "-0530", "GMT+8",
+    "UTC+2") — ``zoneinfo`` only knows the former and raises on the
+    rest (the r10 ADVICE defect: pruned_read with aware bounds crashed
+    in offset-zone sessions), so offset-style ids parse into a
+    ``datetime.timezone`` with the same fixed offset the JVM resolves
+    them to."""
+    zid = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        return zoneinfo.ZoneInfo(zid)
+    except Exception:
+        m = re.fullmatch(
+            r"(?:UTC|UT|GMT)?([+-])(\d{1,2})(?::?(\d{2}))?(?::?(\d{2}))?",
+            zid,
+        )
+        if m is None:
+            raise
+        sign = 1 if m.group(1) == "+" else -1
+        return _dt.timezone(
+            sign
+            * _dt.timedelta(
+                hours=int(m.group(2)),
+                minutes=int(m.group(3) or 0),
+                seconds=int(m.group(4) or 0),
+            )
+        )
+
+
 def pruned_read(
     spark: SparkSession,
     path: str,
@@ -175,9 +205,7 @@ def pruned_read(
         # defect: astimezone(utc) hardcoded the session frame, so a
         # non-UTC session shifted aware bounds by the zone offset and
         # silently dropped in-range files)
-        sess_zone = zoneinfo.ZoneInfo(
-            spark.conf.get("spark.sql.session.timeZone")
-        )
+        sess_zone = _session_zone(spark)
 
         def _ts(x):
             # py>=3.11 fromisoformat accepts both 'T' and ' ' separators,

@@ -103,14 +103,21 @@ def _sort_unordered_lists(s: str) -> str:
     alike).  Entry order in these constructs carries no plan
     semantics — unlike e.g. Sort orderings or window frames, which are
     left untouched."""
-    def _sort_entry(e: str) -> str:
+    def _sort_entry(e: str, in_group: bool = False) -> str:
         # a bracketed group entry (an Expand projection) sorts its own
         # members first, so [day, exit_k, null] and [day, null, exit_k]
         # collapse to one canonical rendering before the group sort
         if e.startswith("[") and e.endswith("]"):
             return "[" + ", ".join(sorted(
-                _sort_entry(x) for x in _split_top_level(e[1:-1])
+                _sort_entry(x, True) for x in _split_top_level(e[1:-1])
             )) + "]"
+        # a bare-integer member of a projection GROUP is the gid label —
+        # Catalyst assigns it from hash iteration order, so its VALUE
+        # flakes between compiles (the r10 q184 finding); normalize it.
+        # Top-level bare integers (hashpartitioning's numPartitions) are
+        # real plan parameters and stay.
+        if in_group and re.fullmatch(r"\d+L?", e):
+            return "<g>"
         return e
 
     def _close(text: str, start: int) -> int:
@@ -157,31 +164,39 @@ def _sort_unordered_lists(s: str) -> str:
 
 
 def plan_fingerprint(df: DataFrame | None, plan: str | None = None) -> str:
-    """Stable hash of the canonicalized initial physical plan.
+    """Stable hash of the canonicalized initial physical plan (v3).
     Canonicalization strips everything run-specific: expression/plan
-    ids, scratch paths, size/statistics annotations — and, since r10
-    (the q184 finding: Catalyst's distinct-aggregate rewrite permutes
-    Expand/key/output lists and gid labels between two compiles of one
-    query), ALL numeric literals plus the order of unordered list
-    constructs.  The fingerprint is a plan-SHAPE identity: operators,
-    wiring, expressions — not literal values, which belong to the query
-    source the gate window already tracks."""
+    ids, scratch paths, size/statistics annotations — and neutralizes
+    exactly the compile-order-flaky constructs the r10 q184/q208
+    investigation identified (Catalyst's RewriteDistinctAggregates
+    assigns them from hash iteration order): the order of
+    keys/functions/output/hashpartitioning/Expand list entries, and the
+    VALUE of the synthetic ``gid`` label (in Expand projection groups
+    and in ``FILTER (WHERE (gid# = N))`` predicates).  Every OTHER
+    numeric literal is kept: v2 stripped all digits, so plans differing
+    only in a plan-level numeric parameter — a GlobalLimit value, a
+    derived bucket/list count, a partition number — collided, making
+    such regressions invisible to the cross-round gate (the r10
+    ADVICE)."""
+    import hashlib
+
+    s = _canon_v1(plan if plan is not None else _physical(df))
+    s = re.sub(r"\(gid# = \d+L?\)", "(gid# = <g>)", s)
+    s = _sort_unordered_lists(s)
+    return hashlib.md5(s.encode()).hexdigest()[:12]
+
+
+def plan_fingerprint_v2(df: DataFrame | None, plan: str | None = None) -> str:
+    """The r10 fingerprint algorithm (strip ALL digits, then sort the
+    unordered lists), kept one transition round so the committed
+    artifact stays diffable against BENCH_r10's fingerprints (the v3
+    canonicalization changes hashes by construction — it keeps digits
+    v2 deleted — not because any plan changed)."""
     import hashlib
 
     s = _canon_v1(plan if plan is not None else _physical(df))
     s = re.sub(r"\d+", "", s)
     s = _sort_unordered_lists(s)
-    return hashlib.md5(s.encode()).hexdigest()[:12]
-
-
-def plan_fingerprint_v1(df: DataFrame | None, plan: str | None = None) -> str:
-    """The pre-r10 fingerprint algorithm, kept one transition round so
-    the committed artifact stays diffable against BENCH_r09's
-    fingerprints (the v2 canonicalization changes every hash by
-    construction, not because any plan changed)."""
-    import hashlib
-
-    s = _canon_v1(plan if plan is not None else _physical(df))
     return hashlib.md5(s.encode()).hexdigest()[:12]
 
 

@@ -275,6 +275,7 @@ def q234_boolean_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
                CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS ib
         FROM events
         WHERE event_type IN ('click', 'purchase')
+          AND value IS NOT NULL
     ),
     pv AS (
         SELECT day, v, CAST(SUM(ia) AS BIGINT) AS da,
