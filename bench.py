@@ -228,6 +228,13 @@ HEADLINE = [
     "q229_conformal_coverage",
     "q230_vocab_cover",
     "q231_hill_tail",
+    # r10 wave, merged at the r11 rotation
+    "q232_cuped_adjustment",
+    "q233_exact_quantiles",
+    "q234_boolean_retrieval",
+    "q235_ks_drift",
+    "q236_logrank_churn",
+    "q237_ratio_metric_ci",
 ]
 
 _RUNS = 2  # best-of-N: local-mode timings are noisy

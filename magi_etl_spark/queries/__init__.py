@@ -103,10 +103,16 @@ def _load_all() -> None:
     # COVERAGE.md "Planned r10 window", rotation rule 1.
     from magi_etl_spark.queries.extensions_r9 import EXT6_ORACLE, EXT6_QUERIES
 
+    # r11 rotation: the r10 wave (EXT7, q232-q237, oracle-verified all
+    # through r10 by tests/test_extensions_r10.py) merges the same way —
+    # COVERAGE.md "Planned r11 window", rotation rule 1.
+    from magi_etl_spark.queries.extensions_r10 import EXT7_ORACLE, EXT7_QUERIES
+
     for tag, (q, o) in {
         "r7": (EXT4_QUERIES, EXT4_ORACLE),
         "r8": (EXT5_QUERIES, EXT5_ORACLE),
         "r9": (EXT6_QUERIES, EXT6_ORACLE),
+        "r10": (EXT7_QUERIES, EXT7_ORACLE),
     }.items():
         dup = set(q) & set(QUERIES)
         if dup:
@@ -133,73 +139,70 @@ _load_all()
 GATE_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # ROUND-10 WINDOW — COVERAGE.md "Planned r10 window".  CORRECTNESS_r09
+    # ROUND-11 WINDOW — COVERAGE.md "Planned r11 window".  CORRECTNESS_r10
     # was 50/50 green (no failure re-entries), so rule 1 front-loads the
-    # r9 staged wave (EXT6, q226-q231) in registration order — the staged
+    # r10 staged wave (EXT7, q232-q237) in registration order — the staged
     # backlog stays at ZERO.
-    "q226_source_kl_novelty",
-    "q227_token_burstiness",
-    "q228_weighted_median",
-    "q229_conformal_coverage",
-    "q230_vocab_cover",
-    "q231_hill_tail",
+    "q232_cuped_adjustment",
+    "q233_exact_quantiles",
+    "q234_boolean_retrieval",
+    "q235_ks_drift",
+    "q236_logrank_churn",
+    "q237_ratio_metric_ci",
     # Dependency re-entries (rule 2, machine-checked by
-    # tests/test_gate_window.py): this round lands the two deferred
-    # scale-default derivations (operators/packing.py auto bucket count;
-    # operators/similarity.py IVF n_lists ~ sqrt(n)) plus the r9 ADVICE
-    # skipping.py session-zone fix — re-flagging every tail dependent of
-    # similarity.py (11), packing.py (2) and skipping.py (2), exactly as
-    # the VERDICT pre-budgeted ("the r10 tail refresh re-verifies their
-    # queries anyway").  Listed in registration order.
-    "q27_embedding_topk",
-    "q28_embedding_neardup",
-    "q38_srp_lsh_buckets",
-    "q41_ivf_topk",
-    "q44_lsh_blocked_embedding_dedup",
-    "q57_sequence_packing",
-    "q86_ivf_kmeans_topk",
-    "q98_rrf_fusion",
-    "q104_semantic_dedup",
-    "q106_pq_refine_topk",
-    "q115_incremental_ivf_index",
-    "q132_tokenize_and_pack",
-    "q136_hard_negatives",
+    # tests/test_gate_window.py): the r11-session ADVICE fixes touch
+    # operators/skipping.py (offset-zone session ids), re-flagging its two
+    # tail dependents.  The selection.py/kstest.py ADVICE fixes re-flag
+    # only q233/q235, already at the window front as the EXT7 merge.
     "q200_data_skipping",
     "q201_dynamic_partition_pruning",
-    "q204_ivf_recall_eval",
-    # Oldest-verified-first tail refresh (rule 1 fill, 28 slots): the
-    # r3-era rows displaced twice now (q05-q11 from the r9 fill), the
-    # seven further r3-era rows, then the r4-era rows in order.  The 16
-    # re-entry slots above displace q48 q51 q52 q53 q58 q60 q63 q65 q66
-    # q78 q80 q85 q87 q88 q90 q92 (plus q93/q94 from r9's plan) to r11.
-    "q05_region_revenue",
-    "q06_semi_join",
-    "q08_full_outer_cast_keys",
-    "q09_top1_per_group",
-    "q10_topk_per_group",
-    "q11_sessionize",
-    "q12_conditional_agg",
-    "q13_distinct_derived_key",
-    "q14_json_extract",
-    "q18_week_buckets",
-    "q30_metric_query_events",
-    "q31_metric_query_unnest",
-    "q77_cached_metric_query",
-    "q20_token_stats",
-    "q21_quality_scores",
-    "q22_language_id",
-    "q26_fingerprints",
-    "q32_simhash",
-    "q33_kv_parse",
-    "q34_date_functions",
-    "q35_vector_stats",
-    "q36_rollup",
-    "q37_pivot",
-    "q39_token_cosine_pairs",
-    "q40_corpus_pipeline",
-    "q42_window_benchmark",
-    "q43_simhash_neardup",
-    "q46_above_avg_customers",
+    # Oldest-verified-first tail refresh (rule 1 fill, 42 slots, computed
+    # from the union of CORRECTNESS rows at r10 close; ties in
+    # registration order): the r4-era rows — q93/q94 finally land, two
+    # rounds after their first displacement — then the r5-era rows.  The
+    # two re-entry slots above displace q96/q97 to the r12 fill.
+    "q51_exact_token_cosine_pairs",
+    "q60_quantize_embeddings",
+    "q87_scd2_intervals",
+    "q88_bm25_topk",
+    "q90_profile_table",
+    "q92_cdc_apply",
+    "q93_scd2_snapshot",
+    "q94_token_budget_select",
+    "q48_market_share",
+    "q52_min_cost_supplier",
+    "q53_dominant_supplier",
+    "q58_blame_supplier",
+    "q66_asof_join",
+    "q78_key_skew_profile",
+    "q80_bucketed_colocated_join",
+    "q85_zorder_pruned_scan",
+    "q63_vocab_coverage",
+    "q65_normalize_text",
+    "q82_grouping_sets",
+    "q54_helix_generic",
+    "q79_concurrent_fanout",
+    "q02_filter_project",
+    "q07_anti_join",
+    "q15_having_threshold",
+    "q16_set_ops",
+    "q17_minmax_normalize",
+    "q45_nation_pair_volume",
+    "q62_top_supplier",
+    "q67_range_join",
+    "q68_hypertable_rollup",
+    "q71_small_order_parts",
+    "q72_large_volume_customers",
+    "q73_table_diff",
+    "q74_daily_anomalies",
+    "q75_funnel",
+    "q76_retention_cohorts",
+    "q83_event_gaps",
+    "q81_bloom_pruned_join",
+    "q49_chunking",
+    "q61_corpus_percentiles",
+    "q70_pii_scan",
+    "q95_salted_hot_join",
 ]
 
 

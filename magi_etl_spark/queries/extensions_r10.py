@@ -1,15 +1,15 @@
 """STAGED r11 gate queries over the round-10 operator additions.
 
 Same staging pattern six prior rotations proved out: the r10 driver
-window is full (the EXT6 merge + 16 dependency re-entries + the 28-slot
-oldest-first tail refresh, COVERAGE.md "Planned r10 window"), and the
-gate-window invariant test refuses never-verified queries outside it —
-so new operators land here, in a SEPARATE registry (``EXT7_QUERIES`` /
-``EXT7_ORACLE``) that ``__spark_entry__.queries()`` does NOT include
-yet, with the driver's own hash comparison run over every entry each
-suite run (tests/test_extensions_r10.py).  At the r11 rotation these
-merge and the window refills with tail re-entries (oldest driver rows
-first).
+window was full (the EXT6 merge + 16 dependency re-entries + the
+28-slot oldest-first tail refresh, COVERAGE.md "Planned r10 window"),
+and the gate-window invariant test refuses never-verified queries
+outside it — so new operators landed here, in a SEPARATE registry
+(``EXT7_QUERIES`` / ``EXT7_ORACLE``), with the driver's own hash
+comparison run over every entry each suite run.  At the r11 rotation
+these MERGED at the front of the window (COVERAGE.md "Planned r11
+window") — the sweep now rides tests/test_queries_oracle.py like every
+merged wave.
 
 Round-10 wave — deliberately ≤6 (the r8 verdict: waves must stay
 smaller than the tail-fill slack), six queries across six NEW operator
