@@ -17,8 +17,12 @@ mutual information, correlation matrices, concentration indices,
 seasonal indices), mergeable sketches (KMV + set algebra, HLL,
 Count-Min), embedding projection (JL), perceptual image hashing,
 experimentation readouts (CUPED variance reduction, delta-method ratio
-CIs, stratified log-rank, exact two-sample KS), exact distributed
-order statistics (histogram-narrowing selection), inverted-index
-retrieval, and engine services (cardinality estimation, skew tooling,
-z-order / bucketed layout).  Each is a ``DataFrame -> DataFrame``
-composition of built-in ops (SURVEY.md §2 + §2.14)."""
+CIs, stratified log-rank, exact two-sample KS, exact group ROC-AUC /
+Mann-Whitney, Cochran-Mantel-Haenszel stratified 2x2,
+Benjamini-Hochberg FDR control), exact distributed order statistics
+(histogram-narrowing selection), inverted-index retrieval and graded
+ranking evaluation (NDCG@k), time-series autocorrelation, spatial
+grid-blocked epsilon joins, and engine services (cardinality
+estimation, skew tooling, z-order / bucketed layout).  Each is a
+``DataFrame -> DataFrame`` composition of built-in ops (SURVEY.md §2
++ §2.14)."""
