@@ -1276,6 +1276,192 @@ def main() -> None:
             F.lit(1),
         )
 
+    def auc_probe(e):
+        from magi_etl_spark.operators.auc import group_auc
+
+        # one (day, cents) count agg collapses the corpus; the window
+        # runs over distinct cents per day — bounded by value cardinality
+        def run():
+            ev = e.where(
+                F.col("event_type").isin(["click", "purchase"])
+            ).select(
+                F.to_date("ts").alias("day"),
+                "event_type",
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            return group_auc(
+                ev,
+                ["day"],
+                F.col("cents"),
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0),
+            )
+
+        return run
+
+    def spatial_probe(c, k):
+        from magi_etl_spark.operators.spatial import grid_blocked_eps_join
+
+        # wholesale replication multiplies point DENSITY, so a fixed
+        # radius grows output (and candidates) ~n^2 — physics, not a
+        # plan defect (the fs_linkage/embedding_neardup class).  The
+        # operator-scaling probe keeps expected pairs PER POINT constant
+        # by shrinking eps ~ 1/sqrt(k); cost should then track n.
+        eps = int(1_500_000 / (k**0.5))
+
+        def run():
+            def md5mod(salt: str, mod: int, shift: int):
+                return (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(salt),
+                                    F.col("c_custkey").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % mod
+                    - shift
+                )
+
+            pts = c.select(
+                "c_custkey",
+                md5mod("geo|x|", 120_000_000, 60_000_000).alias("x"),
+                md5mod("geo|y|", 360_000_000, 180_000_000).alias("y"),
+            )
+            return grid_blocked_eps_join(
+                pts.select(F.col("c_custkey").alias("c1"), "x", "y"),
+                pts.select(F.col("c_custkey").alias("c2"), "x", "y"),
+                eps,
+                ["c1"],
+                ["c2"],
+            ).where(F.col("c1") < F.col("c2"))
+
+        return run
+
+    def acf_probe(e):
+        from magi_etl_spark.operators.acf import autocorrelation
+
+        # the corpus collapses to one row per (event_type, day) before
+        # any window; series length is calendar-bounded
+        def run():
+            daily = e.groupBy(
+                "event_type", F.to_date("ts").alias("day")
+            ).agg(F.count(F.lit(1)).alias("x"))
+            return autocorrelation(daily, ["event_type"], "day", F.col("x"), 7)
+
+        return run
+
+    def fdr_probe(e):
+        from magi_etl_spark.operators.fdr import bh_summary
+
+        # one hypothesis per (event_type, user_id) — the hypothesis
+        # count grows with replication, exercising the range-partitioned
+        # global rank at n x
+        def run():
+            hyp = e.groupBy("event_type", "user_id").agg(
+                F.count(F.lit(1)).alias("n_events")
+            )
+            p = hyp.select(
+                "event_type",
+                "user_id",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("fdrp|"),
+                                    F.col("event_type"),
+                                    F.lit("|"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 1_000_001
+                ).alias("p_micro"),
+            )
+            return bh_summary(p, "p_micro", ["event_type", "user_id"], 1, 20)
+
+        return run
+
+    def cmh_probe(o):
+        from magi_etl_spark.operators.cmh import cmh_test
+
+        # one keyed count agg (map-side combinable) to calendar-bounded
+        # strata, then per-stratum arithmetic and a scalar merge
+        def run():
+            base = o.select(
+                F.date_trunc("month", F.col("o_orderdate")).alias("mth"),
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("cmh|"),
+                                    F.col("o_custkey").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                )
+                .cast("int")
+                .alias("arm"),
+                F.when(
+                    F.round(F.col("o_totalprice") * 100).cast("long")
+                    > 25_000_000,
+                    1,
+                )
+                .otherwise(0)
+                .alias("y"),
+            )
+            return cmh_test(base, ["mth"], F.col("arm"), F.col("y"), 1, 0)
+
+        return run
+
+    def ndcg_probe(d):
+        from magi_etl_spark.operators.invindex import build_postings
+        from magi_etl_spark.operators.ndcg import ndcg_at_k
+
+        # candidates are the three terms' posting lists (never the
+        # corpus); per-query windows grow with each term's list
+        def run():
+            docs = d
+            postings = build_postings(docs).where(
+                F.col("tok").isin(["data", "merge", "query"])
+            )
+            cand = postings.join(
+                docs.select("doc_id", "n_chars"), "doc_id"
+            ).select(
+                "tok",
+                "doc_id",
+                "n_chars",
+                F.least(F.lit(3), F.col("tf")).alias("rel"),
+            )
+            return ndcg_at_k(
+                cand,
+                ["tok"],
+                [F.desc("n_chars"), F.asc("doc_id")],
+                F.col("rel"),
+                10,
+            )
+
+        return run
+
     def ivf_default_probe(em):
         # r10 scale-default: n_lists derives ~sqrt(n) at build time, so a
         # fixed query set's probe cost (n_probe lists x n/n_lists rows
@@ -1449,6 +1635,12 @@ def main() -> None:
         ("kstest", kstest_probe(events1), kstest_probe(eventsN)),
         ("logrank", logrank_probe(events1), logrank_probe(eventsN)),
         ("deltamethod", deltamethod_probe(events1), deltamethod_probe(eventsN)),
+        ("auc", auc_probe(events1), auc_probe(eventsN)),
+        ("spatial", spatial_probe(cust1, 1), spatial_probe(custN, n)),
+        ("acf", acf_probe(events1), acf_probe(eventsN)),
+        ("fdr", fdr_probe(events1), fdr_probe(eventsN)),
+        ("cmh", cmh_probe(orders_b), cmh_probe(ordersN_b)),
+        ("ndcg", ndcg_probe(docs1), ndcg_probe(docsN)),
     ):
         if only is not None and label not in only:
             continue
