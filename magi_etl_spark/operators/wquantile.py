@@ -47,16 +47,29 @@ def weighted_quantiles(
     quantile, the smallest value whose cumulative weight reaches
     ``q * total_weight``.  ``q`` is emitted as the caller's double;
     the threshold compare itself is exact integer arithmetic (each q
-    is converted to an exact num/den pair)."""
-    per_val = df.groupBy(*group_cols, value_col).agg(
-        F.sum(weight_col).cast("long").alias("_w")
+    is converted to an exact num/den pair) in decimal(38,0) — at corpus
+    scale ``cum_weight * den`` passes 2**63, where a BIGINT product
+    raises under ANSI Spark or wraps without it (the q227 ssq class).
+    Null values are dropped: a quantile is undefined at a null point,
+    and a null CDF row would sort NULLS FIRST on Spark but NULLS LAST
+    on the DuckDB oracle, shifting every cumulative weight (the kstest
+    null-ordering class)."""
+    per_val = (
+        df.where(F.col(value_col).isNotNull())
+        .groupBy(*group_cols, value_col)
+        .agg(F.sum(weight_col).cast("long").alias("_w"))
     )
+    # the cumulative and total weights accumulate in decimal(38,0) —
+    # the per-value BIGINT weights are fine, but their running SUM is
+    # what passes 2**63 first (the oracle's SUM(BIGINT) is HUGEINT
+    # natively, so it never wraps either)
     w = W.partitionBy(*group_cols).orderBy(value_col)
+    wdec = F.col("_w").cast("decimal(38,0)")
     cum = per_val.select(
         *group_cols,
         F.col(value_col).alias("_v"),
-        F.sum("_w").over(w).alias("_cumw"),
-        F.sum("_w").over(W.partitionBy(*group_cols)).alias("_tot"),
+        F.sum(wdec).over(w).alias("_cumw"),
+        F.sum(wdec).over(W.partitionBy(*group_cols)).alias("_tot"),
     )
     qs = df.sparkSession.createDataFrame(
         [
@@ -66,9 +79,15 @@ def weighted_quantiles(
         ],
         "q double, _num long, _den long",
     )
+    # (19,0) rational parts keep each product inside decimal(38,0) —
+    # the kstest cross-product idiom
+    dec = "decimal(19,0)"
     return (
         cum.join(F.broadcast(qs))
-        .where(F.col("_cumw") * F.col("_den") >= F.col("_num") * F.col("_tot"))
+        .where(
+            F.col("_cumw") * F.col("_den").cast(dec)
+            >= F.col("_num").cast(dec) * F.col("_tot")
+        )
         .groupBy(*group_cols, "q")
         .agg(F.min("_v").alias("wq"))
     )

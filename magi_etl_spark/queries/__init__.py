@@ -152,15 +152,19 @@ _PRIORITY: list[str] = [
     # Dependency re-entries (rule 2, machine-checked by
     # tests/test_gate_window.py): the r11-session ADVICE fixes touch
     # operators/skipping.py (offset-zone session ids), re-flagging its two
-    # tail dependents.  The selection.py/kstest.py ADVICE fixes re-flag
-    # only q233/q235, already at the window front as the EXT7 merge.
+    # tail dependents, and the session's proactive hardening sweep fixed
+    # the same two defect classes latent in operators/wquantile.py (null
+    # CDF ordering + BIGINT threshold product), re-flagging q228.  The
+    # selection.py/kstest.py ADVICE fixes re-flag only q233/q235, already
+    # at the window front as the EXT7 merge.
     "q200_data_skipping",
     "q201_dynamic_partition_pruning",
-    # Oldest-verified-first tail refresh (rule 1 fill, 42 slots, computed
+    "q228_weighted_median",
+    # Oldest-verified-first tail refresh (rule 1 fill, 41 slots, computed
     # from the union of CORRECTNESS rows at r10 close; ties in
     # registration order): the r4-era rows — q93/q94 finally land, two
     # rounds after their first displacement — then the r5-era rows.  The
-    # two re-entry slots above displace q96/q97 to the r12 fill.
+    # three re-entry slots above displace q95/q96/q97 to the r12 fill.
     "q51_exact_token_cosine_pairs",
     "q60_quantize_embeddings",
     "q87_scd2_intervals",
@@ -202,7 +206,6 @@ _PRIORITY: list[str] = [
     "q49_chunking",
     "q61_corpus_percentiles",
     "q70_pii_scan",
-    "q95_salted_hot_join",
 ]
 
 

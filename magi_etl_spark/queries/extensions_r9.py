@@ -185,15 +185,19 @@ def q227_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT l_returnflag AS rf,
                CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
                CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
-        FROM lineitem GROUP BY 1, 2
+        FROM lineitem
+        WHERE l_extendedprice IS NOT NULL
+        GROUP BY 1, 2
     ),
     cum AS (
+        -- SUM(BIGINT) is HUGEINT natively: the running weight is what
+        -- passes 2**63 first, so it stays un-cast (internal only)
         SELECT rf, v,
-               CAST(SUM(w) OVER (
+               SUM(w) OVER (
                    PARTITION BY rf ORDER BY v
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS BIGINT) AS cumw,
-               CAST(SUM(w) OVER (PARTITION BY rf) AS BIGINT) AS tot
+               ) AS cumw,
+               SUM(w) OVER (PARTITION BY rf) AS tot
         FROM pv
     ),
     qs AS (
@@ -203,7 +207,7 @@ def q227_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT rf, q, CAST(MIN(v) AS BIGINT) AS wq
     FROM cum, qs
-    WHERE cumw * den >= num * tot
+    WHERE CAST(cumw AS HUGEINT) * den >= CAST(num AS HUGEINT) * tot
     GROUP BY 1, 2
     """,
 )

@@ -156,6 +156,45 @@ def test_plan_fingerprint_distinguishes_numeric_plan_params(spark, sf_dir):
     )
 
 
+# --- proactive hardening: the same two defect classes latent in wquantile ----
+
+
+def test_weighted_quantiles_drop_null_values(spark):
+    """The kstest null-ordering class, found by the r11 hardening sweep:
+    a null value made a NULLS-FIRST cumulative-weight row on Spark but
+    NULLS-LAST on DuckDB, shifting every cumulative weight in the
+    group.  Nulls now drop before the CDF."""
+    from magi_etl_spark.operators.wquantile import weighted_quantiles
+
+    rows = [("g", 10, 3), ("g", 20, 3), ("g", 30, 3), ("g", None, 100)]
+    df = spark.createDataFrame(rows, "g string, v int, w int")
+    got = {
+        r.q: r.wq
+        for r in weighted_quantiles(df, ["g"], "v", "w", [0.5, 0.9]).collect()
+    }
+    # weights 3/3/3 over values 10/20/30: p50 -> 20, p90 -> 30; the
+    # weight-100 null row must not absorb the thresholds
+    assert got == {0.5: 20, 0.9: 30}
+
+
+def test_weighted_quantiles_threshold_survives_huge_weights(spark):
+    """The q227 ssq class: cum_weight * den passed 2**63 at corpus-scale
+    weights, raising under ANSI Spark.  The compare now runs in
+    decimal."""
+    from magi_etl_spark.operators.wquantile import weighted_quantiles
+
+    big = 2**62
+    df = spark.createDataFrame(
+        [("g", 1, big), ("g", 2, big), ("g", 3, big)],
+        "g string, v int, w long",
+    )
+    got = {
+        r.q: r.wq
+        for r in weighted_quantiles(df, ["g"], "v", "w", [0.5]).collect()
+    }
+    assert got == {0.5: 2}
+
+
 def test_plan_fingerprint_still_stable_on_distinct_rewrite_queries(spark):
     """The two queries whose v1 hashes were compile-order coin flips
     (r10 finding: q184 4-of-4 distinct, q208 2-of-6) must stay stable
