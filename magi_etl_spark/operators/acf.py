@@ -78,13 +78,17 @@ def autocorrelation(
                 F.col("_x").cast(_DEC) * F.col("_xl").cast(_DEC),
             )
         ).alias("_c"),
-        F.sum(F.when(F.col("_xl").isNotNull(), F.col("_x"))).alias("_h"),
-        F.sum("_xl").alias("_tl"),
+        # the linear sums ride decimal too: a BIGINT sum of near-2**62
+        # values raises under ANSI Spark (wraps otherwise) after two rows
+        F.sum(
+            F.when(F.col("_xl").isNotNull(), F.col("_x").cast(_DEC))
+        ).alias("_h"),
+        F.sum(F.col("_xl").cast(_DEC)).alias("_tl"),
         F.count(F.col("_xl")).alias("_pairs"),
     )
     totals = base.groupBy(*series_cols).agg(
         F.count(F.lit(1)).alias("n"),
-        F.sum("_x").alias("_s"),
+        F.sum(F.col("_x").cast(_DEC)).alias("_s"),
         F.sum(F.col("_x").cast(_DEC) * F.col("_x").cast(_DEC)).alias("_ss"),
     )
     m = F.col("_s").cast("double") / F.col("n").cast("double")

@@ -12,10 +12,11 @@ At 100 TB the candidate stream is bounded by local density (points per
 cell), never by corpus size; there is no all-pairs path.
 
 Determinism: coordinates are integers (micro-units), cell ids are exact
-floor divisions (``(x - pmod(x, eps)) DIV eps`` — `DIV` truncates
-toward zero, so the pmod-adjusted numerator makes it a true floor for
-negative coordinates), and distances are exact decimal(38,0) squares —
-no trigonometry, no float boundary.  A geodesic (haversine) variant
+floor divisions (``x DIV eps`` minus one when the remainder is negative
+— `DIV` truncates toward zero, and the remainder-sign adjustment makes
+it a true floor for negative coordinates without ever leaving BIGINT),
+and distances are exact decimal(38,0) squares — no trigonometry, no
+float boundary.  A geodesic (haversine) variant
 slots into the same skeleton, but libm trig is not bit-reproducible
 across engines, so the gate-checked operator keeps the exact planar
 metric; callers approximate geodesics by pre-scaling longitude.
@@ -32,12 +33,17 @@ from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
 
-# Exact floor(coord / eps) on BIGINTs of any sign: pmod's non-negative
-# remainder makes the numerator exactly divisible, so truncating `DIV`
-# equals floor even for negative coordinates; named columns only (the
-# epochs idiom, no value splicing), and no double `/` that would lose
-# precision past 2**53.
-_CELL_X = "(_x_ - pmod(_x_, _e_)) DIV _e_"
+# Exact floor(coord / eps) on BIGINTs of any sign: truncating `DIV`
+# equals floor when the remainder is non-negative and is one cell high
+# when it is negative, so subtracting the remainder-sign flag gives the
+# exact floor.  Every intermediate (`DIV`, `%`, the 0/1 flag) stays in
+# BIGINT range for EVERY int64 input including LONG_MIN — the earlier
+# `(_x_ - pmod(_x_, _e_)) DIV _e_` form subtracts a non-negative pmod
+# from the raw coordinate and leaves int64 near LONG_MIN (raises under
+# ANSI Spark, wraps to the wrong cell otherwise; the selection.py
+# span lesson).  Named columns only (the epochs idiom, no value
+# splicing), and no double `/` that would lose precision past 2**53.
+_CELL_X = "_x_ DIV _e_ - (CASE WHEN _x_ % _e_ < 0 THEN 1 ELSE 0 END)"
 
 
 def _with_cells(
@@ -66,6 +72,8 @@ def grid_blocked_eps_join(
     carry integer ``x_col``/``y_col``; ``left_cols``/``right_cols`` are
     the identity columns to emit (disjoint names).  Self-join dedup
     (``id_l < id_r``) is the caller's filter on the emitted ids."""
+    if int(eps) <= 0:
+        raise ValueError(f"eps must be a positive integer, got {eps!r}")
     e = F.lit(int(eps))
     l = _with_cells(
         left.select(

@@ -166,6 +166,36 @@ def test_grid_cells_floor_correctly_for_negative_coords(spark):
     assert [(r.c1, r.c2, r.dist2) for r in got] == [(1, 2, 4)]
 
 
+def test_grid_cells_survive_long_min_coords(spark):
+    """Full-int64-range coordinates: the cell id is the remainder-
+    adjusted ``DIV`` (never ``x - pmod(x, e)``, which leaves BIGINT just
+    below LONG_MIN + e and raises under ANSI Spark — the selection.py
+    span class), so a pair at the very bottom of the coordinate space
+    still blocks and matches."""
+    from magi_etl_spark.operators.spatial import grid_blocked_eps_join
+
+    lo = -(2**63)
+    df = spark.createDataFrame(
+        [(1, lo, 0), (2, lo + 3, 0)], "pid long, x long, y long"
+    )
+    got = grid_blocked_eps_join(
+        df.select(F.col("pid").alias("c1"), "x", "y"),
+        df.select(F.col("pid").alias("c2"), "x", "y"),
+        10,
+        ["c1"],
+        ["c2"],
+    ).where(F.col("c1") < F.col("c2")).collect()
+    assert [(r.c1, r.c2, r.dist2) for r in got] == [(1, 2, 9)]
+
+
+def test_grid_blocked_eps_join_rejects_nonpositive_eps(spark):
+    from magi_etl_spark.operators.spatial import grid_blocked_eps_join
+
+    df = spark.createDataFrame([(1, 0, 0)], "pid long, x long, y long")
+    with pytest.raises(ValueError, match="eps"):
+        grid_blocked_eps_join(df, df, 0, ["pid"], ["pid"])
+
+
 def test_nearest_in_radius_picks_min_dist_with_tie_break(spark):
     from magi_etl_spark.operators.spatial import nearest_in_radius
 
@@ -204,6 +234,21 @@ def test_autocorrelation_constant_series_is_null(spark):
     )
     got = autocorrelation(df, ["g"], "t", F.col("x"), 2).collect()
     assert len(got) == 2 and all(r.r_k is None for r in got)
+
+
+def test_autocorrelation_huge_values_do_not_wrap(spark):
+    """Near-2**62 values: EVERY sufficient statistic (the linear sums S,
+    H_k, T_k included, not just the squares) accumulates in
+    decimal(38,0) — a BIGINT sum of three 2**62 values raises under
+    ANSI Spark (the q227 ssq class applied to the first moment)."""
+    from magi_etl_spark.operators.acf import autocorrelation
+
+    df = spark.createDataFrame(
+        [("s", t, 2**62) for t in range(3)], "g string, t int, x long"
+    )
+    got = autocorrelation(df, ["g"], "t", F.col("x"), 1).collect()
+    # constant series: NULL r_k — but the sums must survive the scale
+    assert [(r.k, r.n, r.r_k) for r in got] == [(1, 3, None)]
 
 
 # --- fdr: hand p-values ---------------------------------------------------------
