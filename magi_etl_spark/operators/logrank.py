@@ -43,15 +43,22 @@ def logrank_test(
     """One-row ``n_a, n_b, observed_a, expected_a, chi2`` — the
     stratified log-rank test of group A vs group B (rows in neither
     group are ignored; ``event_col`` is 1 for an observed event, 0 for
-    censored).  ``expected_a``/``chi2`` are 6-dp doubles; the moment
-    sums they derive from are exact integers up to the final double
-    expression, which both engines evaluate in the identical operand
-    order."""
-    base = df.where(F.col(group_col).isin([group_a, group_b])).select(
-        *strata_cols,
-        F.col(time_col).cast("long").alias("_t"),
-        F.col(event_col).cast("int").alias("_e"),
-        F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("_ga"),
+    censored).  Null durations are dropped — a subject with no duration
+    has no place on the time axis, and a null would otherwise enter the
+    time-ordered window where Spark and other engines disagree on null
+    placement (the ``ks_two_sample`` null rationale).  ``expected_a``/
+    ``chi2`` are 6-dp doubles; the moment sums they derive from are
+    exact integers up to the final double expression, which both
+    engines evaluate in the identical operand order."""
+    base = (
+        df.where(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            *strata_cols,
+            F.col(time_col).cast("long").alias("_t"),
+            F.col(event_col).cast("int").alias("_e"),
+            F.when(F.col(group_col) == group_a, 1).otherwise(0).alias("_ga"),
+        )
+        .where(F.col("_t").isNotNull())
     )
     # per (stratum, time): subjects entering the risk set at t, events at t
     pt = base.groupBy(*strata_cols, "_t").agg(

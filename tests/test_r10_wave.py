@@ -233,6 +233,27 @@ def test_logrank_separated_groups_is_large(spark):
     assert r.chi2 > 3.84  # significant at 5%
 
 
+def test_logrank_drops_null_durations(spark):
+    """A null duration has no place on the time axis and must not enter
+    the time-ordered at-risk window (Spark and DuckDB disagree on where
+    nulls sort — the ks_two_sample null class): the identical-groups
+    fixture plus one null-duration row per group must report the SAME
+    statistics as without them, with the null subjects excluded from
+    n_a/n_b too."""
+    from magi_etl_spark.operators.logrank import logrank_test
+
+    rows = []
+    for g in ("p", "np"):
+        rows += [("w1", g, 2, 1), ("w1", g, 5, 1), ("w1", g, 8, 0),
+                 ("w1", g, None, 1)]
+    df = spark.createDataFrame(rows, "wk string, grp string, t long, e int")
+    (r,) = logrank_test(df, ["wk"], "grp", "t", "e", "p", "np").collect()
+    assert r.n_a == 3 and r.n_b == 3
+    assert r.observed_a == 2
+    assert r.expected_a == pytest.approx(2.0)
+    assert r.chi2 == pytest.approx(0.0)
+
+
 # --- delta method -----------------------------------------------------------------
 
 
