@@ -44,15 +44,25 @@ def bh_reject(
     id_cols: list[str],
     alpha_num: int,
     alpha_den: int,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """All input columns + ``p_rank`` (1-based ascending rank of
     ``p_col``, ties broken by ``id_cols``) + ``rejected`` (boolean BH
     verdict at ``alpha_num/alpha_den``).  ``p_col`` holds integer
     micro-p-values in [0, 1_000_000]; null p-values are dropped (no
-    evidence, no verdict)."""
+    evidence, no verdict).  ``num_partitions`` defaults to the
+    session's ``spark.sql.shuffle.partitions`` — the global rank's
+    range partitioning should ride the cluster's configured
+    parallelism, not a fixed count that caps a 1000-executor job at
+    32 tasks (the q211 derived-default posture applied to a
+    parallelism knob; the rank itself is partitioning-independent, so
+    the choice never changes results)."""
     from magi_etl_spark.operators.prefix import ranked_prefix_sum
 
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
     base = df.where(F.col(p_col).isNotNull()).withColumn("_one", F.lit(1))
     ranked = ranked_prefix_sum(
         base,
@@ -92,7 +102,7 @@ def bh_summary(
     id_cols: list[str],
     alpha_num: int,
     alpha_den: int,
-    num_partitions: int = 32,
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """One row: ``m, k_star, p_star_micro, n_rejected`` — the BH
     decision summary (k_star/p_star_micro NULL and n_rejected 0 when

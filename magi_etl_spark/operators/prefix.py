@@ -22,6 +22,12 @@ partitioning-independent.
 Shared by the vocabulary-coverage cut (q63) and the token-budget corpus
 selection (q94); any "take items in priority order until a budget is
 exhausted" pipeline stage reduces to this shape.
+
+``num_partitions`` is a pure parallelism knob — the output is
+partitioning-independent (unique order keys), so at cluster scale pass
+the session's ``spark.sql.shuffle.partitions`` (or a data-derived
+count) rather than relying on the local-testing default; the newer
+callers (``operators/fdr.py``) derive it from the session conf.
 """
 
 from __future__ import annotations

@@ -272,6 +272,26 @@ def test_bh_hand_values(spark):
     assert verdicts == {i: (i < 2) for i in range(10)}
 
 
+def test_bh_default_partitions_derive_from_session_conf(spark):
+    """num_partitions=None rides the session's shuffle.partitions (the
+    parallelism analogue of the q211 derived defaults — a fixed 32
+    would cap a 1000-executor global rank at 32 tasks); the rank is
+    partitioning-independent, so the derived and explicit calls agree
+    row for row."""
+    from magi_etl_spark.operators.fdr import bh_reject
+
+    ps = [4000, 9000, 16000] + [900_000] * 7
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(ps)], "hid int, p long"
+    )
+    derived = {(r.hid, r.p_rank, r.rejected)
+               for r in bh_reject(df, "p", ["hid"], 1, 20).collect()}
+    explicit = {(r.hid, r.p_rank, r.rejected)
+                for r in bh_reject(df, "p", ["hid"], 1, 20,
+                                   num_partitions=5).collect()}
+    assert derived == explicit and len(derived) == 10
+
+
 def test_bh_nothing_clears(spark):
     from magi_etl_spark.operators.fdr import bh_summary
 
