@@ -32,6 +32,33 @@ def _is_scan_only(df: DataFrame) -> bool:
     return True
 
 
+_SIZE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1 << 10, "kb": 1 << 10,
+    "m": 1 << 20, "mb": 1 << 20,
+    "g": 1 << 30, "gb": 1 << 30,
+    "t": 1 << 40, "tb": 1 << 40,
+    "p": 1 << 50, "pb": 1 << 50,
+}
+
+
+def _size_bytes(value, default: int) -> int:
+    """Spark byte-size conf value ("134217728", "128m", "1g", "64MB")
+    → bytes, falling back to ``default`` on anything unparseable — a
+    derived default must degrade, not crash (the fdr.py
+    shuffle-partitions lesson applied to size-suffixed confs, which the
+    old ``int(str(v).rstrip("b"))`` parse crashed on for "128m")."""
+    import re as _re
+
+    m = _re.fullmatch(r"\s*(\d+)\s*([a-zA-Z]*)\s*", str(value))
+    if not m:
+        return default
+    mult = _SIZE_SUFFIX.get(m.group(2).lower())
+    if mult is None:
+        return default
+    return int(m.group(1)) * mult
+
+
 def _scan_width(df: DataFrame) -> int | None:
     """Estimated split count of a scan-only plan from local file sizes,
     or ``None`` when the files aren't locally inspectable.  Mirrors
@@ -45,8 +72,9 @@ def _scan_width(df: DataFrame) -> int | None:
         files = df.inputFiles()
     except Exception:
         return None
-    max_bytes = int(
-        str(df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728")).rstrip("b")
+    max_bytes = _size_bytes(
+        df.sparkSession.conf.get("spark.sql.files.maxPartitionBytes", "134217728"),
+        134217728,
     )
     splits = 0
     for uri in files:

@@ -99,7 +99,11 @@ def autocorrelation(
     )
     den = F.col("_ss").cast("double") - F.col("n").cast("double") * m * m
     return (
-        per_k.join(F.broadcast(totals), series_cols)
+        # one row per series, but series cardinality is CALLER-controlled
+        # (per-user series at corpus scale = hundreds of millions of
+        # rows) — no forced broadcast hint; AQE picks broadcast when the
+        # totals side is genuinely small and a shuffle join when not
+        per_k.join(totals, series_cols)
         .where(F.col("_pairs") > 0)
         .select(
             *series_cols,

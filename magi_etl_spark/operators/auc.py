@@ -68,7 +68,7 @@ def group_auc(
         F.sum("_cp").over(wt).alias("n_pos"),
         F.sum("_cn").over(wt).alias("n_neg"),
     )
-    dec = "decimal(19,0)"
+    dec = "decimal(38,0)"
     return (
         cum.where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
         .groupBy(*group_cols, "n_pos", "n_neg")

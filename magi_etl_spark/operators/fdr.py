@@ -60,9 +60,15 @@ def bh_reject(
     from magi_etl_spark.operators.prefix import ranked_prefix_sum
 
     if num_partitions is None:
-        num_partitions = int(
-            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-        )
+        # the conf can hold a non-integer sentinel on some platforms
+        # (e.g. "auto" under AQE-managed shuffles) — a derived default
+        # must degrade to the stock 200, not crash the query
+        try:
+            num_partitions = int(
+                df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+            )
+        except (TypeError, ValueError):
+            num_partitions = 200
     base = df.where(F.col(p_col).isNotNull()).withColumn("_one", F.lit(1))
     ranked = ranked_prefix_sum(
         base,

@@ -32,6 +32,9 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _DEC = "decimal(38,0)"
+# cell-id type for the neighborhood join keys: int64 cell ids fit in 19
+# digits, and the ±1 probe offset needs one more value of headroom
+_CELL_DEC = "decimal(20,0)"
 
 # Exact floor(coord / eps) on BIGINTs of any sign: truncating `DIV`
 # equals floor when the remainder is non-negative and is one cell high
@@ -91,7 +94,11 @@ def grid_blocked_eps_join(
     # row per point, so the join is keyed and the blow-up is exactly 9x
     # on the probe side.  Each left point probes 9 DISTINCT cells and a
     # right point has ONE home cell, so every (left, right) pair can
-    # match at most once — no post-join dedup needed.
+    # match at most once — no post-join dedup needed.  The ±1 probe
+    # offsets ride decimal(20,0): at eps=1 the cell id EQUALS the
+    # coordinate, so ``_cx + 1`` at LONG_MAX (or ``- 1`` at LONG_MIN)
+    # leaves int64 — |cell| <= 2**63 plus one fits in 20 digits, so the
+    # decimal join key is exact for every int64 input at every eps.
     l9 = (
         l.select("*", F.expr("explode(array(-1, 0, 1))").alias("_dx"))
         .select("*", F.expr("explode(array(-1, 0, 1))").alias("_dy"))
@@ -99,8 +106,12 @@ def grid_blocked_eps_join(
             *left_cols,
             "_lx",
             "_ly",
-            (F.col("_cx") + F.col("_dx")).alias("_jx"),
-            (F.col("_cy") + F.col("_dy")).alias("_jy"),
+            (F.col("_cx").cast(_CELL_DEC) + F.col("_dx"))
+            .cast(_CELL_DEC)
+            .alias("_jx"),
+            (F.col("_cy").cast(_CELL_DEC) + F.col("_dy"))
+            .cast(_CELL_DEC)
+            .alias("_jy"),
         )
     )
     r = _with_cells(
@@ -114,6 +125,11 @@ def grid_blocked_eps_join(
         e,
         "_jx",
         "_jy",
+    ).withColumns(
+        {
+            "_jx": F.col("_jx").cast(_CELL_DEC),
+            "_jy": F.col("_jy").cast(_CELL_DEC),
+        }
     )
     dx = F.col("_lx").cast(_DEC) - F.col("_rx").cast(_DEC)
     dy = F.col("_ly").cast(_DEC) - F.col("_ry").cast(_DEC)

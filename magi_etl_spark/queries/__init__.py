@@ -108,11 +108,18 @@ def _load_all() -> None:
     # COVERAGE.md "Planned r11 window", rotation rule 1.
     from magi_etl_spark.queries.extensions_r10 import EXT7_ORACLE, EXT7_QUERIES
 
+    # r12 rotation: the r11 wave (EXT8, q238-q243, oracle-verified all
+    # through r11 by tests/test_extensions_r8.py's shared lint + the
+    # staged parity sweeps) merges the same way — COVERAGE.md "Planned
+    # r12 window", rotation rule 1.
+    from magi_etl_spark.queries.extensions_r11 import EXT8_ORACLE, EXT8_QUERIES
+
     for tag, (q, o) in {
         "r7": (EXT4_QUERIES, EXT4_ORACLE),
         "r8": (EXT5_QUERIES, EXT5_ORACLE),
         "r9": (EXT6_QUERIES, EXT6_ORACLE),
         "r10": (EXT7_QUERIES, EXT7_ORACLE),
+        "r11": (EXT8_QUERIES, EXT8_ORACLE),
     }.items():
         dup = set(q) & set(QUERIES)
         if dup:
@@ -139,73 +146,70 @@ _load_all()
 GATE_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # ROUND-11 WINDOW — COVERAGE.md "Planned r11 window".  CORRECTNESS_r10
+    # ROUND-12 WINDOW — COVERAGE.md "Planned r12 window".  CORRECTNESS_r11
     # was 50/50 green (no failure re-entries), so rule 1 front-loads the
-    # r10 staged wave (EXT7, q232-q237) in registration order — the staged
+    # r11 staged wave (EXT8, q238-q243) in registration order — the staged
     # backlog stays at ZERO.
-    "q232_cuped_adjustment",
-    "q233_exact_quantiles",
-    "q234_boolean_retrieval",
-    "q235_ks_drift",
-    "q236_logrank_churn",
-    "q237_ratio_metric_ci",
-    # Dependency re-entries (rule 2, machine-checked by
-    # tests/test_gate_window.py): the r11-session ADVICE fixes touch
-    # operators/skipping.py (offset-zone session ids), re-flagging its two
-    # tail dependents, and the session's proactive hardening sweep fixed
-    # the same two defect classes latent in operators/wquantile.py (null
-    # CDF ordering + BIGINT threshold product), re-flagging q228.  The
-    # selection.py/kstest.py ADVICE fixes re-flag only q233/q235, already
-    # at the window front as the EXT7 merge.
-    "q200_data_skipping",
-    "q201_dynamic_partition_pruning",
-    "q228_weighted_median",
-    # Oldest-verified-first tail refresh (rule 1 fill, 41 slots, computed
-    # from the union of CORRECTNESS rows at r10 close; ties in
-    # registration order): the r4-era rows — q93/q94 finally land, two
-    # rounds after their first displacement — then the r5-era rows.  The
-    # three re-entry slots above displace q95/q96/q97 to the r12 fill.
-    "q51_exact_token_cosine_pairs",
-    "q60_quantize_embeddings",
-    "q87_scd2_intervals",
-    "q88_bm25_topk",
-    "q90_profile_table",
-    "q92_cdc_apply",
-    "q93_scd2_snapshot",
-    "q94_token_budget_select",
-    "q48_market_share",
-    "q52_min_cost_supplier",
-    "q53_dominant_supplier",
-    "q58_blame_supplier",
-    "q66_asof_join",
-    "q78_key_skew_profile",
-    "q80_bucketed_colocated_join",
-    "q85_zorder_pruned_scan",
-    "q63_vocab_coverage",
-    "q65_normalize_text",
-    "q82_grouping_sets",
-    "q54_helix_generic",
-    "q79_concurrent_fanout",
-    "q02_filter_project",
-    "q07_anti_join",
-    "q15_having_threshold",
-    "q16_set_ops",
-    "q17_minmax_normalize",
-    "q45_nation_pair_volume",
-    "q62_top_supplier",
-    "q67_range_join",
-    "q68_hypertable_rollup",
-    "q71_small_order_parts",
-    "q72_large_volume_customers",
-    "q73_table_diff",
-    "q74_daily_anomalies",
-    "q75_funnel",
-    "q76_retention_cohorts",
-    "q83_event_gaps",
-    "q81_bloom_pruned_join",
-    "q49_chunking",
-    "q61_corpus_percentiles",
-    "q70_pii_scan",
+    "q238_group_auc",
+    "q239_spatial_pairs",
+    "q240_daily_autocorrelation",
+    "q241_bh_fdr",
+    "q242_cmh_high_value",
+    "q243_ndcg_eval",
+    # Oldest-verified-first tail refresh (rule 1 fill, 44 slots, computed
+    # from the union of CORRECTNESS rows at r11 close; ties in
+    # registration order): the r5-era rows — q95-q97 land after their r11
+    # displacement — then the r7-era rows through q127; q128 onward
+    # displaces to r13.  The r12-session conf-parse hardening of
+    # functions/__init__.py (63 dependents — more than the window can
+    # hold) is covered by the core-file exemption in
+    # tests/test_gate_window.py (measured guard); 26 of its dependents
+    # still ride this window (25 below + q241 in the wave), and the
+    # rest are oracle-checked at HEAD by the every-round local sweep.
+    "q95_salted_hot_join",
+    "q96_fuzzy_linkage",
+    "q97_snm_pairs",
+    "q100_redact_pii",
+    "q101_expectation_suite",
+    "q102_incremental_extract",
+    "q105_paragraph_dedup",
+    "q109_unigram_logprob",
+    "q110_versioned_table",
+    "q111_tfidf_keywords",
+    "q23_dedup_exact",
+    "q47_dedup_keep_best",
+    "q24_minhash_signatures",
+    "q25_minhash_lsh_neardup",
+    "q29_ngram_jaccard_pairs",
+    "q50_exact_ngram_jaccard_pairs",
+    "q55_decontaminate",
+    "q59_dedup_clusters",
+    "q89_rolling_7d",
+    "q91_gapfill_interpolate",
+    "q01_pricing_summary",
+    "q03_top_orders",
+    "q56_dataset_mix",
+    "q84_dataset_split",
+    "q64_stratified_sample",
+    "q69_repetition_score",
+    "q99_temperature_mix",
+    "q103_winsorize",
+    "q107_join_estimate",
+    "q108_group_sample_n",
+    "q112_semantic_decontaminate",
+    "q113_corpus_curation",
+    "q114_incremental_lsh_index",
+    "q116_pagerank",
+    "q117_bpe_merges",
+    "q118_bpe_segment",
+    "q119_bigram_logprob",
+    "q120_top_ngrams",
+    "q121_oot_split",
+    "q123_multimodal_features",
+    "q124_audio_features",
+    "q125_enrich_summary",
+    "q126_enrich_poster",
+    "q127_dsir_importance",
 ]
 
 

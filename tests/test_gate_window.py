@@ -63,15 +63,28 @@ def test_every_query_has_an_oracle_or_is_documented_rows_only():
 # the commit its last green gate row was produced at must re-enter the
 # window.
 #
-# Universal core files are EXEMPT from the re-entry rule: they are a
-# dependency of all ~84 queries equally, so "everything re-enters" cannot
-# fit a 50-slot window.  Their gate is the all-query local DuckDB-oracle
-# sweep (tests/test_queries_oracle.py, every round, at HEAD) plus the
-# engine-surface slots the window re-verifies every round.
+# Universal core files are EXEMPT from the re-entry rule: their
+# dependent-query count exceeds the window's re-entry capacity
+# (GATE_WINDOW minus the ≤6 never-verified wave slots rule 1 must
+# front-load), so "everything re-enters" cannot fit a 50-slot window —
+# an edit to such a file could otherwise never be landed at all.  Their
+# gate is the all-query local DuckDB-oracle sweep
+# (tests/test_queries_oracle.py, every round, at HEAD) plus the
+# engine-surface slots the window re-verifies every round.  The
+# exemption is NOT free-form: test_exempt_files_genuinely_exceed_window
+# below recomputes each import-reachable exempt file's dependent count
+# with the exemption disabled and fails if it fits the window — a small
+# file can never hide here.  Measured at r12: tables.py 238,
+# queries/__init__.py 92, functions/__init__.py 63 dependents (the
+# shared scalar-function/fan_out layer; the r12 window still drove 26
+# of its dependents through the gate after its conf-parse hardening);
+# next-largest non-exempt file 37 (functions/text.py) — inside
+# capacity, so the rule still bites everywhere else.
 _EXEMPT = {
     "magi_etl_spark/tables.py",
     "magi_etl_spark/session.py",
     "magi_etl_spark/queries/__init__.py",
+    "magi_etl_spark/functions/__init__.py",
     "__spark_entry__.py",
 }
 
@@ -199,15 +212,18 @@ def _first_hop_deps(fn) -> set[str]:
     return {f for f in (_module_file(m) for m in mods) if f}
 
 
-def _transitive_files(first_hop: set[str]) -> set[str]:
+def _transitive_files(
+    first_hop: set[str], exempt: frozenset[str] | set[str] | None = None
+) -> set[str]:
     """File-level closure over the magi_etl_spark import graph, stopping
     at queries/* modules (their per-query granularity is handled by the
     first hop) and exempt core files."""
+    exempt = _EXEMPT if exempt is None else exempt
     seen: set[str] = set()
     frontier = list(first_hop)
     while frontier:
         f = frontier.pop()
-        if f in seen or f in _EXEMPT:
+        if f in seen or f in exempt:
             continue
         seen.add(f)
         if "/queries/" in f:
@@ -216,7 +232,38 @@ def _transitive_files(first_hop: set[str]) -> set[str]:
             sub = _module_file(m)
             if sub and sub not in seen:
                 frontier.append(sub)
-    return seen - _EXEMPT
+    return seen - exempt
+
+
+def test_exempt_files_genuinely_exceed_window():
+    """The _EXEMPT list is valid only while each import-reachable entry
+    really is too depended-upon to rotate through the window: its
+    dependent-query count must exceed GATE_WINDOW minus the ≤6 wave
+    slots rule 1 reserves.  Files the import graph never reaches
+    (driver shims like __spark_entry__.py, session factories queries
+    never import) are vacuously exempt — there is nothing to re-flag."""
+    from magi_etl_spark.queries import GATE_WINDOW, QUERIES
+
+    capacity = GATE_WINDOW - 6
+    counts: dict[str, int] = {}
+    for fn in QUERIES.values():
+        for f in _transitive_files(_first_hop_deps(fn), exempt=frozenset()):
+            counts[f] = counts.get(f, 0) + 1
+    undersized = {
+        f: counts[f] for f in _EXEMPT if f in counts and counts[f] <= capacity
+    }
+    assert not undersized, (
+        f"_EXEMPT entries whose dependent count fits the {capacity}-slot "
+        f"re-entry capacity must not be exempt: {undersized}"
+    )
+    oversized_nonexempt = {
+        f: c for f, c in counts.items() if c > capacity and f not in _EXEMPT
+    }
+    assert not oversized_nonexempt, (
+        "files whose dependent count exceeds the re-entry capacity can "
+        "never rotate through the window and must be added to _EXEMPT "
+        f"(with their gate documented): {oversized_nonexempt}"
+    )
 
 
 def _semantic_fingerprint(src: str) -> str:
