@@ -235,6 +235,13 @@ HEADLINE = [
     "q235_ks_drift",
     "q236_logrank_churn",
     "q237_ratio_metric_ci",
+    # r11 wave, merged at the r12 rotation
+    "q238_group_auc",
+    "q239_spatial_pairs",
+    "q240_daily_autocorrelation",
+    "q241_bh_fdr",
+    "q242_cmh_high_value",
+    "q243_ndcg_eval",
 ]
 
 _RUNS = 2  # best-of-N: local-mode timings are noisy
@@ -242,11 +249,19 @@ _RUNS = 2  # best-of-N: local-mode timings are noisy
 
 # Fingerprint canonicalization lives in magi_etl_spark/plans.py (the
 # plan-tooling library) so tests can pin its compile-order stability;
-# bench keeps thin aliases for its call sites and artifact notes.
-from magi_etl_spark.plans import (  # noqa: E402
-    plan_fingerprint as _plan_fingerprint,
-    plan_fingerprint_v2 as _plan_fingerprint_v2,
-)
+# bench keeps a thin alias for its call sites and artifact notes.
+# v2 fingerprints were carried for exactly one transition round (r11,
+# diffable against BENCH_r10) and are dropped per the r11 verdict — v3
+# is the only channel; v2's digit-stripping blindness is the documented
+# r10 ADVICE defect and carrying it longer invites accidental reliance.
+from magi_etl_spark.plans import plan_fingerprint as _plan_fingerprint  # noqa: E402
+
+# A 1-min load average above this at bench start means another workload
+# shares the host; the artifacts carry an explicit flag so a loaded-host
+# run can never masquerade as a plan regression in cross-round diffs
+# (the r11 driver bench recorded 203.9 s at load 6.6-11.5 vs the
+# committed idle-host 185.9 s — same plans, pure contention).
+_LOADED_HOST_1M = 2.0
 
 
 def _materialize(df) -> None:
@@ -286,8 +301,14 @@ def main() -> None:
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     plans: dict[str, str] = {}
-    plans_v2: dict[str, str] = {}
     load_during: list[float] = []
+    if load_before[0] > _LOADED_HOST_1M:
+        print(
+            f"# WARNING: load_1m={load_before[0]:.2f} > {_LOADED_HOST_1M} "
+            "at bench start — host is loaded; walls are contention-"
+            "inflated and the artifact is flagged host_loaded=true",
+            file=sys.stderr,
+        )
     names = [n for n in HEADLINE if n in QUERIES]
     # warm the JVM + parquet footers once so timings measure the queries
     _materialize(QUERIES[names[0]](spark, sf_dir))
@@ -310,7 +331,6 @@ def main() -> None:
             .toString()
         )
         plans[name] = _plan_fingerprint(None, cold_plan)
-        plans_v2[name] = _plan_fingerprint_v2(None, cold_plan)
         walls: list[float] = []
         for _ in range(_RUNS):
             t0 = time.perf_counter()
@@ -342,12 +362,11 @@ def main() -> None:
                 "sf": sf,
                 "runs_per_query": _RUNS,
                 "plan_fingerprints": plans,
-                # transition-round bridge: v2 = the r10 algorithm,
-                # diffable against BENCH_r10's committed fingerprints
-                # (v3 rehashes everything by construction — it KEEPS the
-                # plan-level numeric literals v2 deleted, the r10 ADVICE)
-                "plan_fingerprints_v2": plans_v2,
                 "timings": timings,
+                # host-contention flag (see _LOADED_HOST_1M): cross-round
+                # wall diffs should ignore host_loaded=true artifacts
+                "host_loaded": load_before[0] > _LOADED_HOST_1M,
+                "load_1m_before": round(load_before[0], 2),
                 # every run's wall time (timings keeps the best) plus the
                 # 1-min load average sampled after each query: the host-
                 # contention evidence the r7 +43% ghost slowdown lacked
@@ -380,6 +399,9 @@ def main() -> None:
             "load_1m_during_mean": round(
                 sum(load_during) / len(load_during), 2
             ),
+            # true = another workload shared the host at bench start;
+            # walls are contention-inflated, not plan regressions
+            "host_loaded": load_before[0] > _LOADED_HOST_1M,
         }
     )
     assert len(headline) < 300, f"headline line too long: {len(headline)}B"

@@ -186,18 +186,12 @@ def plan_fingerprint(df: DataFrame | None, plan: str | None = None) -> str:
     return hashlib.md5(s.encode()).hexdigest()[:12]
 
 
-def plan_fingerprint_v2(df: DataFrame | None, plan: str | None = None) -> str:
-    """The r10 fingerprint algorithm (strip ALL digits, then sort the
-    unordered lists), kept one transition round so the committed
-    artifact stays diffable against BENCH_r10's fingerprints (the v3
-    canonicalization changes hashes by construction — it keeps digits
-    v2 deleted — not because any plan changed)."""
-    import hashlib
-
-    s = _canon_v1(plan if plan is not None else _physical(df))
-    s = re.sub(r"\d+", "", s)
-    s = _sort_unordered_lists(s)
-    return hashlib.md5(s.encode()).hexdigest()[:12]
+# plan_fingerprint_v2 (the r10 digit-stripping algorithm) was removed
+# after its single transition round (r11): v3 above is the only
+# fingerprint channel, and v2's digit blindness — it collapsed plans
+# differing only in a numeric plan parameter — is the documented r10
+# ADVICE defect.  BENCH_r10 remains the last artifact carrying v2
+# hashes; diff across that boundary via walls + v3 only.
 
 
 def _unsafe_single_partition_exchanges(p: str) -> int:
