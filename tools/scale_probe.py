@@ -1462,6 +1462,171 @@ def main() -> None:
 
         return run
 
+    # --- r12 wave --------------------------------------------------------
+    def dbscan_probe(c):
+        import math
+
+        from magi_etl_spark.operators.dbscan import grid_dbscan
+
+        # the COUNT-DERIVED coordinate domain (m ~ sqrt(N) * U) keeps
+        # point density constant as the corpus replicates, so the
+        # expected neighborhood size — and with it the per-point work —
+        # is scale-invariant; cost should track N, not N^2
+        def run():
+            m = math.ceil(math.sqrt(c.count())) * 6_000_000
+
+            def md5coord(salt: str):
+                return (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(salt),
+                                    F.col("c_custkey").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m
+                    - m // 2
+                )
+
+            pts = c.select(
+                F.col("c_custkey").alias("id"),
+                md5coord("dbx|").alias("x"),
+                md5coord("dby|").alias("y"),
+            )
+            return grid_dbscan(pts, 4_000_000, 4)
+
+        return run
+
+    def rankcorr_probe(e):
+        from magi_etl_spark.operators.rankcorr import (
+            kendall_tau_b,
+            spearman_rho,
+        )
+
+        # replication multiplies per-day COUNTS, not days: the daily
+        # collapse is the only corpus-sized stage; ranks and cell pairs
+        # ride the fixed-length series
+        def run():
+            daily = (
+                e.where(F.col("value").isNotNull())
+                .groupBy("event_type", F.to_date("ts").alias("day"))
+                .agg(
+                    F.count(F.lit(1)).alias("x"),
+                    F.sum(
+                        F.round(F.col("value") * 100).cast("long")
+                    ).alias("y"),
+                )
+            )
+            rho = spearman_rho(daily, ["event_type"], F.col("x"), F.col("y"))
+            tau = kendall_tau_b(
+                daily, ["event_type"], F.col("x"), F.col("y")
+            )
+            return rho.join(tau.select("event_type", "tau_b"), "event_type")
+
+        return run
+
+    def mannkendall_probe(e):
+        from magi_etl_spark.operators.mannkendall import mann_kendall_trend
+
+        # same shape: the pairwise S join runs over the CALENDAR-bounded
+        # daily series, unchanged under replication; the scan dominates
+        def run():
+            daily = e.groupBy(
+                "event_type", F.to_date("ts").alias("day")
+            ).agg(F.count(F.lit(1)).alias("x"))
+            return mann_kendall_trend(daily, ["event_type"], "day", F.col("x"))
+
+        return run
+
+    def mcnemar_probe(e):
+        from magi_etl_spark.operators.mcnemar import mcnemar_test
+
+        # replication shifts user ids: SUBJECT count grows linearly,
+        # per-subject work fixed — two keyed aggregations
+        def run():
+            half = F.lit("2024-01-16").cast("date")
+            subj = (
+                e.groupBy("user_id")
+                .agg(
+                    F.max(
+                        F.when(
+                            (F.col("event_type") == "purchase")
+                            & (F.to_date("ts") < half),
+                            1,
+                        ).otherwise(0)
+                    ).alias("x1"),
+                    F.max(
+                        F.when(
+                            (F.col("event_type") == "purchase")
+                            & (F.to_date("ts") >= half),
+                            1,
+                        ).otherwise(0)
+                    ).alias("x2"),
+                )
+                .select((F.col("user_id") % 3).alias("cohort"), "x1", "x2")
+            )
+            return mcnemar_test(subj, ["cohort"], F.col("x1"), F.col("x2"))
+
+        return run
+
+    def kappa_probe(d):
+        from magi_etl_spark.operators.kappa import cohens_kappa
+
+        # confusion cells are bounded by lang x 4x4 buckets; the item
+        # scan is the only corpus-sized stage
+        def run():
+            rated = d.select(
+                "lang",
+                F.least(F.expr("n_chars DIV 400"), F.lit(3)).alias("r1"),
+                F.least(
+                    F.expr(
+                        "size(regexp_extract_all(lower(text), '[a-z]+', 0))"
+                        " DIV 60"
+                    ).cast("long"),
+                    F.lit(3),
+                ).alias("r2"),
+            )
+            return cohens_kappa(rated, ["lang"], F.col("r1"), F.col("r2"))
+
+        return run
+
+    def rmst_probe(e):
+        from magi_etl_spark.operators.rmst import restricted_mean_survival
+
+        # user count grows linearly under replication; one keyed
+        # lifespan aggregate + one arm aggregate
+        def run():
+            ev = e.withColumn(
+                "arm",
+                (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("rmst|"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % 2
+                ).cast("int"),
+            )
+            return restricted_mean_survival(ev, ["arm"], "user_id", "ts", 14)
+
+        return run
+
     def ivf_default_probe(em):
         # r10 scale-default: n_lists derives ~sqrt(n) at build time, so a
         # fixed query set's probe cost (n_probe lists x n/n_lists rows
@@ -1641,6 +1806,12 @@ def main() -> None:
         ("fdr", fdr_probe(events1), fdr_probe(eventsN)),
         ("cmh", cmh_probe(orders_b), cmh_probe(ordersN_b)),
         ("ndcg", ndcg_probe(docs1), ndcg_probe(docsN)),
+        ("dbscan", dbscan_probe(cust1), dbscan_probe(custN)),
+        ("rankcorr", rankcorr_probe(events1), rankcorr_probe(eventsN)),
+        ("mannkendall", mannkendall_probe(events1), mannkendall_probe(eventsN)),
+        ("mcnemar", mcnemar_probe(events1), mcnemar_probe(eventsN)),
+        ("kappa", kappa_probe(docs1), kappa_probe(docsN)),
+        ("rmst", rmst_probe(events1), rmst_probe(eventsN)),
     ):
         if only is not None and label not in only:
             continue
