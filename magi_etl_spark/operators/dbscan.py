@@ -58,25 +58,41 @@ def grid_dbscan(
 
     if int(min_pts) < 1:
         raise ValueError(f"min_pts must be >= 1, got {min_pts!r}")
+    if len({id_col, x_col, y_col}) != 3 or "id" in (x_col, y_col):
+        raise ValueError(
+            "id/x/y columns must be three distinct names, and the "
+            f"coordinate columns may not be named 'id' (the internal "
+            f"id alias): {(id_col, x_col, y_col)!r}"
+        )
     p = points.select(
         F.col(id_col).cast("long").alias("id"), x_col, y_col
     )
     # every ordered neighbor pair within eps, self-pairs included —
-    # one grid-blocked join, never all-pairs
-    pairs = grid_blocked_eps_join(
-        p.select(F.col("id").alias("_ida"), x_col, y_col),
-        p.select(F.col("id").alias("_idb"), x_col, y_col),
-        int(eps),
-        ["_ida"],
-        ["_idb"],
-        x_col,
-        y_col,
-    ).select("_ida", "_idb")
+    # one grid-blocked join, never all-pairs.  The pair stream feeds
+    # FIVE consumers (neighbor counts, both sides of the core-core
+    # edges, the border join, and — via cores — the anti-join), so it
+    # persists once (MEMORY_AND_DISK, the DataFrame default: O(corpus)
+    # id pairs, density-bounded) instead of re-running the grid join
+    # per consumer — measured 3-4x of the operator's wall at 32x scale
+    pairs = (
+        grid_blocked_eps_join(
+            p.select(F.col("id").alias("_ida"), x_col, y_col),
+            p.select(F.col("id").alias("_idb"), x_col, y_col),
+            int(eps),
+            ["_ida"],
+            ["_idb"],
+            x_col,
+            y_col,
+        )
+        .select("_ida", "_idb")
+        .persist()
+    )
     cores = (
         pairs.groupBy("_ida")
         .agg(F.count(F.lit(1)).alias("_n_eps"))
         .where(F.col("_n_eps") >= int(min_pts))
         .select(F.col("_ida").alias("id"))
+        .persist()
     )
     core_pairs = (
         pairs.join(cores.select(F.col("id").alias("_ida")), "_ida")

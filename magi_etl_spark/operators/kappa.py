@@ -47,6 +47,11 @@ def cohens_kappa(
     input.  Items where either label is NULL are dropped (an unrated
     item has no agreement evidence).  ``kappa`` is NULL when expected
     chance agreement is 1 (both raters emit a single label)."""
+    hit = {"n_items", "n_agree", "kappa"} & set(group_cols)
+    if hit:
+        raise ValueError(
+            f"group_cols collide with output columns: {sorted(hit)}"
+        )
     base = items.where(rater1.isNotNull() & rater2.isNotNull()).select(
         *group_cols, rater1.alias("_r1"), rater2.alias("_r2")
     )

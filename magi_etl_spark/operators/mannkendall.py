@@ -51,8 +51,11 @@ def mann_kendall_trend(
     """``*series_cols, n, s, var_s18, z`` — the Mann–Kendall S
     statistic, 18x its tie-corrected variance, and the
     continuity-corrected normal score per series.  ``order_col`` must
-    be unique per series (it is the time axis); null values are dropped
-    (no observation, no pair — and engines order nulls differently).
+    be unique per series (it is the time axis); rows with a null value
+    OR a null order are dropped (no observation, no pair — and a
+    null-ordered row would otherwise count toward n and the tie terms
+    while never joining any pair, making S inconsistent with its own
+    n; engines also order nulls differently, the kstest lesson).
     Series with n < 2 or zero variance (all values tied) emit z NULL."""
     reserved = {"n", "s", "var_s18", "z"} & set(series_cols)
     if reserved:
@@ -63,7 +66,7 @@ def mann_kendall_trend(
         *series_cols,
         F.col(order_col).alias("_t"),
         value.cast("long").alias("_x"),
-    ).where(F.col("_x").isNotNull())
+    ).where(F.col("_x").isNotNull() & F.col("_t").isNotNull())
     a = base.select(
         *series_cols, F.col("_t").alias("_ti"), F.col("_x").alias("_xi")
     )

@@ -45,6 +45,11 @@ def mcnemar_test(
     dropped (an unobserved condition has no pair).  ``n10`` counts
     (1, 0) subjects, ``n01`` counts (0, 1); ``chi2_cc`` is NULL when no
     subject is discordant."""
+    hit = {"n_subjects", "n10", "n01", "chi2_cc"} & set(group_cols)
+    if hit:
+        raise ValueError(
+            f"group_cols collide with output columns: {sorted(hit)}"
+        )
     a = F.when(x1 == 1, 1).otherwise(0)
     b = F.when(x2 == 1, 1).otherwise(0)
     base = subjects.where(x1.isNotNull() & x2.isNotNull()).select(

@@ -44,6 +44,17 @@ from pyspark.sql import functions as F
 _DEC = "decimal(38,0)"
 
 
+def _guard_names(group_cols: list[str], reserved: set[str]) -> None:
+    # the mannkendall.py collision rule applied family-wide: a group
+    # column named like an output statistic would make the final select
+    # ambiguous — fail loudly instead
+    hit = reserved & set(group_cols)
+    if hit:
+        raise ValueError(
+            f"group_cols collide with output columns: {sorted(hit)}"
+        )
+
+
 def _shuffle_partitions(df: DataFrame) -> int:
     # same degrade-not-crash parse as operators/fdr.py: the conf can
     # hold a non-integer sentinel on some platforms
@@ -98,6 +109,7 @@ def spearman_rho(
     value is NULL are dropped (a null has no rank, and engines order
     nulls differently — the kstest.py lesson); groups where either
     column is constant emit NULL (zero rank variance)."""
+    _guard_names(group_cols, {"n", "rho"})
     base = df.select(
         *group_cols, x.cast("long").alias("_x"), y.cast("long").alias("_y")
     ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
@@ -139,6 +151,7 @@ def kendall_tau_b(
     or binned data; the pair stage is cells^2, never rows^2).  Null
     rows are dropped; groups where either column is constant emit
     NULL."""
+    _guard_names(group_cols, {"n", "tau_b"})
     base = df.select(
         *group_cols, x.cast("long").alias("_x"), y.cast("long").alias("_y")
     ).where(F.col("_x").isNotNull() & F.col("_y").isNotNull())

@@ -50,17 +50,30 @@ def restricted_mean_survival(
     lifespan is last minus first activity day (complete observation);
     ``alive_days`` is the exact integer ``sum_u min(life_u + 1, tau)``
     and ``rmst_days = alive_days / n_users`` rounded to ``round_dp``.
-    Group columns must be per-user attributes (constant within a user);
-    the per-user aggregate takes their ``first`` value."""
+    Users whose every timestamp is null have no observed lifespan and
+    are dropped entirely (counting them in ``n_users`` while excluding
+    them from ``alive_days`` would silently deflate the mean).  Group
+    columns must be per-user attributes (constant within a user); the
+    per-user aggregate takes their ``first`` value."""
     if int(tau) <= 0:
         raise ValueError(f"tau must be a positive day count, got {tau!r}")
+    hit = {"n_users", "alive_days", "rmst_days"} & set(group_cols)
+    if hit:
+        raise ValueError(
+            f"group_cols collide with output columns: {sorted(hit)}"
+        )
     spans = events.groupBy(F.col(user_col).alias("_u")).agg(
         *[F.first(c).alias(c) for c in group_cols],
         F.datediff(F.max(F.to_date(ts_col)), F.min(F.to_date(ts_col)))
         .alias("_life"),
     )
+    # a user whose every timestamp is null has no observed lifespan:
+    # drop the span entirely rather than counting the user in n_users
+    # while contributing nothing to alive_days (which would silently
+    # deflate the mean — the mannkendall null-order consistency rule)
     return (
-        spans.groupBy(*group_cols)
+        spans.where(F.col("_life").isNotNull())
+        .groupBy(*group_cols)
         .agg(
             F.count(F.lit(1)).alias("n_users"),
             F.sum(

@@ -485,10 +485,12 @@ _RMST_TAU = 14
         FROM events GROUP BY 1, 2
     )
     SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+           -- mirror the operator: all-null-timestamp users drop (the
+           -- WHERE below), so n_users and alive_days stay consistent
            CAST(SUM(LEAST(life + 1, {_RMST_TAU})) AS BIGINT) AS alive_days,
            ROUND(CAST(SUM(LEAST(life + 1, {_RMST_TAU})) AS DOUBLE)
                  / CAST(COUNT(*) AS DOUBLE), 6) AS rmst_days
-    FROM spans GROUP BY 1
+    FROM spans WHERE life IS NOT NULL GROUP BY 1
     """,
 )
 def q249_rmst_arms(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,6 +39,20 @@ def test_rmst_matches_hand_sum(spark):
     assert got == {"A": (3, 9, 3.0), "B": (2, 2, 1.0)}
 
 
+def test_rmst_drops_all_null_timestamp_users(spark):
+    from magi_etl_spark.operators.rmst import restricted_mean_survival
+
+    # user 2's timestamps are all null: no observed lifespan -> the
+    # user drops from BOTH n_users and alive_days (not just the sum)
+    df = spark.createDataFrame(
+        [(1, "A", "2024-01-01 08:00:00"), (1, "A", "2024-01-03 08:00:00"),
+         (2, "A", None)],
+        "user_id long, arm string, ts string",
+    ).select("user_id", "arm", F.col("ts").cast("timestamp").alias("ts"))
+    row = restricted_mean_survival(df, ["arm"], "user_id", "ts", 5).collect()[0]
+    assert (row.n_users, row.alive_days, float(row.rmst_days)) == (1, 3, 3.0)
+
+
 def test_rmst_rejects_nonpositive_tau(spark):
     import pytest
 
@@ -197,6 +211,57 @@ def test_mann_kendall_drops_nulls(spark):
     )
     row = mann_kendall_trend(df, ["series"], "t", F.col("x")).collect()[0]
     assert (row.n, row.s) == (2, 1)
+
+
+def test_mann_kendall_drops_null_order_rows(spark):
+    from magi_etl_spark.operators.mannkendall import mann_kendall_trend
+
+    # a null-ordered row must not count toward n/ties while joining no
+    # pair (S would be inconsistent with its own n)
+    df = spark.createDataFrame(
+        [("a", 0, 1), ("a", None, 100), ("a", 2, 3)],
+        "series string, t long, x long",
+    )
+    row = mann_kendall_trend(df, ["series"], "t", F.col("x")).collect()[0]
+    assert (row.n, row.s) == (2, 1)
+
+
+def test_mann_kendall_rejects_reserved_series_names(spark):
+    import pytest
+
+    from magi_etl_spark.operators.mannkendall import mann_kendall_trend
+
+    df = spark.createDataFrame([("a", 0, 1)], "s string, t long, x long")
+    with pytest.raises(ValueError, match="collide"):
+        mann_kendall_trend(df, ["s"], "t", F.col("x"))
+
+
+def test_wave_operators_reject_reserved_group_names(spark):
+    """The mannkendall collision rule applied family-wide: every r12
+    operator fails loudly when a group column shadows an output
+    statistic instead of producing an ambiguous-reference crash (or a
+    silently wrong select) deep in the plan."""
+    import pytest
+
+    from magi_etl_spark.operators.dbscan import grid_dbscan
+    from magi_etl_spark.operators.kappa import cohens_kappa
+    from magi_etl_spark.operators.mcnemar import mcnemar_test
+    from magi_etl_spark.operators.rankcorr import kendall_tau_b, spearman_rho
+    from magi_etl_spark.operators.rmst import restricted_mean_survival
+
+    two = spark.createDataFrame([(1, 2, 3)], "a long, b long, c long")
+    with pytest.raises(ValueError, match="collide"):
+        spearman_rho(two, ["rho"], F.col("a"), F.col("b"))
+    with pytest.raises(ValueError, match="collide"):
+        kendall_tau_b(two, ["tau_b"], F.col("a"), F.col("b"))
+    with pytest.raises(ValueError, match="collide"):
+        mcnemar_test(two, ["n10"], F.col("a"), F.col("b"))
+    with pytest.raises(ValueError, match="collide"):
+        cohens_kappa(two, ["kappa"], F.col("a"), F.col("b"))
+    with pytest.raises(ValueError, match="collide"):
+        restricted_mean_survival(two, ["n_users"], "a", "b", 5)
+    with pytest.raises(ValueError, match="distinct names"):
+        grid_dbscan(two, 5, 1, id_col="a", x_col="id", y_col="c")
 
 
 # --- rank correlation --------------------------------------------------------
