@@ -47,13 +47,18 @@ def autocorrelation(
     """``*series_cols, k, n, r_k`` for k = 1..``max_lag``: the exact-
     sufficient-statistic sample ACF of integer ``value`` ordered by
     ``order_col`` (must be unique per series) within each series.
-    Constant series emit NULL ``r_k`` (zero variance); lags with no
-    overlapping pairs (k >= n) emit r_k = NULL too."""
+    Rows with a null value OR a null order are dropped: a null-ordered
+    row sorts NULLS FIRST in Spark's window but NULLS LAST in other
+    engines, silently shifting every lead pairing (the kstest /
+    mannkendall null-placement class) — and an unordered observation
+    has no position in the series anyway.  Constant series emit NULL
+    ``r_k`` (zero variance); lags with no overlapping pairs (k >= n)
+    emit r_k = NULL too."""
     base = df.select(
         *series_cols,
         F.col(order_col).alias("_t"),
         value.cast("long").alias("_x"),
-    ).where(F.col("_x").isNotNull())
+    ).where(F.col("_x").isNotNull() & F.col("_t").isNotNull())
     w = W.partitionBy(*series_cols).orderBy(F.asc("_t"))
     leads = base.select(
         *series_cols,

@@ -121,6 +121,35 @@ def test_size_bytes_parses_spark_suffixes():
 # --- 3: acf no longer forces a broadcast of the totals side ------------------
 
 
+def test_acf_drops_null_order_rows(spark):
+    from magi_etl_spark.operators.acf import autocorrelation
+
+    # a null-ordered observation must not enter the lead chains: Spark
+    # sorts it NULLS FIRST (other engines LAST), which would silently
+    # shift every pairing — drop it like a null value
+    with_null = spark.createDataFrame(
+        [("s", 0, 1), ("s", None, 999), ("s", 1, 2), ("s", 2, 3)],
+        "series string, t long, x long",
+    )
+    without = spark.createDataFrame(
+        [("s", 0, 1), ("s", 1, 2), ("s", 2, 3)],
+        "series string, t long, x long",
+    )
+    got = sorted(
+        (r.k, r.n, r.r_k)
+        for r in autocorrelation(
+            with_null, ["series"], "t", F.col("x"), 2
+        ).collect()
+    )
+    want = sorted(
+        (r.k, r.n, r.r_k)
+        for r in autocorrelation(
+            without, ["series"], "t", F.col("x"), 2
+        ).collect()
+    )
+    assert got == want and got[0][1] == 3
+
+
 def test_acf_has_no_forced_broadcast_hint(spark):
     from magi_etl_spark.operators.acf import autocorrelation
 
