@@ -71,9 +71,16 @@ def grid_dbscan(
     # one grid-blocked join, never all-pairs.  The pair stream feeds
     # FIVE consumers (neighbor counts, both sides of the core-core
     # edges, the border join, and — via cores — the anti-join), so it
-    # persists once (MEMORY_AND_DISK, the DataFrame default: O(corpus)
-    # id pairs, density-bounded) instead of re-running the grid join
-    # per consumer — measured 3-4x of the operator's wall at 32x scale
+    # materializes once (O(corpus) id pairs, density-bounded) instead
+    # of re-running the grid join per consumer — measured 3-4x of the
+    # operator's wall at 32x scale.  Eager localCheckpoint, NOT
+    # persist(): an explicit persist stays registered in the cache
+    # manager until someone unpersists it, leaking one cached pair
+    # frame per grid_dbscan call in a long-lived session (the r12
+    # ADVICE item — the lsh_index.py lesson); checkpoint blocks are
+    # released by the ContextCleaner as soon as the result frame goes
+    # out of scope, and the component loop below needs the pair stream
+    # materialized before its first iteration anyway.
     pairs = (
         grid_blocked_eps_join(
             p.select(F.col("id").alias("_ida"), x_col, y_col),
@@ -85,14 +92,14 @@ def grid_dbscan(
             y_col,
         )
         .select("_ida", "_idb")
-        .persist()
+        .localCheckpoint(eager=True)
     )
     cores = (
         pairs.groupBy("_ida")
         .agg(F.count(F.lit(1)).alias("_n_eps"))
         .where(F.col("_n_eps") >= int(min_pts))
         .select(F.col("_ida").alias("id"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     core_pairs = (
         pairs.join(cores.select(F.col("id").alias("_ida")), "_ida")

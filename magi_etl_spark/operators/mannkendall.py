@@ -56,7 +56,11 @@ def mann_kendall_trend(
     null-ordered row would otherwise count toward n and the tie terms
     while never joining any pair, making S inconsistent with its own
     n; engines also order nulls differently, the kstest lesson).
-    Series with n < 2 or zero variance (all values tied) emit z NULL."""
+    Series with n < 2 or zero variance (all values tied) emit z NULL;
+    an n = 1 series has no pair row, so the pair aggregate is
+    LEFT-joined and its S coalesces to the empty-sum value 0 (the r12
+    ADVICE fix — an inner join silently dropped such series while this
+    docstring promised a z-NULL row)."""
     reserved = {"n", "s", "var_s18", "z"} & set(series_cols)
     if reserved:
         raise ValueError(
@@ -113,7 +117,8 @@ def mann_kendall_trend(
         .otherwise(F.lit(0.0))
     )
     return (
-        ties.join(s, series_cols)
+        ties.join(s, series_cols, "left")
+        .withColumn("s", F.coalesce(F.col("s"), F.lit(0)).cast("long"))
         .withColumn("var_s18", var18.cast("long"))
         .select(
             *series_cols,

@@ -280,9 +280,12 @@ def q245_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q246_mann_kendall_trend",
     oracle="""
     WITH daily AS (
+        -- ts IS NOT NULL mirrors the operator's null-ORDER drop (the
+        -- r12 ADVICE parity fix): a null-day row must not count toward
+        -- n or the tie terms when it can never join a pair
         SELECT event_type, CAST(ts AS DATE) AS day,
                CAST(COUNT(*) AS BIGINT) AS x
-        FROM events GROUP BY 1, 2
+        FROM events WHERE ts IS NOT NULL GROUP BY 1, 2
     ),
     s AS (
         SELECT a.event_type,
@@ -301,10 +304,12 @@ def q245_rank_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1
     ),
     v AS (
-        SELECT t.event_type, t.n, s.s,
+        -- LEFT JOIN + empty-sum coalesce mirrors the operator: an n=1
+        -- series has no pair row but still emits (S=0, z NULL)
+        SELECT t.event_type, t.n, CAST(COALESCE(s.s, 0) AS BIGINT) AS s,
                CAST(CAST(t.n AS HUGEINT) * (t.n - 1) * (2 * t.n + 5)
                     - t.tie18 AS BIGINT) AS var_s18
-        FROM ties t JOIN s ON s.event_type = t.event_type
+        FROM ties t LEFT JOIN s ON s.event_type = t.event_type
     )
     SELECT event_type, n, s, var_s18,
            CASE WHEN n >= 2 AND var_s18 > 0 THEN ROUND(
