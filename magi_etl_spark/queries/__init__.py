@@ -114,12 +114,19 @@ def _load_all() -> None:
     # r12 window", rotation rule 1.
     from magi_etl_spark.queries.extensions_r11 import EXT8_ORACLE, EXT8_QUERIES
 
+    # r13 rotation: the r12 wave (EXT9, q244-q249, oracle-verified all
+    # through r12 by tests/test_extensions_r12.py + the staged parity
+    # sweeps at three scale factors) merges the same way — COVERAGE.md
+    # "Planned r13 window", rotation rule 1.
+    from magi_etl_spark.queries.extensions_r12 import EXT9_ORACLE, EXT9_QUERIES
+
     for tag, (q, o) in {
         "r7": (EXT4_QUERIES, EXT4_ORACLE),
         "r8": (EXT5_QUERIES, EXT5_ORACLE),
         "r9": (EXT6_QUERIES, EXT6_ORACLE),
         "r10": (EXT7_QUERIES, EXT7_ORACLE),
         "r11": (EXT8_QUERIES, EXT8_ORACLE),
+        "r12": (EXT9_QUERIES, EXT9_ORACLE),
     }.items():
         dup = set(q) & set(QUERIES)
         if dup:
@@ -146,70 +153,67 @@ _load_all()
 GATE_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # ROUND-12 WINDOW — COVERAGE.md "Planned r12 window".  CORRECTNESS_r11
+    # ROUND-13 WINDOW — COVERAGE.md "Planned r13 window".  CORRECTNESS_r12
     # was 50/50 green (no failure re-entries), so rule 1 front-loads the
-    # r11 staged wave (EXT8, q238-q243) in registration order — the staged
-    # backlog stays at ZERO.
-    "q238_group_auc",
-    "q239_spatial_pairs",
-    "q240_daily_autocorrelation",
-    "q241_bh_fdr",
-    "q242_cmh_high_value",
-    "q243_ndcg_eval",
+    # r12 staged wave (EXT9, q244-q249) in registration order — the staged
+    # backlog stays at ZERO.  The r13-session ADVICE fixes touch only the
+    # staged modules backing these six (mannkendall/dbscan/rankcorr and
+    # the EXT9 registry itself), so rule 2 adds no extra re-entries.
+    "q244_grid_dbscan",
+    "q245_rank_correlation",
+    "q246_mann_kendall_trend",
+    "q247_mcnemar_switch",
+    "q248_rater_agreement",
+    "q249_rmst_arms",
     # Oldest-verified-first tail refresh (rule 1 fill, 44 slots, computed
-    # from the union of CORRECTNESS rows at r11 close; ties in
-    # registration order): the r5-era rows — q95-q97 land after their r11
-    # displacement — then the r7-era rows through q127; q128 onward
-    # displaces to r13.  The r12-session conf-parse hardening of
-    # functions/__init__.py (63 dependents — more than the window can
-    # hold) is covered by the core-file exemption in
-    # tests/test_gate_window.py (measured guard); 26 of its dependents
-    # still ride this window (25 below + q241 in the wave), and the
-    # rest are oracle-checked at HEAD by the every-round local sweep.
-    "q95_salted_hot_join",
-    "q96_fuzzy_linkage",
-    "q97_snm_pairs",
-    "q100_redact_pii",
-    "q101_expectation_suite",
-    "q102_incremental_extract",
-    "q105_paragraph_dedup",
-    "q109_unigram_logprob",
-    "q110_versioned_table",
-    "q111_tfidf_keywords",
-    "q23_dedup_exact",
-    "q47_dedup_keep_best",
-    "q24_minhash_signatures",
-    "q25_minhash_lsh_neardup",
-    "q29_ngram_jaccard_pairs",
-    "q50_exact_ngram_jaccard_pairs",
-    "q55_decontaminate",
-    "q59_dedup_clusters",
-    "q89_rolling_7d",
-    "q91_gapfill_interpolate",
-    "q01_pricing_summary",
-    "q03_top_orders",
-    "q56_dataset_mix",
-    "q84_dataset_split",
-    "q64_stratified_sample",
-    "q69_repetition_score",
-    "q99_temperature_mix",
-    "q103_winsorize",
-    "q107_join_estimate",
-    "q108_group_sample_n",
-    "q112_semantic_decontaminate",
-    "q113_corpus_curation",
-    "q114_incremental_lsh_index",
-    "q116_pagerank",
-    "q117_bpe_merges",
-    "q118_bpe_segment",
-    "q119_bigram_logprob",
-    "q120_top_ngrams",
-    "q121_oot_split",
-    "q123_multimodal_features",
-    "q124_audio_features",
-    "q125_enrich_summary",
-    "q126_enrich_poster",
-    "q127_dsir_importance",
+    # from the union of CORRECTNESS rows at r12 close; ties in
+    # registration order): the four r7-era stragglers q128-q131, then the
+    # r8-era rows through q178; q179 onward and the r9-era tail displace
+    # to r14 (enumerated in COVERAGE.md "Planned r14 window").
+    "q128_ngram_novelty",
+    "q129_duplicated_spans",
+    "q130_merge_into",
+    "q131_weighted_sample",
+    "q122_bpe_encode_docs",
+    "q133_kmv_distinct",
+    "q134_hll_distinct",
+    "q135_cms_heavy_hitters",
+    "q137_containment_pairs",
+    "q138_curriculum_order",
+    "q142_copurchase_lift",
+    "q143_psi_drift",
+    "q144_mad_outliers",
+    "q145_random_projection",
+    "q147_triangle_count",
+    "q149_kmv_set_overlap",
+    "q150_image_phash",
+    "q151_image_near_dup",
+    "q152_ols_trend",
+    "q153_wilson_ci",
+    "q154_ab_compare",
+    "q155_benford_audit",
+    "q156_mutual_information",
+    "q157_revenue_concentration",
+    "q158_dow_seasonality",
+    "q159_corr_matrix",
+    "q160_personalized_pagerank",
+    "q161_fs_linkage",
+    "q162_grid_quantiles",
+    "q163_frequent_triples",
+    "q164_kneser_ney",
+    "q165_shard_plan",
+    "q167_phrase_search",
+    "q168_seed_classifier",
+    "q169_domain_curation",
+    "q170_k_anonymity",
+    "q171_soft_dedup_weights",
+    "q172_golden_records",
+    "q173_l_diversity",
+    "q174_dp_noisy_counts",
+    "q175_curation_manifest",
+    "q176_tokenizer_fertility",
+    "q177_score_calibration",
+    "q178_span_removal",
 ]
 
 
