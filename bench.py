@@ -242,6 +242,13 @@ HEADLINE = [
     "q241_bh_fdr",
     "q242_cmh_high_value",
     "q243_ndcg_eval",
+    # r12 wave, merged at the r13 rotation
+    "q244_grid_dbscan",
+    "q245_rank_correlation",
+    "q246_mann_kendall_trend",
+    "q247_mcnemar_switch",
+    "q248_rater_agreement",
+    "q249_rmst_arms",
 ]
 
 _RUNS = 2  # best-of-N: local-mode timings are noisy
@@ -366,6 +373,11 @@ def main() -> None:
                 # host-contention flag (see _LOADED_HOST_1M): cross-round
                 # wall diffs should ignore host_loaded=true artifacts
                 "host_loaded": load_before[0] > _LOADED_HOST_1M,
+                # the r12 lesson: host_loaded samples the START load
+                # only, but degradation can arrive mid-run — this flag
+                # trips if ANY during-run sample crossed the bar, so
+                # consumers never re-derive it from load_1m_during
+                "host_loaded_during": max(load_during) > _LOADED_HOST_1M,
                 "load_1m_before": round(load_before[0], 2),
                 # every run's wall time (timings keeps the best) plus the
                 # 1-min load average sampled after each query: the host-
@@ -402,9 +414,14 @@ def main() -> None:
             # true = another workload shared the host at bench start;
             # walls are contention-inflated, not plan regressions
             "host_loaded": load_before[0] > _LOADED_HOST_1M,
+            # true = the bar was crossed at ANY per-query sample during
+            # the run (the r12 lesson: degradation can arrive mid-run)
+            "host_loaded_during": max(load_during) > _LOADED_HOST_1M,
         }
     )
-    assert len(headline) < 300, f"headline line too long: {len(headline)}B"
+    # 400 B (was 300) after host_loaded_during joined: still ~5x under
+    # the ~2.1 KB driver tail capture that ate the r4/r5 headlines
+    assert len(headline) < 400, f"headline line too long: {len(headline)}B"
     sys.stderr.flush()
     print(headline, flush=True)
     spark.stop()
