@@ -53,7 +53,9 @@ def autocorrelation(
     mannkendall null-placement class) — and an unordered observation
     has no position in the series anyway.  Constant series emit NULL
     ``r_k`` (zero variance); lags with no overlapping pairs (k >= n)
-    emit r_k = NULL too."""
+    are OMITTED from the output — no pair, no row (the q240 oracle
+    encodes the same omission; stated explicitly after the r12
+    mannkendall docstring/behavior-drift lesson)."""
     base = df.select(
         *series_cols,
         F.col(order_col).alias("_t"),

@@ -156,3 +156,23 @@ def test_kendall_tau_b_rejects_cell_blowup(spark):
         df, ["g"], F.col("x"), F.col("y"), max_cells=30
     ).collect()[0]
     assert (row2.n, row2.tau_b) == (row.n, row.tau_b)
+
+
+# --- sibling sweep: acf short-series lags are OMITTED (doc now says so) ------
+
+
+def test_acf_short_series_lags_are_omitted_not_null(spark):
+    """The r13 sibling sweep of the mannkendall docstring-drift class:
+    acf's docstring promised r_k = NULL for k >= n while the code (and
+    the green q240 oracle) OMIT those rows.  Behavior is the contract
+    the gate verified, so the docstring was fixed to match — this pins
+    the omission so the two can't drift apart again."""
+    from pyspark.sql import functions as F
+
+    from magi_etl_spark.operators.acf import autocorrelation
+
+    df = spark.createDataFrame(
+        [("s", 1, 4), ("s", 2, 9)], "g string, t int, x int"
+    )
+    rows = autocorrelation(df, ["g"], "t", F.col("x"), 3).collect()
+    assert [r.k for r in rows] == [1]  # k=2,3 have no pairs -> no rows

@@ -35,6 +35,7 @@ def _staged() -> dict[str, tuple]:
         ("magi_etl_spark.queries.extensions_r10", "EXT7_QUERIES", "EXT7_ORACLE"),
         ("magi_etl_spark.queries.extensions_r11", "EXT8_QUERIES", "EXT8_ORACLE"),
         ("magi_etl_spark.queries.extensions_r12", "EXT9_QUERIES", "EXT9_ORACLE"),
+        ("magi_etl_spark.queries.extensions_r13", "EXT10_QUERIES", "EXT10_ORACLE"),
     ]:
         try:
             m = __import__(mod, fromlist=[q, o])

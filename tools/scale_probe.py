@@ -1627,6 +1627,170 @@ def main() -> None:
 
         return run
 
+    # --- r13 wave --------------------------------------------------------
+    def raking_probe(e):
+        from magi_etl_spark.operators.raking import rake_weights
+
+        # cells/marginals are bounded by event_type x 7 day-indices; the
+        # corpus is touched once per marginal build and once for the
+        # cells — every IPF round rides the tiny cell table
+        def run():
+            ev = (
+                e.where(F.col("ts").isNotNull())
+                .select(
+                    "event_type",
+                    (
+                        F.datediff(
+                            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+                        )
+                        % 7
+                    ).alias("di7"),
+                    F.to_date("ts").alias("day"),
+                )
+            )
+            first = ev.where(
+                F.col("day") < F.lit("2024-01-16").cast("date")
+            ).select("event_type", "di7")
+            rt = ev.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("target")
+            )
+            ct = ev.groupBy("di7").agg(F.count(F.lit(1)).alias("target"))
+            return rake_weights(first, "event_type", "di7", rt, ct, rounds=3)
+
+        return run
+
+    def kruskal_probe(e):
+        from magi_etl_spark.operators.kruskal import kruskal_wallis
+
+        # replication multiplies per-value COUNTS, not distinct cents:
+        # ranks ride distinct values, so the rank window is
+        # scale-invariant and the scans are the linear part
+        def run():
+            base = (
+                e.where(
+                    F.col("value").isNotNull() & F.col("user_id").isNotNull()
+                )
+                .select(
+                    "event_type",
+                    (F.col("user_id") % 5).alias("cohort"),
+                    F.round(F.col("value") * 100).cast("long").alias("cents"),
+                )
+            )
+            return kruskal_wallis(
+                base, ["event_type"], "cohort", F.col("cents")
+            )
+
+        return run
+
+    def cusumloc_probe(e):
+        from magi_etl_spark.operators.pagehinkley import cusum_change_point
+
+        # the daily collapse is the only corpus-sized stage; the window
+        # and argmax ride the calendar-bounded series
+        def run():
+            daily = (
+                e.where(F.col("value").isNotNull() & F.col("ts").isNotNull())
+                .groupBy("event_type", F.to_date("ts").alias("day"))
+                .agg(
+                    F.sum(
+                        F.round(F.col("value") * 100).cast("long")
+                    ).alias("x")
+                )
+            )
+            return cusum_change_point(daily, ["event_type"], "day", F.col("x"))
+
+        return run
+
+    def brier_probe(d):
+        from magi_etl_spark.operators.brier import reliability_brier_bins
+
+        # one map-side-combinable agg over (source, bin); the text scan
+        # (regexp count) is the linear part
+        def run():
+            rated = d.select(
+                "source",
+                F.least(
+                    F.expr(
+                        "size(regexp_extract_all(lower(text), 'the', 0))"
+                    ).cast("long")
+                    * 20000,
+                    F.lit(1000000).cast("long"),
+                ).alias("p"),
+                (F.col("lang") == "en").alias("y"),
+            )
+            return reliability_brier_bins(
+                rated, ["source"], F.col("p"), F.col("y"), n_bins=10
+            )
+
+        return run
+
+    def wkappa_probe(d):
+        from magi_etl_spark.operators.wkappa import weighted_kappa
+
+        # confusion cells bounded by lang x 4x4 buckets, marginal cross
+        # by lang x 4 x 4; the item scan is the only corpus-sized stage
+        def run():
+            rated = d.select(
+                "lang",
+                F.least(F.expr("n_chars DIV 400"), F.lit(3)).alias("r1"),
+                F.least(
+                    F.expr(
+                        "size(regexp_extract_all(lower(text), '[a-z]+', 0))"
+                        " DIV 60"
+                    ).cast("long"),
+                    F.lit(3),
+                ).alias("r2"),
+            )
+            return weighted_kappa(
+                rated, ["lang"], F.col("r1"), F.col("r2"), "quadratic"
+            )
+
+        return run
+
+    def dbprofile_probe(c):
+        import math
+
+        from magi_etl_spark.operators.dbscan import grid_dbscan
+        from magi_etl_spark.operators.dbstability import (
+            dbscan_cluster_profile,
+        )
+
+        # q255's denser geometry (eps = U, mean neighborhood ~pi) over
+        # the count-derived domain: density stays constant under
+        # replication, and the profile adds one keyed agg on top of the
+        # already-probed dbscan dataflow
+        def run():
+            m = math.ceil(math.sqrt(c.count())) * 6_000_000
+
+            def md5coord(salt: str):
+                return (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit(salt),
+                                    F.col("c_custkey").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % m
+                    - m // 2
+                )
+
+            pts = c.select(
+                F.col("c_custkey").alias("id"),
+                md5coord("dbsx|").alias("x"),
+                md5coord("dbsy|").alias("y"),
+            )
+            return dbscan_cluster_profile(grid_dbscan(pts, 6_000_000, 4))
+
+        return run
+
     def ivf_default_probe(em):
         # r10 scale-default: n_lists derives ~sqrt(n) at build time, so a
         # fixed query set's probe cost (n_probe lists x n/n_lists rows
@@ -1812,6 +1976,12 @@ def main() -> None:
         ("mcnemar", mcnemar_probe(events1), mcnemar_probe(eventsN)),
         ("kappa", kappa_probe(docs1), kappa_probe(docsN)),
         ("rmst", rmst_probe(events1), rmst_probe(eventsN)),
+        ("raking", raking_probe(events1), raking_probe(eventsN)),
+        ("kruskal", kruskal_probe(events1), kruskal_probe(eventsN)),
+        ("cusumloc", cusumloc_probe(events1), cusumloc_probe(eventsN)),
+        ("brier", brier_probe(docs1), brier_probe(docsN)),
+        ("wkappa", wkappa_probe(docs1), wkappa_probe(docsN)),
+        ("dbprofile", dbprofile_probe(cust1), dbprofile_probe(custN)),
     ):
         if only is not None and label not in only:
             continue
