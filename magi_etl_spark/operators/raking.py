@@ -23,8 +23,15 @@ marginal leaves the cell weights unchanged (nothing to calibrate to).
 Scale shape: each half-round is one keyed aggregation over the cells
 plus one keyed join back — work rides the CELL table (category
 cardinality x category cardinality), never the corpus; the corpus is
-touched once to build the cells.  Rounds are bounded (default 3), so
-the lazy plan stays shallow and Catalyst sees the whole pipeline.
+scanned exactly three times (cells + the two marginal builds),
+REGARDLESS of rounds: the cell frame is materialized by an eager
+localCheckpoint before the loop and after every half-round (the
+lsh_index/components pattern — blocks are ContextCleaner-released,
+nothing registers in the cache manager).  Without the checkpoints the
+scaling recurrence doubles the lazy plan per half-round — the first
+draft compiled 3 rounds into a 1,916-line physical plan with 446
+exchanges re-deriving the corpus scan per marginal, caught by this
+round's staged plan audit.
 
 Scope note: the reference app has no calibration-weighting surface —
 this extends the exact-statistics family (CMH q242, CUPED q232) with
@@ -99,10 +106,20 @@ def rake_weights(
     ct = col_targets.select(
         col_col, F.col("target").cast("long").alias("_tc")
     ).where(F.col("_tc").isNotNull())
-    cur = cells.join(rt, row_col).join(ct, col_col)
+    # eager checkpoint per half-round: the frame is cell-table-sized
+    # (category cross, the documented contract), so materializing it is
+    # O(categories²) while keeping the plan linear in rounds and the
+    # corpus scan count at three
+    cur = cells.join(rt, row_col).join(ct, col_col).localCheckpoint(
+        eager=True
+    )
     for _ in range(int(rounds)):
-        cur = _scale(cur, row_col, "_tr", int(unit))
-        cur = _scale(cur, col_col, "_tc", int(unit))
+        cur = _scale(cur, row_col, "_tr", int(unit)).localCheckpoint(
+            eager=True
+        )
+        cur = _scale(cur, col_col, "_tc", int(unit)).localCheckpoint(
+            eager=True
+        )
     return cur.select(
         row_col, col_col, "n", F.col("w").alias("w_micro")
     )
