@@ -374,10 +374,15 @@ def main() -> None:
                 # wall diffs should ignore host_loaded=true artifacts
                 "host_loaded": load_before[0] > _LOADED_HOST_1M,
                 # the r12 lesson: host_loaded samples the START load
-                # only, but degradation can arrive mid-run — this flag
-                # trips if ANY during-run sample crossed the bar, so
-                # consumers never re-derive it from load_1m_during
-                "host_loaded_during": max(load_during) > _LOADED_HOST_1M,
+                # only, but degradation can arrive mid-run.  The bench's
+                # OWN local[32] work pushes the 1-min average to 4-10
+                # even on an idle host (measured across the r12/r13 run
+                # series), so a max-based flag would be vacuously true;
+                # the FLOOR of the per-query samples is the external
+                # signal — bench load decays between queries, so a floor
+                # above the bar means another workload held the host
+                # through the run
+                "host_loaded_during": min(load_during) > _LOADED_HOST_1M,
                 "load_1m_before": round(load_before[0], 2),
                 # every run's wall time (timings keeps the best) plus the
                 # 1-min load average sampled after each query: the host-
@@ -414,9 +419,11 @@ def main() -> None:
             # true = another workload shared the host at bench start;
             # walls are contention-inflated, not plan regressions
             "host_loaded": load_before[0] > _LOADED_HOST_1M,
-            # true = the bar was crossed at ANY per-query sample during
-            # the run (the r12 lesson: degradation can arrive mid-run)
-            "host_loaded_during": max(load_during) > _LOADED_HOST_1M,
+            # true = the per-query 1-min load FLOOR stayed above the
+            # bar (the bench's own work decays between queries, so a
+            # high floor means an EXTERNAL workload held the host
+            # through the run — the r12 mid-run-degradation lesson)
+            "host_loaded_during": min(load_during) > _LOADED_HOST_1M,
         }
     )
     # 400 B (was 300) after host_loaded_during joined: still ~5x under
