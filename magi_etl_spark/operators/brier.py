@@ -52,9 +52,10 @@ def reliability_brier_bins(
         raise ValueError(f"n_bins must be >= 1, got {n_bins!r}")
     if int(unit) < 1:
         raise ValueError(f"unit must be >= 1, got {unit!r}")
-    reserved = {"bin", "n", "mean_p", "event_rate", "brier", "_p", "_y"} & set(
-        group_cols
-    )
+    reserved = {
+        "bin", "n", "mean_p", "event_rate", "brier",
+        "_p", "_y", "_sp", "_sy", "_sse",
+    } & set(group_cols)
     if reserved:
         raise ValueError(
             f"group_cols collide with output columns: {sorted(reserved)}"

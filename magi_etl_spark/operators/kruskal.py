@@ -58,9 +58,15 @@ def kruskal_wallis(
     undefined)."""
     from magi_etl_spark.operators.rankcorr import _rank2
 
-    reserved = {"k_groups", "n", "h", "_g", "_x", "_a"} & (
-        set(key_cols) | {group_col}
-    )
+    if not key_cols:
+        raise ValueError(
+            "key_cols must be non-empty (terms/ties join on them); for a "
+            "global test, add a constant key column upstream"
+        )
+    reserved = {
+        "k_groups", "n", "h",
+        "_g", "_x", "_a", "_ng", "_r2", "_t6", "_t", "_tie3",
+    } & (set(key_cols) | {group_col})
     if reserved:
         raise ValueError(
             f"key/group columns collide with working columns: {sorted(reserved)}"

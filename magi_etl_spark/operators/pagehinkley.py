@@ -50,9 +50,10 @@ def cusum_change_point(
     order nulls differently, the kstest lesson)."""
     if not series_cols:
         raise ValueError("series_cols must be non-empty (one row per series)")
-    reserved = {"n", "cp", "dmax", "_t", "_x", "_c", "_i", "_s", "_ad"} & set(
-        series_cols
-    )
+    reserved = {
+        "n", "cp", "dmax",
+        "_t", "_x", "_c", "_i", "_s", "_ni", "_ad", "_admax", "_cpt",
+    } & set(series_cols)
     if reserved:
         raise ValueError(
             f"series_cols collide with working columns: {sorted(reserved)}"

@@ -52,10 +52,19 @@ def weighted_kappa(
         raise ValueError(
             f"weighting must be 'linear' or 'quadratic', got {weighting!r}"
         )
-    reserved = {"n_items", "kappa_w", "_i", "_j", "_c"} & set(group_cols)
+    if not group_cols:
+        raise ValueError(
+            "group_cols must be non-empty (the marginal cross and the "
+            "obs/exp join key on them); for a global kappa, add a "
+            "constant key column upstream"
+        )
+    reserved = {
+        "n_items", "kappa_w",
+        "_i", "_j", "_c", "_rowc", "_colc", "_vo", "_ve",
+    } & set(group_cols)
     if reserved:
         raise ValueError(
-            f"group_cols collide with output columns: {sorted(reserved)}"
+            f"group_cols collide with working columns: {sorted(reserved)}"
         )
 
     def pen(i: Column, j: Column) -> Column:
