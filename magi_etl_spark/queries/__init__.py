@@ -120,6 +120,12 @@ def _load_all() -> None:
     # "Planned r13 window", rotation rule 1.
     from magi_etl_spark.queries.extensions_r12 import EXT9_ORACLE, EXT9_QUERIES
 
+    # r14 rotation: the r13 wave (EXT10, q250-q255, oracle-verified all
+    # through r13 by tests/test_extensions_r13.py + the staged parity
+    # sweeps at three scale factors) merges the same way — COVERAGE.md
+    # "Planned r14 window", rotation rule 1.
+    from magi_etl_spark.queries.extensions_r13 import EXT10_ORACLE, EXT10_QUERIES
+
     for tag, (q, o) in {
         "r7": (EXT4_QUERIES, EXT4_ORACLE),
         "r8": (EXT5_QUERIES, EXT5_ORACLE),
@@ -127,6 +133,7 @@ def _load_all() -> None:
         "r10": (EXT7_QUERIES, EXT7_ORACLE),
         "r11": (EXT8_QUERIES, EXT8_ORACLE),
         "r12": (EXT9_QUERIES, EXT9_ORACLE),
+        "r13": (EXT10_QUERIES, EXT10_ORACLE),
     }.items():
         dup = set(q) & set(QUERIES)
         if dup:
@@ -153,67 +160,72 @@ _load_all()
 GATE_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # ROUND-13 WINDOW — COVERAGE.md "Planned r13 window".  CORRECTNESS_r12
+    # ROUND-14 WINDOW — COVERAGE.md "Planned r14 window".  CORRECTNESS_r13
     # was 50/50 green (no failure re-entries), so rule 1 front-loads the
-    # r12 staged wave (EXT9, q244-q249) in registration order — the staged
-    # backlog stays at ZERO.  The r13-session ADVICE fixes touch only the
-    # staged modules backing these six (mannkendall/dbscan/rankcorr and
-    # the EXT9 registry itself), so rule 2 adds no extra re-entries.
-    "q244_grid_dbscan",
+    # r13 staged wave (EXT10, q250-q255) in registration order — the
+    # staged backlog stays at ZERO.
+    "q250_survey_raking",
+    "q251_kruskal_cohorts",
+    "q252_cusum_localization",
+    "q253_brier_calibration",
+    "q254_weighted_kappa",
+    "q255_dbscan_profile",
+    # Rule-2 re-entry: the r14-session r13-ADVICE fix edits q245's own
+    # function body (max_cells=None — the guard pass left the bench's
+    # timed region), so the query re-enters despite its green r13 row,
+    # displacing the planned fill's LAST entry (q203 -> r15).  The other
+    # ADVICE fixes touch only staged modules (kruskal/wkappa/brier/
+    # pagehinkley), costing nothing.
     "q245_rank_correlation",
-    "q246_mann_kendall_trend",
-    "q247_mcnemar_switch",
-    "q248_rater_agreement",
-    "q249_rmst_arms",
-    # Oldest-verified-first tail refresh (rule 1 fill, 44 slots, computed
-    # from the union of CORRECTNESS rows at r12 close; ties in
-    # registration order): the four r7-era stragglers q128-q131, then the
-    # r8-era rows through q178; q179 onward and the r9-era tail displace
-    # to r14 (enumerated in COVERAGE.md "Planned r14 window").
-    "q128_ngram_novelty",
-    "q129_duplicated_spans",
-    "q130_merge_into",
-    "q131_weighted_sample",
-    "q122_bpe_encode_docs",
-    "q133_kmv_distinct",
-    "q134_hll_distinct",
-    "q135_cms_heavy_hitters",
-    "q137_containment_pairs",
-    "q138_curriculum_order",
-    "q142_copurchase_lift",
-    "q143_psi_drift",
-    "q144_mad_outliers",
-    "q145_random_projection",
-    "q147_triangle_count",
-    "q149_kmv_set_overlap",
-    "q150_image_phash",
-    "q151_image_near_dup",
-    "q152_ols_trend",
-    "q153_wilson_ci",
-    "q154_ab_compare",
-    "q155_benford_audit",
-    "q156_mutual_information",
-    "q157_revenue_concentration",
-    "q158_dow_seasonality",
-    "q159_corr_matrix",
-    "q160_personalized_pagerank",
-    "q161_fs_linkage",
-    "q162_grid_quantiles",
-    "q163_frequent_triples",
-    "q164_kneser_ney",
-    "q165_shard_plan",
-    "q167_phrase_search",
-    "q168_seed_classifier",
-    "q169_domain_curation",
-    "q170_k_anonymity",
-    "q171_soft_dedup_weights",
-    "q172_golden_records",
-    "q173_l_diversity",
-    "q174_dp_noisy_counts",
-    "q175_curation_manifest",
-    "q176_tokenizer_fertility",
-    "q177_score_calibration",
-    "q178_span_removal",
+    # Oldest-verified-first tail refresh (rule 1 fill, 43 slots, computed
+    # from the union of CORRECTNESS rows at r13 close; ties in
+    # registration order): the three r8-era stragglers q179-q181, then
+    # the r9-era rows through q205; q203, q220-q225 and the rest of the
+    # r9-era tail displace to r15 (enumerated in COVERAGE.md "Planned
+    # r15 window").
+    "q179_entity_resolution",
+    "q180_readability",
+    "q181_fk_discovery",
+    "q139_funnel",
+    "q140_cohort_retention",
+    "q141_markov_transitions",
+    "q146_rfm_segments",
+    "q148_attribution",
+    "q166_top_event_paths",
+    "q182_multi_touch",
+    "q183_markov_attribution",
+    "q184_active_user_stickiness",
+    "q185_concurrency_peaks",
+    "q187_decay_engagement",
+    "q186_revenue_gini",
+    "q188_target_encoding",
+    "q189_woe_iv",
+    "q190_quota_sample",
+    "q191_cusum_alarms",
+    "q192_holt_smoothing",
+    "q193_winnow_profile",
+    "q194_winnow_pairs",
+    "q195_similarity_join",
+    "q196_script_profile",
+    "q197_extract_summary",
+    "q198_asof_enrichment",
+    "q199_kcore",
+    "q202_lsh_candidate_eval",
+    "q219_transition_entropy",
+    "q218_source_datasheet",
+    "q217_entry_exit_bounce",
+    "q215_weighted_jaccard",
+    "q216_token_pmi",
+    "q214_conversion_latency",
+    "q211_negative_edges",
+    "q212_rendezvous_shards",
+    "q213_twap",
+    "q210_common_runs",
+    "q207_ecdf_normalize",
+    "q208_chi_square",
+    "q209_survival_curve",
+    "q206_langid_confusion",
+    "q205_theil_sen_trend",
 ]
 
 
