@@ -33,6 +33,7 @@ def _all_query_registries() -> dict[str, object]:
         ("magi_etl_spark.queries.extensions_r11", "EXT8_QUERIES"),
         ("magi_etl_spark.queries.extensions_r12", "EXT9_QUERIES"),
         ("magi_etl_spark.queries.extensions_r13", "EXT10_QUERIES"),
+        ("magi_etl_spark.queries.extensions_r14", "EXT11_QUERIES"),
     ]:
         try:
             m = __import__(mod, fromlist=[reg])
@@ -77,7 +78,8 @@ def test_lint_covers_every_authored_query():
     }
     known = {"extensions", "extensions_r5", "extensions_r6", "extensions_r7",
              "extensions_r8", "extensions_r9", "extensions_r10",
-             "extensions_r11", "extensions_r12", "extensions_r13"}
+             "extensions_r11", "extensions_r12", "extensions_r13",
+             "extensions_r14"}
     unknown = ext_mods - known
     if unknown:
         pytest.fail(
