@@ -32,10 +32,13 @@ over ALL of the key's rows, so a treatment that only ever appears in
 ragged blocks strictly shrinks n rather than silently shrinking k.
 
 Scale shape: one (key, block, treatment) cell scan collapses the
-corpus; the rank window is partitioned by (key, block) — millions of
-tiny partitions, never a funnel; the rest is two keyed aggregations.
-Keys-with-no-complete-blocks still emit their row (n_blocks 0, t NULL
-— the mannkendall posture).
+corpus into an eagerly localCheckpointed cell frame (the input is
+referenced by five downstream frames — lazy, the compiled plan
+re-derived it per reference; the q250 IPF lesson), so the corpus is
+scanned exactly ONCE regardless of plan fan-out; the rank window is
+partitioned by (key, block) — millions of tiny partitions, never a
+funnel; the rest is keyed aggregations.  Keys-with-no-complete-blocks
+still emit their row (n_blocks 0, t NULL — the mannkendall posture).
 
 Scope note: the reference app has no blocked-design surface — this
 completes the rank family (Mann–Whitney q238, Spearman/Kendall q245,
@@ -68,7 +71,10 @@ def friedman_test(
     completeness count and is dropped).  Keys with fewer than 2
     treatments, no complete blocks, or every block internally tied
     emit t NULL (the mannkendall posture: the row is present, the
-    statistic is undefined)."""
+    statistic is undefined).
+
+    Eager: the cell frame is localCheckpointed at call time (the q250
+    posture), so construction runs one bounded job."""
     from magi_etl_spark.operators.rankcorr import _rank2
 
     if not key_cols:
@@ -86,15 +92,26 @@ def friedman_test(
             f"key/block/treatment columns collide with working columns: "
             f"{sorted(reserved)}"
         )
-    base = df.select(
-        *key_cols,
-        F.col(block_col).alias("_b"),
-        F.col(treatment_col).alias("_g"),
-        value.cast("long").alias("_x"),
-    ).where(
-        F.col("_x").isNotNull()
-        & F.col("_b").isNotNull()
-        & F.col("_g").isNotNull()
+    # the cell frame is referenced by FIVE downstream frames (k-count,
+    # completeness filter, ranks, both aggregates) — left lazy, the
+    # compiled plan re-derives the input per reference (20 corpus scans
+    # at audit; the q250 IPF lesson), so it is materialized ONCE via
+    # eager localCheckpoint (never persist() — the dbscan cache-manager
+    # lesson).  Bounded by keys x blocks x treatments under the
+    # one-row-per-cell contract.
+    base = (
+        df.select(
+            *key_cols,
+            F.col(block_col).alias("_b"),
+            F.col(treatment_col).alias("_g"),
+            value.cast("long").alias("_x"),
+        )
+        .where(
+            F.col("_x").isNotNull()
+            & F.col("_b").isNotNull()
+            & F.col("_g").isNotNull()
+        )
+        .localCheckpoint(eager=True)
     )
     # k over ALL the key's rows (see module docstring)
     kt = base.groupBy(*key_cols).agg(
@@ -114,7 +131,10 @@ def friedman_test(
         )
         .select(*key_cols, "_b")
     )
-    cc = base.join(blocks, [*key_cols, "_b"])
+    # the complete-block cell frame feeds the rank join and both final
+    # aggregates — checkpointed for the same reason as base (a strict
+    # subset of it, so the same bound)
+    cc = base.join(blocks, [*key_cols, "_b"]).localCheckpoint(eager=True)
     ranked = cc.join(
         _rank2(cc, [*key_cols, "_b"], "_x", "_a"), [*key_cols, "_b", "_x"]
     )

@@ -1791,6 +1791,154 @@ def main() -> None:
 
         return run
 
+    # --- r14 wave --------------------------------------------------------
+    def friedman_probe(e):
+        from magi_etl_spark.operators.friedman import friedman_test
+
+        # replication multiplies the daily COUNTS; blocks x treatments
+        # (weeks x 7) stay calendar-bounded, so the checkpointed cell
+        # frame and everything after it are scale-invariant — the daily
+        # collapse is the only corpus-sized stage
+        def run():
+            daily = (
+                e.where(F.col("ts").isNotNull())
+                .select(
+                    "event_type",
+                    F.datediff(
+                        F.to_date("ts"), F.lit("2024-01-01").cast("date")
+                    ).alias("di"),
+                )
+                .groupBy(
+                    "event_type",
+                    F.expr("di DIV 7").alias("week"),
+                    (F.col("di") % 7).alias("dow"),
+                )
+                .agg(F.count(F.lit(1)).alias("x"))
+            )
+            return friedman_test(
+                daily, ["event_type"], "week", "dow", F.col("x")
+            )
+
+        return run
+
+    def jonckheere_probe(e):
+        from magi_etl_spark.operators.jonckheere import jonckheere_terpstra
+
+        # replication multiplies cell COUNTS, not distinct (cohort,
+        # bucket) cells: the bounded value range caps the cell cross,
+        # so the pair stage is scale-invariant and the scan is linear
+        def run():
+            base = (
+                e.where(
+                    F.col("value").isNotNull() & F.col("user_id").isNotNull()
+                )
+                .select(
+                    "event_type",
+                    (F.col("user_id") % 5).alias("cohort"),
+                    F.expr("CAST(ROUND(value * 100) AS LONG) DIV 1000").alias(
+                        "bucket"
+                    ),
+                )
+            )
+            return jonckheere_terpstra(
+                base, ["event_type"], "cohort", F.col("bucket"),
+                max_cells=None,
+            )
+
+        return run
+
+    def cliffs_probe(d):
+        from magi_etl_spark.operators.cliffsdelta import cliffs_delta
+
+        # group_auc's shape: the count collapse is corpus-sized, the
+        # cumulative window rides distinct n_chars per source
+        def run():
+            docs = d.where(
+                F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+            )
+            return cliffs_delta(
+                docs,
+                ["source"],
+                F.col("n_chars"),
+                F.when(F.col("lang") == "en", 1).otherwise(0),
+            )
+
+        return run
+
+    def cucconi_probe(e):
+        from magi_etl_spark.operators.cucconi import cucconi_test
+
+        # pooled ranks ride distinct cents (scale-invariant under
+        # replication); one cell collapse + one keyed aggregation
+        def run():
+            base = (
+                e.where(
+                    F.col("value").isNotNull() & F.col("user_id").isNotNull()
+                )
+                .select(
+                    "event_type",
+                    (F.col("user_id") % 2 == 0).alias("even_user"),
+                    F.round(F.col("value") * 100).cast("long").alias("cents"),
+                )
+            )
+            return cucconi_test(
+                base, ["event_type"], F.col("even_user"), F.col("cents")
+            )
+
+        return run
+
+    def quantreg_probe(e):
+        from magi_etl_spark.operators.quantreg import quantile_line
+
+        # the daily collapse + cell checkpoint are the corpus-sized
+        # stages; all 17 selections ride the calendar-bounded cell
+        # frame (replication multiplies x and y VALUES, not cells)
+        def run():
+            daily = (
+                e.where(F.col("ts").isNotNull() & F.col("value").isNotNull())
+                .groupBy("event_type", F.to_date("ts").alias("day"))
+                .agg(
+                    F.count(F.lit(1)).alias("x"),
+                    F.sum(
+                        F.round(F.col("value") * 100).cast("long")
+                    ).alias("y"),
+                )
+            )
+            return quantile_line(
+                daily, ["event_type"], F.col("x"), F.col("y"), 3, 4, rounds=8
+            )
+
+        return run
+
+    def ece_probe(d):
+        from magi_etl_spark.operators.brier import reliability_brier_bins
+        from magi_etl_spark.operators.ece import calibration_error
+
+        # one corpus-sized rating pass into source x 10 bins, then a
+        # bin-bounded summary aggregation
+        def run():
+            rated = d.where(
+                F.col("text").isNotNull() & F.col("lang").isNotNull()
+            ).select(
+                "source",
+                F.least(
+                    F.expr(
+                        "size(regexp_extract_all(lower(text), 'the', 0))"
+                    ).cast("long")
+                    * 20000,
+                    F.lit(1000000).cast("long"),
+                ).alias("p"),
+                (F.col("lang") == "en").alias("y"),
+            )
+            return calibration_error(
+                reliability_brier_bins(
+                    rated, ["source"], F.col("p"), F.col("y"), n_bins=10
+                ),
+                ["source"],
+            )
+
+        return run
+
     def ivf_default_probe(em):
         # r10 scale-default: n_lists derives ~sqrt(n) at build time, so a
         # fixed query set's probe cost (n_probe lists x n/n_lists rows
@@ -1982,6 +2130,12 @@ def main() -> None:
         ("brier", brier_probe(docs1), brier_probe(docsN)),
         ("wkappa", wkappa_probe(docs1), wkappa_probe(docsN)),
         ("dbprofile", dbprofile_probe(cust1), dbprofile_probe(custN)),
+        ("friedman", friedman_probe(events1), friedman_probe(eventsN)),
+        ("jonckheere", jonckheere_probe(events1), jonckheere_probe(eventsN)),
+        ("cliffs", cliffs_probe(docs1), cliffs_probe(docsN)),
+        ("cucconi", cucconi_probe(events1), cucconi_probe(eventsN)),
+        ("quantreg", quantreg_probe(events1), quantreg_probe(eventsN)),
+        ("ece", ece_probe(docs1), ece_probe(docsN)),
     ):
         if only is not None and label not in only:
             continue
