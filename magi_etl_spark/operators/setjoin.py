@@ -128,9 +128,14 @@ def longest_common_runs(
     Scale: the gram-equality join fans out by shared-gram multiplicity
     only for the CANDIDATE pairs (the input pair set is already
     similarity-filtered), and every window is partitioned by
-    (pair, diagonal)."""
+    (pair, diagonal).
+
+    Eager: the positions input feeds both join sides, so it is
+    localCheckpointed at call time (the similarity_join posture) —
+    left lazy, the upstream tokenize ran twice."""
     from pyspark.sql import Window as PW
 
+    positions = positions.localCheckpoint(eager=True)
     pa = positions.select(
         F.col("doc_id").alias("doc_a"),
         F.col("pos").alias("_pa"),
@@ -179,7 +184,12 @@ def weighted_jaccard_scores(
 
     Scoring-only by design: the candidate set comes from a lossless
     generator (prefix filter, LSH + verify) — this operator never
-    generates pairs itself."""
+    generates pairs itself.
+
+    Eager: the weighted-set input feeds three downstream frames
+    (totals and both scoring sides), so it is localCheckpointed at
+    call time (the similarity_join posture)."""
+    sets = sets.localCheckpoint(eager=True)
     totals = sets.groupBy("doc_id").agg(
         F.sum(weight_col).cast("long").alias("_W")
     )
@@ -225,8 +235,18 @@ def similarity_join(
 
     ``threshold`` must be a Fraction so the verification stays integer:
     accept iff ``inter * q >= (sa + sb - inter) * p`` for t = p/q.
+
+    Eager: the element-set input is localCheckpointed at call time —
+    it feeds FIVE downstream frames (document frequencies, sizes, the
+    ranked prefix, and both verification sides), and left lazy the
+    compiled plan re-derived the upstream tokenize per reference (the
+    q256/q250 lesson; profiled at 9.1s -> 4.4s for the q195 path at
+    sf0.1).  The prefix frame (both candidate-join sides) is
+    checkpointed for the same reason.  Never persist() — the dbscan
+    cache-manager lesson.
     """
     p, q = threshold.numerator, threshold.denominator
+    sets = sets.localCheckpoint(eager=True)
     df_tok = sets.groupBy("tok").agg(F.count("*").alias("_df"))
     sizes = sets.groupBy("doc_id").agg(F.count("*").alias("_sz"))
     ranked = (
@@ -240,10 +260,14 @@ def similarity_join(
         .join(sizes, "doc_id")
     )
     # prefix length L = sz - ceil(t*sz) + 1; ceil(p*sz/q) = (p*sz+q-1) DIV q
-    prefix = ranked.where(
-        F.col("_rk")
-        <= F.col("_sz") - F.expr(f"({p} * _sz + {q - 1}) DIV {q}") + 1
-    ).select("doc_id", "tok", "_sz")
+    prefix = (
+        ranked.where(
+            F.col("_rk")
+            <= F.col("_sz") - F.expr(f"({p} * _sz + {q - 1}) DIV {q}") + 1
+        )
+        .select("doc_id", "tok", "_sz")
+        .localCheckpoint(eager=True)
+    )
     a = prefix.alias("a")
     b = prefix.alias("b")
     cand = (
