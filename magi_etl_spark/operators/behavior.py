@@ -58,13 +58,25 @@ def funnel_stages(
     can never progress (equi-joins drop NULL keys) — identical
     semantics in Spark and SQL engines, so oracle parity holds; filter
     NULLs upstream if the feed can contain them.
+
+    Eager: per-stage reach frames are localCheckpointed at call time
+    (see the inline note), so construction runs one bounded job per
+    stage.
     """
     if not stages:
         raise ValueError("funnel_stages needs at least one stage")
+    # each stage frame is eagerly localCheckpointed (the q250/setjoin
+    # posture; never persist()): stage k's frame is referenced by stage
+    # k+1 AND by the counts union, whose three final references
+    # otherwise re-derive the whole stage chain — the compiled plan
+    # carried 10 corpus scans for a 4-stage funnel.  The per-stage
+    # frame is one (user, first-ts) row per reaching user, far below
+    # corpus size.
     reached = (
         df.filter(F.col(type_col) == stages[0])
         .groupBy(user_col)
         .agg(F.min(ts_col).alias("_t"))
+        .localCheckpoint(eager=True)
     )
     per_stage = [reached]
     for s in stages[1:]:
@@ -78,7 +90,11 @@ def funnel_stages(
                 F.col(ts_col)
                 <= F.expr(f"timestampadd(SECOND, {int(max_gap_s)}, _prev)")
             )
-        reached = step.groupBy(user_col).agg(F.min(ts_col).alias("_t"))
+        reached = (
+            step.groupBy(user_col)
+            .agg(F.min(ts_col).alias("_t"))
+            .localCheckpoint(eager=True)
+        )
         per_stage.append(reached)
     counts = None
     for i, (s, frame) in enumerate(zip(stages, per_stage)):
