@@ -59,9 +59,22 @@ def funnel_stages(
     semantics in Spark and SQL engines, so oracle parity holds; filter
     NULLs upstream if the feed can contain them.
 
-    Eager: per-stage reach frames are localCheckpointed at call time
-    (see the inline note), so construction runs one bounded job per
-    stage.
+    Eager-construction CONTRACT (r14 ADVICE): per-stage reach frames
+    are localCheckpointed at CALL time (see the inline note), so
+    constructing the returned DataFrame runs one bounded Spark job per
+    stage — plan-only consumers (cold-plan fingerprinting, scan
+    audits, schema lints) pay those jobs per construction, and the
+    checkpointed blocks are executor-local (not fault-tolerant outside
+    local mode).  The same contract applies to the other fan-out
+    operators in this family (``similarity_join``,
+    ``weighted_jaccard_scores``, ``longest_common_runs``,
+    ``quantile_line``).  Plan-only tooling can opt out process-wide
+    via ``magi_etl_spark.chkpt.set_checkpoint_mode("off")`` for
+    operators routed through ``chkpt.materialize`` (new operators
+    route through it from r15 on; this family migrates when its gate
+    dependents next rotate in-window), or by patching
+    ``DataFrame.localCheckpoint`` to identity as ``tools/ab_probe.py``
+    does.
     """
     if not stages:
         raise ValueError("funnel_stages needs at least one stage")

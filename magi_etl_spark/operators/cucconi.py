@@ -78,7 +78,11 @@ def cucconi_test(
         )
     base = df.select(
         *key_cols,
-        F.when(in_first, 1).otherwise(0).alias("_s"),
+        # .when/.when with no otherwise: a NULL indicator stays NULL so
+        # the isNotNull filter below genuinely drops the row (an
+        # .otherwise(0) would silently assign null-indicator rows to
+        # sample 2, contradicting the drop contract above — r14 ADVICE)
+        F.when(in_first, 1).when(~in_first, 0).alias("_s"),
         value.cast("long").alias("_x"),
     ).where(F.col("_x").isNotNull() & F.col("_s").isNotNull())
     cells = base.groupBy(*key_cols, "_s", "_x").agg(

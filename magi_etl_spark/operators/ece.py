@@ -52,7 +52,7 @@ def calibration_error(
             "them); for a global summary, add a constant key column "
             "upstream"
         )
-    reserved = {"n", "n_bins_used", "ece", "mce", "_d6"} & set(group_cols)
+    reserved = {"n", "n_bins_used", "ece", "mce", "_num", "_mx"} & set(group_cols)
     if reserved:
         raise ValueError(
             f"group_cols collide with working columns: {sorted(reserved)}"

@@ -50,6 +50,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from magi_etl_spark.chkpt import materialize
+
 _DEC = "decimal(38,0)"
 
 
@@ -96,8 +98,10 @@ def friedman_test(
     # completeness filter, ranks, both aggregates) — left lazy, the
     # compiled plan re-derives the input per reference (20 corpus scans
     # at audit; the q250 IPF lesson), so it is materialized ONCE via
-    # eager localCheckpoint (never persist() — the dbscan cache-manager
-    # lesson).  Bounded by keys x blocks x treatments under the
+    # chkpt.materialize (eager localCheckpoint in the sandbox; the
+    # chkpt module picks the cluster-safe barrier — never a bare
+    # persist(), the dbscan cache-manager lesson).  Bounded by keys x
+    # blocks x treatments under the
     # one-row-per-cell contract.
     base = (
         df.select(
@@ -111,7 +115,7 @@ def friedman_test(
             & F.col("_b").isNotNull()
             & F.col("_g").isNotNull()
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # k over ALL the key's rows (see module docstring)
     kt = base.groupBy(*key_cols).agg(
@@ -134,7 +138,7 @@ def friedman_test(
     # the complete-block cell frame feeds the rank join and both final
     # aggregates — checkpointed for the same reason as base (a strict
     # subset of it, so the same bound)
-    cc = base.join(blocks, [*key_cols, "_b"]).localCheckpoint(eager=True)
+    cc = base.join(blocks, [*key_cols, "_b"]).transform(materialize)
     ranked = cc.join(
         _rank2(cc, [*key_cols, "_b"], "_x", "_a"), [*key_cols, "_b", "_x"]
     )

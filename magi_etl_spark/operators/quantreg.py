@@ -52,6 +52,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
+from magi_etl_spark.chkpt import materialize
+
 _DEC = "decimal(38,0)"
 _MICRO = 1_000_000
 
@@ -141,7 +143,7 @@ def quantile_line(
         .where(F.col("_x").isNotNull() & F.col("_y").isNotNull())
         .groupBy(*key_cols, "_x", "_y")
         .agg(F.count(F.lit(1)).cast(_DEC).alias("_c"))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     # per-key integer median of x: smallest x with 2*cum >= n — the
     # same selection machinery, weight 2c against threshold n
@@ -165,7 +167,7 @@ def quantile_line(
             "_y",
             "_c",
         )
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
     absx = F.abs(F.col("_x")).cast(_DEC)
     params = (
@@ -186,7 +188,7 @@ def quantile_line(
         .join(F.broadcast(med), key_cols)
         .withColumn("_a6", F.lit(None).cast(_DEC))
         .withColumn("_b6", F.lit(None).cast(_DEC))
-        .localCheckpoint(eager=True)
+        .transform(materialize)
     )
 
     def intercept_step(p: DataFrame) -> DataFrame:
@@ -210,7 +212,7 @@ def quantile_line(
             p.drop("_a6")
             .join(sel, key_cols, "left")
             .withColumnRenamed("_a6x", "_a6")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
 
     def slope_step(p: DataFrame) -> DataFrame:
@@ -237,7 +239,7 @@ def quantile_line(
             p.drop("_b6")
             .join(sel, key_cols, "left")
             .withColumnRenamed("_b6x", "_b6")
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
 
     params = intercept_step(params)  # a0 at b = 0
