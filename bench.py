@@ -278,6 +278,62 @@ from magi_etl_spark.plans import plan_fingerprint as _plan_fingerprint  # noqa: 
 _LOADED_HOST_1M = 2.0
 
 
+# External-CPU accounting (r14 VERDICT item 2: the floor-based
+# host_loaded_during flag missed an 8.7 1-min mid-run peak).  The 1-min
+# load average cannot separate bench's OWN local[32] work from another
+# workload's — the floor rule under-triggers (a transient external
+# spike never holds the floor) and a max rule over-triggers (bench
+# itself pushes 4-10).  /proc jiffy deltas CAN separate them exactly:
+# external CPU = (host busy CPU) - (our JVM's CPU) - (this python
+# process's CPU), sampled around each query's timed runs.  The flag
+# trips when external work averaged more than one full core across the
+# run — direct evidence, immune to bench's own load and to the 1-min
+# average's ~60 s lag.
+_CLK_TCK = os.sysconf("SC_CLK_TCK")
+
+
+def _cpu_totals() -> tuple[float, float] | None:
+    """(host_busy_s, bench_s) cumulative CPU seconds: all non-idle CPU
+    on the host, and the share attributable to this bench — this python
+    process plus every live DESCENDANT (spark-submit shell, the JVM,
+    and the Python UDF daemon/worker processes the JVM forks, whose CPU
+    never lands in the JVM's own utime/stime) plus reaped-children time
+    (cutime/cstime, so short-lived workers are not mis-billed as
+    external work).  None if /proc is unreadable (non-Linux)."""
+    try:
+        fields = open("/proc/stat").readline().split()[1:]
+        vals = [int(x) for x in fields]
+        busy = (sum(vals) - vals[3] - vals[4]) / _CLK_TCK  # - idle - iowait
+        stats: dict[int, tuple[int, float]] = {}  # pid -> (ppid, cpu_s)
+        for p in os.listdir("/proc"):
+            if not p.isdigit():
+                continue
+            try:
+                st = open(f"/proc/{p}/stat").read().rsplit(")", 1)[1].split()
+            except OSError:
+                continue  # raced a process exit
+            # post-comm indices: 1=ppid, 11=utime 12=stime 13=cutime
+            # 14=cstime (reaped children; live ones are walked below)
+            stats[int(p)] = (
+                int(st[1]),
+                (int(st[11]) + int(st[12]) + int(st[13]) + int(st[14]))
+                / _CLK_TCK,
+            )
+        me = os.getpid()
+        mine = set()
+        grew = True
+        while grew:  # transitive closure over the ppid tree
+            grew = False
+            for pid, (ppid, _) in stats.items():
+                if pid not in mine and (pid == me or ppid in mine):
+                    mine.add(pid)
+                    grew = True
+        bench = sum(stats[pid][1] for pid in mine)
+        return busy, bench
+    except (OSError, ValueError, IndexError):
+        return None
+
+
 def _materialize(df) -> None:
     """Run the query end-to-end via a noop-format write: every output
     column materializes (``.count()`` lets Spark skip columns the count
@@ -342,6 +398,7 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     plans: dict[str, str] = {}
     load_during: list[float] = []
+    ext_cores: dict[str, float] = {}
     if load_before[0] > _LOADED_HOST_1M:
         print(
             f"# WARNING: load_1m={load_before[0]:.2f} > {_LOADED_HOST_1M} "
@@ -374,10 +431,19 @@ def main() -> None:
         )
         plans[name] = _plan_fingerprint(None, cold_plan)
         walls: list[float] = []
+        cpu0 = _cpu_totals()
+        t_q0 = time.perf_counter()
         for _ in range(_RUNS):
             t0 = time.perf_counter()
             _materialize(QUERIES[name](spark, sf_dir))
             walls.append(round(time.perf_counter() - t0, 3))
+        cpu1 = _cpu_totals()
+        if cpu0 and cpu1:
+            # external CPU-seconds burned while this query's runs timed,
+            # normalized per wall-second: >1.0 means another workload
+            # held a full core+ through this query's timed region
+            ext = max(0.0, (cpu1[0] - cpu0[0]) - (cpu1[1] - cpu0[1]))
+            ext_cores[name] = round(ext / max(1e-9, time.perf_counter() - t_q0), 2)
         runs[name] = walls
         timings[name] = min(walls)
         load_during.append(os.getloadavg()[0])
@@ -419,6 +485,14 @@ def main() -> None:
                 # above the bar means another workload held the host
                 # through the run
                 "host_loaded_during": min(load_during) > _LOADED_HOST_1M,
+                # external cores per wall-second for each query's timed
+                # region, from /proc jiffy deltas (host busy minus this
+                # bench's python+JVM) — the direct mid-run contention
+                # evidence the 1-min average's lag and the floor rule
+                # both miss (r14 VERDICT item 2); a query with
+                # ext_cores ~8 was fighting an 8-core external workload
+                # no matter what the load flags say
+                "ext_cores_during": ext_cores,
                 "load_1m_before": round(load_before[0], 2),
                 # every run's wall time (timings keeps the best) plus the
                 # 1-min load average sampled after each query: the host-
@@ -462,11 +536,19 @@ def main() -> None:
             # high floor means an EXTERNAL workload held the host
             # through the run — the r12 mid-run-degradation lesson)
             "host_loaded_during": min(load_during) > _LOADED_HOST_1M,
+            # true = /proc accounting measured >1 external core on
+            # average over SOME query's timed region (direct evidence;
+            # catches the transient mid-run spikes the floor rule and
+            # the laggy 1-min average both miss — r14 VERDICT item 2)
+            "host_contended_during": bool(ext_cores)
+            and max(ext_cores.values()) > 1.0,
+            "ext_cores_max": max(ext_cores.values(), default=-1.0),
         }
     )
-    # 400 B (was 300) after host_loaded_during joined: still ~5x under
-    # the ~2.1 KB driver tail capture that ate the r4/r5 headlines
-    assert len(headline) < 400, f"headline line too long: {len(headline)}B"
+    # 500 B (was 400) after host_contended_during/ext_cores_max joined:
+    # still ~4x under the ~2.1 KB driver tail capture that ate the
+    # r4/r5 headlines
+    assert len(headline) < 500, f"headline line too long: {len(headline)}B"
     sys.stderr.flush()
     print(headline, flush=True)
     spark.stop()
