@@ -256,6 +256,13 @@ HEADLINE = [
     "q253_brier_calibration",
     "q254_weighted_kappa",
     "q255_dbscan_profile",
+    # r14 wave, merged at the r15 rotation
+    "q256_friedman_dow",
+    "q257_jonckheere_cohorts",
+    "q258_cliffs_effect",
+    "q259_cucconi_shift",
+    "q260_quantile_line",
+    "q261_calibration_summary",
 ]
 
 _RUNS = 2  # best-of-N: local-mode timings are noisy

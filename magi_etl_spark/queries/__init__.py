@@ -126,6 +126,12 @@ def _load_all() -> None:
     # "Planned r14 window", rotation rule 1.
     from magi_etl_spark.queries.extensions_r13 import EXT10_ORACLE, EXT10_QUERIES
 
+    # r15 rotation: the r14 wave (EXT11, q256-q261, oracle-verified all
+    # through r14 by tests/test_extensions_r14.py + the staged parity
+    # sweeps at three scale factors) merges the same way — COVERAGE.md
+    # "Planned r15 window", rotation rule 1.
+    from magi_etl_spark.queries.extensions_r14 import EXT11_ORACLE, EXT11_QUERIES
+
     for tag, (q, o) in {
         "r7": (EXT4_QUERIES, EXT4_ORACLE),
         "r8": (EXT5_QUERIES, EXT5_ORACLE),
@@ -134,6 +140,7 @@ def _load_all() -> None:
         "r11": (EXT8_QUERIES, EXT8_ORACLE),
         "r12": (EXT9_QUERIES, EXT9_ORACLE),
         "r13": (EXT10_QUERIES, EXT10_ORACLE),
+        "r14": (EXT11_QUERIES, EXT11_ORACLE),
     }.items():
         dup = set(q) & set(QUERIES)
         if dup:
@@ -160,72 +167,72 @@ _load_all()
 GATE_WINDOW = 50
 
 _PRIORITY: list[str] = [
-    # ROUND-14 WINDOW — COVERAGE.md "Planned r14 window".  CORRECTNESS_r13
-    # was 50/50 green (no failure re-entries), so rule 1 front-loads the
-    # r13 staged wave (EXT10, q250-q255) in registration order — the
-    # staged backlog stays at ZERO.
-    "q250_survey_raking",
-    "q251_kruskal_cohorts",
-    "q252_cusum_localization",
-    "q253_brier_calibration",
-    "q254_weighted_kappa",
-    "q255_dbscan_profile",
-    # Rule-2 re-entry: the r14-session r13-ADVICE fix edits q245's own
-    # function body (max_cells=None — the guard pass left the bench's
-    # timed region), so the query re-enters despite its green r13 row,
-    # displacing the planned fill's LAST entry (q203 -> r15).  The other
-    # ADVICE fixes touch only staged modules (kruskal/wkappa/brier/
-    # pagehinkley), costing nothing.
-    "q245_rank_correlation",
-    # Oldest-verified-first tail refresh (rule 1 fill, 43 slots, computed
-    # from the union of CORRECTNESS rows at r13 close; ties in
-    # registration order): the three r8-era stragglers q179-q181, then
-    # the r9-era rows through q205; q203, q220-q225 and the rest of the
-    # r9-era tail displace to r15 (enumerated in COVERAGE.md "Planned
-    # r15 window").
-    "q179_entity_resolution",
-    "q180_readability",
-    "q181_fk_discovery",
-    "q139_funnel",
-    "q140_cohort_retention",
-    "q141_markov_transitions",
-    "q146_rfm_segments",
-    "q148_attribution",
-    "q166_top_event_paths",
-    "q182_multi_touch",
-    "q183_markov_attribution",
-    "q184_active_user_stickiness",
-    "q185_concurrency_peaks",
-    "q187_decay_engagement",
-    "q186_revenue_gini",
-    "q188_target_encoding",
-    "q189_woe_iv",
-    "q190_quota_sample",
-    "q191_cusum_alarms",
-    "q192_holt_smoothing",
-    "q193_winnow_profile",
-    "q194_winnow_pairs",
-    "q195_similarity_join",
-    "q196_script_profile",
-    "q197_extract_summary",
-    "q198_asof_enrichment",
-    "q199_kcore",
-    "q202_lsh_candidate_eval",
-    "q219_transition_entropy",
-    "q218_source_datasheet",
-    "q217_entry_exit_bounce",
-    "q215_weighted_jaccard",
-    "q216_token_pmi",
-    "q214_conversion_latency",
-    "q211_negative_edges",
-    "q212_rendezvous_shards",
-    "q213_twap",
-    "q210_common_runs",
-    "q207_ecdf_normalize",
-    "q208_chi_square",
-    "q209_survival_curve",
-    "q206_langid_confusion",
-    "q205_theil_sen_trend",
+    # ROUND-15 WINDOW — COVERAGE.md "Planned r15 window", executed
+    # verbatim: CORRECTNESS_r14 was 50/50 hash-green (zero err, no
+    # failure re-entries), so rule 1 front-loads the r14 staged wave
+    # (EXT11, q256-q261) in registration order — the staged backlog
+    # stays at ZERO.  The r15-session r14-ADVICE fixes touch only these
+    # wave modules (cucconi/ece + the friedman/quantreg chkpt routing),
+    # whose queries lead the window anyway, so rule 2 adds no extra
+    # re-entries; the behavior.py contract note is docstring-only
+    # (rule-2 exempt by the AST fingerprint).
+    "q256_friedman_dow",
+    "q257_jonckheere_cohorts",
+    "q258_cliffs_effect",
+    "q259_cucconi_shift",
+    "q260_quantile_line",
+    "q261_calibration_summary",
+    # Oldest-verified-first tail refresh (rule 1 fill, 44 slots,
+    # computed from the union of CORRECTNESS rows at r14 close; ties in
+    # registration order): the seven r9-era rows (q203 displaced from
+    # the r14 window by the q245 rule-2 re-entry, then q220-q225), then
+    # the enumerated r10-era band.  q106 q115 q132 q136 q204 q226 and
+    # the rest of the r10-era tail displace to r16 (enumerated in
+    # COVERAGE.md "Planned r16 window").
+    "q203_lorenz_points",
+    "q220_kcenter_coreset",
+    "q221_label_propagation",
+    "q222_good_turing",
+    "q223_epoch_plan",
+    "q224_feature_hashing",
+    "q225_rare_bigram_band",
+    "q32_simhash",
+    "q43_simhash_neardup",
+    "q33_kv_parse",
+    "q34_date_functions",
+    "q35_vector_stats",
+    "q36_rollup",
+    "q37_pivot",
+    "q38_srp_lsh_buckets",
+    "q39_token_cosine_pairs",
+    "q42_window_benchmark",
+    "q40_corpus_pipeline",
+    "q30_metric_query_events",
+    "q31_metric_query_unnest",
+    "q77_cached_metric_query",
+    "q05_region_revenue",
+    "q06_semi_join",
+    "q08_full_outer_cast_keys",
+    "q09_top1_per_group",
+    "q10_topk_per_group",
+    "q11_sessionize",
+    "q12_conditional_agg",
+    "q13_distinct_derived_key",
+    "q14_json_extract",
+    "q46_above_avg_customers",
+    "q18_week_buckets",
+    "q27_embedding_topk",
+    "q44_lsh_blocked_embedding_dedup",
+    "q41_ivf_topk",
+    "q86_ivf_kmeans_topk",
+    "q28_embedding_neardup",
+    "q20_token_stats",
+    "q21_quality_scores",
+    "q22_language_id",
+    "q26_fingerprints",
+    "q57_sequence_packing",
+    "q98_rrf_fusion",
+    "q104_semantic_dedup",
 ]
 
 

@@ -22,14 +22,19 @@ def _ext11():
     return EXT11_QUERIES, EXT11_ORACLE
 
 
-def test_staging_registry_is_disjoint_from_the_gate_registry():
-    from magi_etl_spark.queries import QUERIES
+def test_r14_extension_registry_is_fully_merged():
+    """r15 rotation rule 1: every EXT11 entry is registered (same
+    function object — merged, not shadowed) and its oracle rode along;
+    the all-query oracle sweep therefore covers them every run.  (Until
+    the r15 merge this test asserted the OPPOSITE — staged
+    disjointness.)"""
+    from magi_etl_spark.queries import ORACLE, QUERIES
 
     ext_q, ext_o = _ext11()
-    assert not set(ext_q) & set(QUERIES)
-    # every staged entry carries a full hash oracle
-    assert set(ext_q) == set(ext_o)
-    assert len(ext_q) == 6  # the wave stays at or under six
+    assert len(ext_q) == 6 and set(ext_q) == set(ext_o)
+    for name, fn in ext_q.items():
+        assert QUERIES.get(name) is fn, f"{name} not merged into QUERIES"
+        assert ORACLE.get(name) == ext_o[name], f"{name} oracle not merged"
 
 
 def test_staged_oracles_emit_no_hugeint(sf_dir):
