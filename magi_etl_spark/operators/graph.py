@@ -138,7 +138,15 @@ def triangle_count(
     lowest-ordered corner), then credited to all three corners with an
     explode — one extra narrow shuffle, no double counting.
     """
-    und = (
+    from magi_etl_spark.chkpt import materialize
+
+    # fan-out barriers (the r15 scan-audit fix): left lazy, ``und`` is
+    # referenced by deg (2x), the orientation join and the closure join,
+    # and ``oriented`` by both wedge sides — the compiled plan re-derived
+    # the whole upstream edge subtree 13x (26 corpus scans on q147's
+    # co-purchase graph).  Each frame is bounded (edges / nodes) and is
+    # materialized ONCE via the chkpt barrier.
+    und = materialize(
         edges.select(F.col(src).alias("_u"), F.col(dst).alias("_v"))
         .filter(F.col("_u") != F.col("_v"))
         .select(
@@ -146,7 +154,7 @@ def triangle_count(
         )
         .distinct()
     )
-    deg = (
+    deg = materialize(
         und.select(F.col("_a").alias("node"))
         .unionAll(und.select(F.col("_b").alias("node")))
         .groupBy("node")
@@ -158,9 +166,11 @@ def triangle_count(
         .join(deg.select(F.col("node").alias("_b"), F.col("degree").alias("_db")), "_b")
     )
     fwd = F.struct("_da", "_a") < F.struct("_db", "_b")
-    oriented = keyed.select(
-        F.when(fwd, F.col("_a")).otherwise(F.col("_b")).alias("lo"),
-        F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("hi"),
+    oriented = materialize(
+        keyed.select(
+            F.when(fwd, F.col("_a")).otherwise(F.col("_b")).alias("lo"),
+            F.when(fwd, F.col("_b")).otherwise(F.col("_a")).alias("hi"),
+        )
     )
     # wedges at the lowest-ordered corner; the y < z filter puts the
     # closing edge in canonical (_a < _b) id order, so the closure join

@@ -182,13 +182,27 @@ _PRIORITY: list[str] = [
     "q259_cucconi_shift",
     "q260_quantile_line",
     "q261_calibration_summary",
-    # Oldest-verified-first tail refresh (rule 1 fill, 44 slots,
+    # Rule-2 re-entries: the r15-session scan-audit fixes (the r14
+    # VERDICT's five open candidates, adjudicated with the tree-walking
+    # audit) edit triangle_count in operators/graph.py (re-flags its
+    # three dependents q147/q116/q160) and the q157/q175 query function
+    # bodies (re-flags each query alone) — five slots, displacing the
+    # planned fill's LAST five entries (q22 q26 q57 q98 q104 -> r16).
+    # q39/q137/q202 were adjudicated BY DESIGN (zero live scans; the
+    # old audit string-counted cache-fill re-prints), costing nothing.
+    "q147_triangle_count",
+    "q116_pagerank",
+    "q160_personalized_pagerank",
+    "q157_revenue_concentration",
+    "q175_curation_manifest",
+    # Oldest-verified-first tail refresh (rule 1 fill, 39 slots,
     # computed from the union of CORRECTNESS rows at r14 close; ties in
     # registration order): the seven r9-era rows (q203 displaced from
     # the r14 window by the q245 rule-2 re-entry, then q220-q225), then
-    # the enumerated r10-era band.  q106 q115 q132 q136 q204 q226 and
-    # the rest of the r10-era tail displace to r16 (enumerated in
-    # COVERAGE.md "Planned r16 window").
+    # the enumerated r10-era band.  q22 q26 q57 q98 q104 (displaced by
+    # the five scan-audit re-entries above), q106 q115 q132 q136 q204
+    # q226 and the rest of the r10-era tail displace to r16 (enumerated
+    # in COVERAGE.md "Planned r16 window").
     "q203_lorenz_points",
     "q220_kcenter_coreset",
     "q221_label_propagation",
@@ -228,11 +242,6 @@ _PRIORITY: list[str] = [
     "q28_embedding_neardup",
     "q20_token_stats",
     "q21_quality_scores",
-    "q22_language_id",
-    "q26_fingerprints",
-    "q57_sequence_packing",
-    "q98_rrf_fusion",
-    "q104_semantic_dedup",
 ]
 
 

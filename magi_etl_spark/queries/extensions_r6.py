@@ -1284,13 +1284,19 @@ def q157_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-customer totals are rounded to 2 BEFORE ranking so the top-4
     cut is identical in any engine; the rank window runs over the
     bounded per-key frame, never raw orders."""
+    from magi_etl_spark.chkpt import materialize
     from magi_etl_spark.operators.stats import concentration
 
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
     n = load_table(spark, sf_dir, "nation")
     r = load_table(spark, sf_dir, "region")
-    per = (
+    # fan-out barrier (r15 scan audit): concentration references its
+    # input via per_key -> {totals, shared{hhi, crk}}, compiling the
+    # 4-table join subtree 4x (16 live scans).  The per-customer frame
+    # is the bounded reduction of the corpus — materialize it ONCE and
+    # every downstream copy reads the barrier (live scans -> 0).
+    per = materialize(
         o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(n, c["c_nationkey"] == n["n_nationkey"])
         .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
@@ -2206,6 +2212,7 @@ def q175_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-document training manifest a weighted sampler consumes.  No
     float thresholds anywhere: verdicts are integer arithmetic, scores
     are reported, not gated, so the kept-set is hash-stable."""
+    from magi_etl_spark.chkpt import materialize
     from magi_etl_spark.operators.classifier import seed_classifier_scores
     from magi_etl_spark.operators.domains import (
         curate_domains,
@@ -2214,8 +2221,14 @@ def q175_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from magi_etl_spark.operators.reweight import soft_dedup_weights
 
     d = load_table(spark, sf_dir, "documents")
-    verdicts = curate_domains(d, "source", "text", 10, 20)
-    kept = filter_to_kept_domains(d, verdicts, "source")
+    # fan-out barriers (r15 scan audit): ``verdicts`` gates ``kept``,
+    # and ``kept`` feeds soft-dedup weights AND the final manifest join
+    # — left lazy the corpus subtree compiled 12x.  The domain-verdict
+    # frame is per-domain-bounded and the kept set is the gated corpus;
+    # each is materialized ONCE (live scans 12 -> 1: the classifier
+    # scores' own pass).
+    verdicts = materialize(curate_domains(d, "source", "text", 10, 20))
+    kept = materialize(filter_to_kept_domains(d, verdicts, "source"))
     weights = soft_dedup_weights(kept, "doc_id", "text", beta=1.0)
     scores = seed_classifier_scores(
         d, F.col("source") == "src0", F.col("source") == "src1"
