@@ -34,6 +34,7 @@ def _all_query_registries() -> dict[str, object]:
         ("magi_etl_spark.queries.extensions_r12", "EXT9_QUERIES"),
         ("magi_etl_spark.queries.extensions_r13", "EXT10_QUERIES"),
         ("magi_etl_spark.queries.extensions_r14", "EXT11_QUERIES"),
+        ("magi_etl_spark.queries.extensions_r15", "EXT12_QUERIES"),
     ]:
         try:
             m = __import__(mod, fromlist=[reg])

@@ -37,6 +37,7 @@ def _staged() -> dict[str, tuple]:
         ("magi_etl_spark.queries.extensions_r12", "EXT9_QUERIES", "EXT9_ORACLE"),
         ("magi_etl_spark.queries.extensions_r13", "EXT10_QUERIES", "EXT10_ORACLE"),
         ("magi_etl_spark.queries.extensions_r14", "EXT11_QUERIES", "EXT11_ORACLE"),
+        ("magi_etl_spark.queries.extensions_r15", "EXT12_QUERIES", "EXT12_ORACLE"),
     ]:
         try:
             m = __import__(mod, fromlist=[q, o])

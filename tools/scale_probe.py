@@ -1939,6 +1939,134 @@ def main() -> None:
 
         return run
 
+    def _weekly_cells(e):
+        return (
+            e.where(F.col("ts").isNotNull())
+            .select(
+                "event_type",
+                F.datediff(
+                    F.to_date("ts"), F.lit("2024-01-01").cast("date")
+                ).alias("di"),
+            )
+            .groupBy(
+                "event_type",
+                F.expr("di DIV 7").alias("week"),
+                (F.col("di") % 7).alias("dow"),
+            )
+            .agg(F.count(F.lit(1)).alias("x"))
+        )
+
+    def page_probe(e):
+        from magi_etl_spark.operators.pagetest import page_trend_test
+
+        # same frame as friedman_probe: replication multiplies daily
+        # COUNTS, the calendar bounds blocks x treatments, so only the
+        # daily collapse is corpus-sized
+        def run():
+            return page_trend_test(
+                _weekly_cells(e), ["event_type"], "week", "dow", F.col("x")
+            )
+
+        return run
+
+    def kendallw_probe(e):
+        from magi_etl_spark.operators.kendallw import kendalls_w
+
+        def run():
+            return kendalls_w(
+                _weekly_cells(e), ["event_type"], "week", "dow", F.col("x")
+            )
+
+        return run
+
+    def cochranq_probe(e):
+        from magi_etl_spark.operators.cochranq import cochran_q
+
+        # 29 buckets x 3 day classes per key: the grid is fixed-size,
+        # the parity collapse is the only corpus-sized stage
+        def run():
+            base = (
+                e.where(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+                .select(
+                    "event_type",
+                    (F.col("user_id") % 29).alias("bucket"),
+                    (
+                        F.datediff(
+                            F.to_date("ts"), F.lit("2024-01-01").cast("date")
+                        )
+                        % 3
+                    ).alias("cls"),
+                )
+                .groupBy("event_type", "bucket", "cls")
+                .agg((F.count(F.lit(1)) % 2).cast("int").alias("odd"))
+            )
+            return cochran_q(
+                base, ["event_type"], "bucket", "cls", F.col("odd")
+            )
+
+        return run
+
+    def bm_probe(e):
+        from magi_etl_spark.operators.brunnermunzel import brunner_munzel
+
+        # replication multiplies cell counts; distinct cents values are
+        # price-range-bounded, so both rank windows are scale-invariant
+        def run():
+            base = e.where(
+                F.col("value").isNotNull() & F.col("user_id").isNotNull()
+            ).select(
+                "event_type",
+                (F.col("user_id") % 2 == 0).alias("even_user"),
+                F.round(F.col("value") * 100).cast("long").alias("cents"),
+            )
+            return brunner_munzel(
+                base, ["event_type"], F.col("even_user"), F.col("cents")
+            )
+
+        return run
+
+    def hl_probe(e):
+        from magi_etl_spark.operators.hodgeslehmann import (
+            hodges_lehmann_shift,
+        )
+
+        # dollar bins bound the cells, so the cells1 x cells2 difference
+        # join is scale-invariant; only the cell collapse sees the corpus
+        def run():
+            base = e.where(
+                F.col("value").isNotNull() & F.col("user_id").isNotNull()
+            ).select(
+                "event_type",
+                (F.col("user_id") % 2 == 0).alias("even_user"),
+                F.expr("CAST(ROUND(value * 100) AS LONG) DIV 100").alias(
+                    "dollars"
+                ),
+            )
+            return hodges_lehmann_shift(
+                base,
+                ["event_type"],
+                F.col("even_user"),
+                F.col("dollars"),
+                max_cells=None,
+            )
+
+        return run
+
+    def grubbs_probe(e):
+        from magi_etl_spark.operators.grubbs import grubbs_test
+
+        # daily collapse -> distinct-count cells -> sufficient stats:
+        # every stage after the first is calendar- or cell-bounded
+        def run():
+            daily = (
+                e.where(F.col("ts").isNotNull())
+                .groupBy("event_type", F.to_date("ts").alias("day"))
+                .agg(F.count(F.lit(1)).alias("x"))
+            )
+            return grubbs_test(daily, ["event_type"], F.col("x"))
+
+        return run
+
     def ivf_default_probe(em):
         # r10 scale-default: n_lists derives ~sqrt(n) at build time, so a
         # fixed query set's probe cost (n_probe lists x n/n_lists rows
@@ -2136,6 +2264,12 @@ def main() -> None:
         ("cucconi", cucconi_probe(events1), cucconi_probe(eventsN)),
         ("quantreg", quantreg_probe(events1), quantreg_probe(eventsN)),
         ("ece", ece_probe(docs1), ece_probe(docsN)),
+        ("page", page_probe(events1), page_probe(eventsN)),
+        ("kendallw", kendallw_probe(events1), kendallw_probe(eventsN)),
+        ("cochranq", cochranq_probe(events1), cochranq_probe(eventsN)),
+        ("bm", bm_probe(events1), bm_probe(eventsN)),
+        ("hl", hl_probe(events1), hl_probe(eventsN)),
+        ("grubbs", grubbs_probe(events1), grubbs_probe(eventsN)),
     ):
         if only is not None and label not in only:
             continue
