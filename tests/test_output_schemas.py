@@ -80,7 +80,7 @@ def test_lint_covers_every_authored_query():
     known = {"extensions", "extensions_r5", "extensions_r6", "extensions_r7",
              "extensions_r8", "extensions_r9", "extensions_r10",
              "extensions_r11", "extensions_r12", "extensions_r13",
-             "extensions_r14"}
+             "extensions_r14", "extensions_r15"}
     unknown = ext_mods - known
     if unknown:
         pytest.fail(
