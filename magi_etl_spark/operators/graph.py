@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from magi_etl_spark.chkpt import materialize
+
 
 def pagerank(
     edges: DataFrame,
@@ -109,7 +111,7 @@ def pagerank(
                     )
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
+            .transform(materialize)
         )
     vertices.unpersist(blocking=False)
     links.unpersist(blocking=False)
@@ -138,8 +140,6 @@ def triangle_count(
     lowest-ordered corner), then credited to all three corners with an
     explode — one extra narrow shuffle, no double counting.
     """
-    from magi_etl_spark.chkpt import materialize
-
     # fan-out barriers (the r15 scan-audit fix): left lazy, ``und`` is
     # referenced by deg (2x), the orientation join and the closure join,
     # and ``oriented`` by both wedge sides — the compiled plan re-derived

@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from magi_etl_spark.chkpt import materialize
+
 
 def undirect(edges: DataFrame, src_col: str = "src", dst_col: str = "dst") -> DataFrame:
     """Symmetrized, deduplicated, self-loop-free edge list."""
@@ -40,7 +42,7 @@ def label_propagation(
     label propagation with smallest-label tie-breaks.  Vertices are the
     edge endpoints; every vertex has at least one neighbor by
     construction, so the majority vote is total."""
-    und = undirect(edges, src_col, dst_col).localCheckpoint()
+    und = undirect(edges, src_col, dst_col).transform(materialize)
     labels = und.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("label")
     )
@@ -53,7 +55,7 @@ def label_propagation(
             F.max_by("label", F.struct(F.col("n"), -F.col("label"))).alias(
                 "label"
             )
-        ).localCheckpoint()
+        ).transform(materialize)
     return labels
 
 
