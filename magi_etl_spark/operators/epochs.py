@@ -67,12 +67,27 @@ def epoch_mixture_plan(
     0 available is undefined on both engines — so they are dropped
     BEFORE apportionment (the budget reapportions over the non-empty
     sources) rather than surfacing as a null/error epoch count."""
+    from magi_etl_spark.chkpt import materialize
+
     counts = source_token_counts(df, source_col, text_col).where(
         F.col("available_tokens") > 0
     )
-    j = counts.join(
-        F.broadcast(weights.select("source", F.col("weight").cast("long").alias("weight"))),
-        "source",
+    # fan-out barrier (r15 scan audit): the weighted per-source ledger
+    # feeds the two apportionment aggregates, the remainder re-select,
+    # and the ranked readout — left lazy, the corpus-sized token count
+    # AND the caller's weights subtree compiled 4x each (8 live corpus
+    # scans on q223).  One row per source; materialized ONCE via the
+    # chkpt barrier right after the weight join so both subtrees sit
+    # behind it.
+    j = materialize(
+        counts.join(
+            F.broadcast(
+                weights.select(
+                    "source", F.col("weight").cast("long").alias("weight")
+                )
+            ),
+            "source",
+        )
     )
     tot = j.agg(F.sum("weight").alias("_W"))
     budget = F.lit(int(token_budget)).cast("long")
