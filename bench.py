@@ -416,6 +416,18 @@ def main() -> None:
     names = [
         n for n in (_R01_SUBSET if subset_r01 else HEADLINE) if n in QUERIES
     ]
+    # Optimization-loop helper (r15): SPARK_GRAFT_BENCH_ONLY=qA,qB runs
+    # only the named queries (prefix match) with the same methodology.
+    # The driver's no-arg/no-env contract is untouched; subset artifacts
+    # land in BENCH_PLANS.json like any run, so treat them as scratch.
+    only_env = os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").strip()
+    if only_env:
+        wanted = [s.strip() for s in only_env.split(",") if s.strip()]
+        names = [
+            n
+            for n in names
+            if any(n == w or n.startswith(w) for w in wanted)
+        ]
     # warm the JVM + parquet footers once so timings measure the queries
     _materialize(QUERIES[names[0]](spark, sf_dir))
     _isolate(spark)
@@ -469,6 +481,9 @@ def main() -> None:
     # number was lost).  The headline stays compact and is the LAST
     # stdout line (r4 VERDICT item 3).
     side_name = "BENCH_R01_SUBSET.json" if subset_r01 else "BENCH_PLANS.json"
+    if only_env:
+        # scratch artifact: never clobber the committed full-run file
+        side_name = "BENCH_SUBSET_SCRATCH.json"
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), side_name),
         "w",

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def asof_dimension_join(
@@ -54,27 +55,65 @@ def asof_dimension_join(
         for c in dim.columns
         if c not in (key, valid_from, version_key)
     ]
-    d = dim.select(
-        F.col(key).alias("_dk"),
+    # r15 optimization (guide §2.3 "shuffle fewer bytes" / §3): the old
+    # shape was a key-equi join with the time bound as a post-join
+    # filter — every fact row fanned out by versions-per-key (~10x on
+    # the q198 dimension) before a wide-key max_by collapsed it back.
+    # The as-of pick is order-computable instead: union the version
+    # rows and the fact rows, sort each business key by (time, kind,
+    # version), and carry the latest version struct forward — one
+    # shuffle of n_facts + n_versions rows, no multiplicative fan-out.
+    # Dim rows order BEFORE fact rows at equal time (valid_from <= t is
+    # inclusive), and among same-time versions (valid_from, version_key)
+    # ascending puts the argmax last — exactly the old max_by winner.
+    from pyspark.sql import Window as W
+
+    fact_cols = facts.columns
+    d = dim.where(F.col(key).isNotNull()).select(
+        F.col(key).alias(key),
+        F.col(valid_from).alias("_t"),
+        F.lit(0).alias("_kind"),
         F.col(valid_from).alias("_vf"),
         F.col(version_key).alias("_vk"),
         F.struct(*[F.col(a) for a in attrs]).alias("_attrs"),
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(f"_f_{c}")
+          for c in fact_cols],
     )
-    fact_cols = facts.columns
-    j = facts.join(
-        d,
-        (facts[key] == d["_dk"]) & (d["_vf"] <= facts[fact_time]),
-        "left",
+    f = facts.select(
+        F.col(key).alias(key),
+        F.col(fact_time).alias("_t"),
+        F.lit(1).alias("_kind"),
+        F.lit(None).cast(dim.schema[valid_from].dataType).alias("_vf"),
+        F.lit(None).cast(dim.schema[version_key].dataType).alias("_vk"),
+        F.lit(None)
+        .cast(
+            T.StructType(
+                [T.StructField(a, dim.schema[a].dataType) for a in attrs]
+            )
+        )
+        .alias("_attrs"),
+        *[F.col(c).alias(f"_f_{c}") for c in fact_cols],
     )
-    picked = j.groupBy(*[facts[c] for c in fact_cols]).agg(
-        F.max_by(
-            F.col("_attrs"), F.struct(F.col("_vf"), F.col("_vk"))
-        ).alias("_best")
+    w = (
+        W.partitionBy(key)
+        .orderBy(
+            F.col("_t").asc_nulls_first(),
+            F.col("_kind").asc(),
+            F.col("_vf").asc(),
+            F.col("_vk").asc(),
+        )
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
     )
-    out = picked
-    for a in attrs:
-        out = out.withColumn(f"asof_{a}", F.col(f"_best.{a}"))
-    return out.drop("_best")
+    enriched = (
+        d.unionByName(f)
+        .withColumn("_best", F.last("_attrs", ignorenulls=True).over(w))
+        .where(F.col("_kind") == 1)
+    )
+    out = enriched.select(
+        *[F.col(f"_f_{c}").alias(c) for c in fact_cols],
+        *[F.col(f"_best.{a}").alias(f"asof_{a}") for a in attrs],
+    )
+    return out.dropDuplicates(fact_cols)
 
 
 def priority_dimension_from_orders(orders: DataFrame) -> DataFrame:

@@ -26,12 +26,28 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from magi_etl_spark.chkpt import materialize
+
 _WORD_RE = "[a-z]+"
 _HEX = "0123456789abcdef"
 
 
 def _tokens(text: Column) -> Column:
     return F.regexp_extract_all(F.lower(text), F.lit(_WORD_RE), 0)
+
+
+def _ngrams_of(col: str, n: int) -> Column:
+    """Array of space-joined n-token grams over the BOUND token-array
+    column ``col`` (index i = 0-based first-token position).  Callers
+    must bind the token array to a column first: interpreted HOFs skip
+    common-subexpression elimination, so referencing the tokenize
+    expression inside the lambda re-splits the text once per gram."""
+    toks = F.col(col)
+    size = F.size(toks)
+    return F.transform(
+        F.slice(toks, 1, F.greatest(size - F.lit(n - 1), F.lit(0))),
+        lambda x, i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
 
 
 def _bucket(col: Column, n_buckets: int = 256) -> Column:
@@ -117,35 +133,41 @@ def ngram_novelty(
     are dropped.  Shape: one (doc, gram)-distinct frame feeds both the
     gram document-frequency aggregate and the per-doc rollup — a keyed
     self-agg, no pair joins."""
-    toks = _tokens(F.col(text_col))
-    size = F.size(toks)
-    grams = F.transform(
-        F.slice(toks, 1, F.greatest(size - F.lit(n - 1), F.lit(0))),
-        lambda x, i: F.array_join(F.slice(toks, i + 1, n), " "),
+    # r15 optimization (guide §2.3/§2.4): the per-document DISTINCT gram
+    # set is computed in array-land (``array_distinct``) and materialized
+    # ONCE at doc grain — the old shape exploded the corpus to gram rows
+    # and paid a full (doc, gram) distinct exchange, then re-derived the
+    # tokenize for the second reference.  Exploding the deduped arrays
+    # feeds the document-frequency aggregate map-side-combined, and only
+    # the SHARED grams (df > 1) come back: a gram that misses the join is
+    # novel by definition, so ``novel = |set| - |set ∩ shared|`` — same
+    # integers, same double division, identical output.  The token array
+    # is BOUND TO A COLUMN before the gram transform: interpreted HOFs
+    # skip CSE, so slicing the split EXPRESSION inside the lambda would
+    # re-tokenize the document once per gram (measured 8x at sf0.1).
+    garr = materialize(
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_tk"))
+        .select(F.col(id_col), F.array_distinct(_ngrams_of("_tk", n)).alias("_g"))
+        .where(F.size("_g") > 0)
     )
-    dg = (
-        df.select(F.col(id_col), F.explode(grams).alias("gram"))
-        .distinct()
-    )
-    # join only the SHARED grams back (df > 1): a gram that misses the
-    # join is novel by definition.  The shared-gram frame is typically
-    # a small fraction of the vocabulary, so the join's build side
-    # shrinks accordingly (AQE turns it into a broadcast when it fits)
-    # — same integer sums, same division, identical output.
+    dg = garr.select(F.col(id_col), F.explode("_g").alias("gram"))
     shared = (
         dg.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > 1)
-        .select("gram", F.lit(True).alias("_shared"))
+        .select("gram")
+    )
+    n_shared = dg.join(shared, "gram").groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_ns")
     )
     return (
-        dg.join(shared, "gram", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_distinct_grams"),
+        garr.join(n_shared, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("_g").cast("long").alias("n_distinct_grams"),
             (
-                F.sum(F.when(F.col("_shared").isNull(), 1).otherwise(0))
-                / F.count(F.lit(1))
+                (F.size("_g") - F.coalesce(F.col("_ns"), F.lit(0)))
+                / F.size("_g")
             ).alias("novel_frac"),
         )
     )
@@ -166,56 +188,69 @@ def duplicated_spans(
     n_dup, max_dup_run)`` — ``max_dup_run + n - 1`` bounds the longest
     copied token span, the quantity span-removal filters threshold on.
 
-    Shape: positional shingles (array expressions, no joins), one
-    shingle-keyed document-frequency aggregate joined back on the
-    shingle, then a per-document gaps-and-islands window (keyed
-    shuffle) for the longest run.  All-integer output."""
-    toks = _tokens(F.col(text_col))
-    size = F.size(toks)
-    shingles = F.transform(
-        F.slice(toks, 1, F.greatest(size - F.lit(n - 1), F.lit(0))),
-        lambda x, i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
-    pos = df.select(
-        F.col(id_col), F.posexplode(shingles).alias("k", "shingle")
+    Shape (r15 optimization, guide §2.3/§2.4): the shingle array is
+    built in array-land and materialized ONCE at doc grain; the
+    document-frequency aggregate consumes the per-doc DISTINCT shingle
+    arrays (map-side combined — no (doc, shingle) distinct exchange),
+    only the SHARED shingles (df > 1) come back (a position whose
+    shingle misses the join is not duplicated, so the build side is the
+    small copied-shingle set), and the gaps-and-islands max-run folds
+    over the per-doc sorted duplicated-position array — no window, no
+    token-grain shuffles.  All-integer output, identical to the old
+    window form."""
+    # token array bound to a column first — see ngram_novelty's note on
+    # interpreted HOFs skipping CSE
+    sarr = materialize(
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_tk"))
+        .select(F.col(id_col), _ngrams_of("_tk", n).alias("_s"))
+        .where(F.size("_s") > 0)
     )
     # distinct docs per shingle; a shingle repeated WITHIN one document
-    # does not make that document a copy of another.  Only the SHARED
-    # shingles (doc-frequency > 1) join back — a position whose shingle
-    # misses the join is not duplicated, so the join's build side is
-    # the (small) copied-shingle set, not the whole vocabulary, and AQE
-    # broadcasts it when it fits.
+    # does not make that document a copy of another — array_distinct
+    # collapses the within-doc repeats before the explode.
     shared = (
-        pos.select(id_col, "shingle")
-        .distinct()
+        sarr.select(F.col(id_col), F.explode(F.array_distinct("_s")).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > 1)
-        .select("shingle", F.lit(True).alias("_shared"))
+        .select("shingle")
     )
-    flagged = pos.join(shared, "shingle", "left").select(
-        id_col, "k", F.col("_shared").isNotNull().alias("dup")
+    pos = sarr.select(
+        F.col(id_col), F.posexplode("_s").alias("k", "shingle")
     )
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy(id_col).orderBy("k")
-    runs = (
-        flagged.where("dup")
-        .withColumn("island", F.col("k") - F.row_number().over(w))
-        .groupBy(id_col, "island")
-        .agg(F.count(F.lit(1)).alias("run"))
+    dup_pos = (
+        pos.join(shared, "shingle")
         .groupBy(id_col)
-        .agg(F.max("run").alias("max_dup_run"))
+        .agg(F.array_sort(F.collect_set("k")).alias("_ks"))
     )
-    base = flagged.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_shingles"),
-        F.sum(F.when(F.col("dup"), 1).otherwise(0)).alias("n_dup"),
+    # longest run of consecutive duplicated positions, folded in
+    # array-land over the sorted distinct positions (same value the
+    # per-doc gaps-and-islands window produced)
+    max_run = F.aggregate(
+        F.slice(F.col("_ks"), 2, F.greatest(F.size("_ks") - 1, F.lit(0))),
+        F.struct(
+            F.element_at(F.col("_ks"), 1).alias("p"),
+            F.lit(1).alias("r"),
+            F.lit(1).alias("b"),
+        ),
+        lambda s, k: F.struct(
+            k.alias("p"),
+            F.when(k == s["p"] + 1, s["r"] + 1).otherwise(F.lit(1)).alias("r"),
+            F.greatest(
+                s["b"],
+                F.when(k == s["p"] + 1, s["r"] + 1).otherwise(F.lit(1)),
+            ).alias("b"),
+        ),
+        lambda s: s["b"],
     )
-    return base.join(runs, id_col, "left").select(
-        id_col,
-        "n_shingles",
-        F.col("n_dup").cast("long").alias("n_dup"),
-        F.coalesce(F.col("max_dup_run"), F.lit(0)).cast("long").alias("max_dup_run"),
+    return sarr.join(dup_pos, id_col, "left").select(
+        F.col(id_col),
+        F.size("_s").cast("long").alias("n_shingles"),
+        F.coalesce(F.size("_ks"), F.lit(0)).cast("long").alias("n_dup"),
+        F.when(F.col("_ks").isNull(), F.lit(0))
+        .otherwise(max_run)
+        .cast("long")
+        .alias("max_dup_run"),
     )
 
 
@@ -234,58 +269,59 @@ def remove_duplicated_spans(
     and an empty string (removal, not deletion — dropping them is the
     caller's thresholding decision).
 
-    Shape: the same shared-shingle left join as the profile, one
-    ``sequence``-explode to expand dup positions into covered token
-    indices (bounded by n x dup-positions), an anti-join on (doc,
-    position), and one per-document ordered re-aggregation — the
-    ``bpe_encode_docs`` re-assembly idiom."""
+    Shape (r15 optimization, guide §2.3/§2.4): ONE materialized token
+    frame at doc grain; the shingle document-frequency aggregate
+    consumes per-doc DISTINCT shingle arrays (map-side combined — no
+    (doc, shingle) distinct exchange); duplicated positions come back
+    per doc as one sorted array, expand to covered token indices in
+    array-land, and the kept positions are ``array_except`` over the
+    full position range — so re-assembly is a per-row array transform,
+    not a token-grain anti-join plus ordered re-aggregation.  The old
+    shape exploded the corpus to token rows twice and shuffled them
+    through an anti-join and a collect_list sort; identical output."""
     toks = _tokens(F.col(text_col))
-    size = F.size(toks)
+    tokf = materialize(
+        df.select(F.col(id_col), toks.alias("_tk")).where(F.size("_tk") > 0)
+    )
+    size = F.size("_tk")
     shingles = F.transform(
-        F.slice(toks, 1, F.greatest(size - F.lit(n - 1), F.lit(0))),
-        lambda x, i: F.array_join(F.slice(toks, i + 1, n), " "),
+        F.slice(F.col("_tk"), 1, F.greatest(size - F.lit(n - 1), F.lit(0))),
+        lambda x, i: F.array_join(F.slice(F.col("_tk"), i + 1, n), " "),
     )
-    pos = df.select(
-        F.col(id_col), F.posexplode(shingles).alias("k", "shingle")
-    )
+    sarr = tokf.select(F.col(id_col), shingles.alias("_s"))
     shared = (
-        pos.select(id_col, "shingle")
-        .distinct()
+        sarr.select(F.col(id_col), F.explode(F.array_distinct("_s")).alias("shingle"))
         .groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > 1)
         .select("shingle")
     )
-    covered = (
+    pos = sarr.select(
+        F.col(id_col), F.posexplode("_s").alias("k", "shingle")
+    )
+    dup_pos = (
         pos.join(shared, "shingle")
-        .select(
-            id_col,
-            F.explode(
-                F.sequence(F.col("k"), F.col("k") + F.lit(n - 1))
-            ).alias("t"),
-        )
-        .distinct()
+        .groupBy(id_col)
+        .agg(F.array_sort(F.collect_set("k")).alias("_ks"))
     )
-    stream = df.select(
-        F.col(id_col), F.posexplode(toks).alias("t", "tok")
-    )
-    kept = stream.join(covered, [id_col, "t"], "left_anti")
-    kept_agg = kept.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_kept"),
-        F.array_join(
+    covered = F.array_distinct(
+        F.flatten(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("t", "tok"))),
-                lambda s: s["tok"],
-            ),
+                F.col("_ks"),
+                lambda k: F.sequence(k, k + F.lit(n - 1)),
+            )
+        )
+    )
+    kept_pos = F.array_except(
+        F.sequence(F.lit(0), F.size("_tk") - 1),
+        F.coalesce(covered, F.array().cast("array<int>")),
+    )
+    return tokf.join(dup_pos, id_col, "left").select(
+        F.col(id_col),
+        F.size("_tk").cast("long").alias("n_tokens"),
+        F.size(kept_pos).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(kept_pos, lambda p: F.element_at(F.col("_tk"), p + 1)),
             " ",
         ).alias("cleaned_text"),
-    )
-    totals = stream.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("n_tokens")
-    )
-    return totals.join(kept_agg, id_col, "left").select(
-        id_col,
-        F.col("n_tokens").cast("long").alias("n_tokens"),
-        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
-        F.coalesce(F.col("cleaned_text"), F.lit("")).alias("cleaned_text"),
     )

@@ -521,9 +521,18 @@ def phash_near_dup_pairs(
             "differ, breaking the pigeonhole recall guarantee"
         )
     band_bits = bits // n_bands
-    h = hashes.select(
-        F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
-    ).where(F.col(hash_col).isNotNull())
+    # r15 optimization: the hash frame feeds BOTH self-join sides, and
+    # left lazy each side recompiled the upstream hash derivation
+    # (q151's Arrow decode -> downsample -> threshold pipeline ran
+    # twice).  One chkpt barrier on the (id, hash) projection — two
+    # narrow columns — runs the image pipeline exactly once.
+    from magi_etl_spark.chkpt import materialize
+
+    h = materialize(
+        hashes.select(
+            F.col(id_col).alias("_id"), F.col(hash_col).alias("_h")
+        ).where(F.col(hash_col).isNotNull())
+    )
     banded = h.select(
         "_id",
         "_h",

@@ -33,6 +33,8 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from magi_etl_spark.chkpt import materialize
+
 
 def _h32(*cols) -> F.Column:
     return F.conv(
@@ -76,7 +78,18 @@ def negative_edge_samples(
     the (src, dst) pair whenever two trials of one source hashed to the
     same bucket).  Trial-dependent ranking gives every (src, trial) an
     independent draw from its bucket, so collisions across trials are
-    hash-coincidences, not structural."""
+    hash-coincidences, not structural.
+
+    The edge list is materialized ONCE at entry (r15 optimization —
+    the chkpt barrier): it feeds FOUR downstream subtrees (distinct
+    sources, distinct destinations + their count, and the positive-pair
+    anti-join side), and left lazy each reference recompiled the
+    caller's upstream edge derivation (q211's orders x lineitem join
+    compiled 6x)."""
+    edges = materialize(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    )
+    src_col, dst_col = "src", "dst"
     src = edges.select(F.col(src_col).alias("src")).distinct()
     dst = edges.select(F.col(dst_col).alias("dst")).distinct()
     if n_buckets is None:

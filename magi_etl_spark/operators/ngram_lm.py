@@ -39,10 +39,14 @@ def doc_bigrams(
 ) -> DataFrame:
     """One row per (document, adjacent token pair): ``id_col, l, r``.
     Documents with fewer than two tokens emit nothing."""
-    return df.select(
-        F.col(id_col),
-        F.explode(_adjacent(_tokens(F.col(text_col)))).alias("p"),
-    ).select(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    # token array bound to a column first: _adjacent references its
+    # input three times (size + two slices), which re-ran the regexp
+    # tokenize 3x per row when handed the raw expression (r15)
+    return (
+        df.select(F.col(id_col), _tokens(F.col(text_col)).alias("_tk"))
+        .select(F.col(id_col), F.explode(_adjacent(F.col("_tk"))).alias("p"))
+        .select(id_col, F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+    )
 
 
 def bigram_logprob_scores(
@@ -64,8 +68,14 @@ def bigram_logprob_scores(
 
     Scale: bigram model = one keyed aggregate (|bigram types| rows);
     left totals ride the same frame re-aggregated; the doc stream joins
-    on the (l, r) key — all keyed shuffles, V is a broadcast scalar."""
-    bg = doc_bigrams(df, id_col, text_col)
+    on the (l, r) key — all keyed shuffles, V is a broadcast scalar.
+
+    The bigram stream is materialized once (r15): it feeds the model
+    aggregate AND the scoring join, and left lazy each reference
+    re-tokenized the corpus."""
+    from magi_etl_spark.chkpt import materialize
+
+    bg = materialize(doc_bigrams(df, id_col, text_col))
     model = bg.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
     left_tot = model.groupBy("l").agg(F.sum("c_lr").alias("c_l"))
     v = df.select(
@@ -108,15 +118,19 @@ def top_ngrams(
     window, no collect."""
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
-    toks = _tokens(F.col(text_col))
+    # token array bound to a column BEFORE the gram transform (r15):
+    # interpreted HOFs skip CSE, so slicing the tokenize expression
+    # inside the lambda re-split every document once per gram —
+    # measured ~6x of this query's wall at sf0.1
+    toks = F.col("_tk")
     size = F.size(toks)
     grams = F.transform(
         F.slice(toks, 1, F.greatest(size - F.lit(n - 1), F.lit(0))),
         lambda x, i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
     rows = df.select(
-        F.col(id_col), F.explode(grams).alias("ngram")
-    )
+        F.col(id_col), _tokens(F.col(text_col)).alias("_tk")
+    ).select(F.col(id_col), F.explode(grams).alias("ngram"))
     # two-stage aggregate instead of count_distinct: the (ngram, doc)
     # pre-aggregate map-side-combines within-document repetition (the
     # boilerplate case this operator exists for), so the wide shuffle
@@ -158,9 +172,18 @@ def kneser_ney_logprob_scores(
     Scale: identical shape to :func:`bigram_logprob_scores` — all model
     tables are bigram-type-sized keyed aggregates joined back on token
     keys; the type total rides as a broadcast 1-row frame; nothing
-    collects."""
-    bg = doc_bigrams(df, id_col, text_col)
-    model = bg.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
+    collects.
+
+    r15: the bigram stream and the bigram-type model are materialized
+    once — bg feeds the model and the scoring join, model feeds FOUR
+    aggregates/joins; left lazy each reference re-derived the corpus
+    tokenize (5 compiled corpus scans on q164)."""
+    from magi_etl_spark.chkpt import materialize
+
+    bg = materialize(doc_bigrams(df, id_col, text_col))
+    model = materialize(
+        bg.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_lr"))
+    )
     left = model.groupBy("l").agg(
         F.sum("c_lr").alias("c_l"), F.count(F.lit(1)).alias("n1p_l")
     )

@@ -27,6 +27,36 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 
+def _token_frame(
+    docs: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """``doc_id, _tk`` with the token ARRAY bound to a column.  The
+    gram transform below slices the token array inside a lambda;
+    interpreted HOFs skip common-subexpression elimination, so the
+    array must be a bound column — referencing the split EXPRESSION
+    inside the lambda re-tokenizes the document once per gram
+    (measured 8x slower at sf0.1)."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.filter(
+            F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
+            lambda t: t != "",
+        ).alias("_tk"),
+    )
+
+
+def _grams_of(col: str, k: int) -> "F.Column":
+    """Array of space-joined k-token grams over the bound token-array
+    column ``col``, in reading order (index i = 0-based first-token
+    position)."""
+    toks = F.col(col)
+    size = F.size(toks)
+    return F.transform(
+        F.slice(toks, 1, F.greatest(size - F.lit(k - 1), F.lit(0))),
+        lambda x, i: F.array_join(F.slice(toks, i + 1, k), " "),
+    )
+
+
 def token_sets(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
 ) -> DataFrame:
@@ -52,29 +82,17 @@ def shingle_sets(
     ``tok`` is the space-joined k-gram.  Shingle document frequencies
     are low (unlike word tokens, whose stopword postings explode any
     token-equality join), so shingle sets are the right element domain
-    for an exact similarity join at scale."""
-    from pyspark.sql import Window as PW
+    for an exact similarity join at scale.
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                lambda t: t != "",
-            )
-        ).alias("pos", "tok"),
-    )
-    byw = PW.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(byw) for i in range(1, k)]
-    return (
-        toks.select(
-            "doc_id",
-            F.concat_ws(" ", *leads).alias("tok"),
-            F.lead("tok", k - 1).over(byw).isNotNull().alias("_full"),
-        )
-        .where("_full")
-        .select("doc_id", "tok")
-        .distinct()
+    r15 optimization (guide §2.4): grams are assembled in array-land
+    (transform over the token array) and deduped per document with
+    ``array_distinct`` BEFORE the explode — the old shape paid a
+    per-document window (lead) shuffle to build grams and a corpus-wide
+    (doc, tok) distinct exchange to dedup them; this one is entirely
+    map-side.  Identical output rows."""
+    return _token_frame(docs, id_col, text_col).select(
+        "doc_id",
+        F.explode(F.array_distinct(_grams_of("_tk", k))).alias("tok"),
     )
 
 
@@ -87,29 +105,14 @@ def shingle_positions(
     """Positioned k-token shingles per document: ``doc_id, pos, tok``
     (0-based token position of the gram's first token) — the
     position-aware companion to :func:`shingle_sets` for run/overlap
-    diagnostics."""
-    from pyspark.sql import Window as PW
+    diagnostics.
 
-    toks = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), "[^a-z0-9]+"),
-                lambda t: t != "",
-            )
-        ).alias("pos", "tok"),
-    )
-    byw = PW.partitionBy("doc_id").orderBy("pos")
-    leads = [F.col("tok")] + [F.lead("tok", i).over(byw) for i in range(1, k)]
-    return (
-        toks.select(
-            "doc_id",
-            "pos",
-            F.concat_ws(" ", *leads).alias("tok"),
-            F.lead("tok", k - 1).over(byw).isNotNull().alias("_full"),
-        )
-        .where("_full")
-        .select("doc_id", "pos", "tok")
+    r15 optimization: positions ARE the gram-array indices, so the
+    whole frame is one posexplode over the array-land grams — the old
+    per-document window (lead) shuffle is gone.  Identical output."""
+    return _token_frame(docs, id_col, text_col).select(
+        "doc_id",
+        F.posexplode(_grams_of("_tk", k)).alias("pos", "tok"),
     )
 
 

@@ -1455,8 +1455,13 @@ def q215_weighted_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         weighted_jaccard_scores,
     )
 
+    from magi_etl_spark.chkpt import materialize
+
     docs = load_table(spark, sf_dir, "documents")
-    sets = shingle_sets(docs)
+    # one barrier feeds the df ladder, the weighting join AND the
+    # similarity join's input (r15: left lazy, the corpus tokenize
+    # compiled three times in this query body)
+    sets = materialize(shingle_sets(docs))
     dfq = sets.groupBy("tok").agg(F.count("*").alias("_df"))
     weighted = sets.join(dfq, "tok").select(
         "doc_id",

@@ -10,6 +10,12 @@ before a driver ever could.
 
 Usage:
     python tools/parity_sweep.py [--sf-dir DIR] [--scope registered|staged|all]
+                                 [--only qA,qB,...]
+
+``--only`` restricts the sweep to a comma-separated list of query names
+(substring prefix match on the qNN id) — the optimization-round loop
+re-verifies each touched query at every scale factor without paying for
+the full registry.
 """
 
 from __future__ import annotations
@@ -52,12 +58,15 @@ def _staged() -> dict[str, tuple]:
 def main() -> None:
     sf_dir = "/root/testdata/sf0.1"
     scope = "all"
+    only: list[str] | None = None
     argv = sys.argv[1:]
     for i, a in enumerate(argv):
         if a == "--sf-dir":
             sf_dir = argv[i + 1]
         elif a == "--scope":
             scope = argv[i + 1]
+        elif a == "--only":
+            only = [s.strip() for s in argv[i + 1].split(",") if s.strip()]
 
     from oracle_harness import compare, duckdb_connection
 
@@ -69,6 +78,12 @@ def main() -> None:
         todo.update({n: (QUERIES[n], ORACLE.get(n)) for n in QUERIES})
     if scope in ("staged", "all"):
         todo.update(_staged())
+    if only:
+        todo = {
+            n: v
+            for n, v in todo.items()
+            if any(n == o or n.startswith(o) for o in only)
+        }
 
     spark = get_spark(app_name="magi-parity-sweep")
     con = duckdb_connection(sf_dir)
