@@ -100,6 +100,7 @@ def bpe_train(
     df: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Learn ``n_merges`` BPE merges; returns the merge table
     ``(merge_rank, l, r, merged, pair_freq)`` — ``merge_rank`` is the
@@ -108,8 +109,26 @@ def bpe_train(
     so the table is fully deterministic.  Stops early if no pair is
     left (tiny corpora)."""
     spark = df.sparkSession
-    vocab = bpe_word_freqs(df, text_col).persist()
-    vocab.count()  # materialize the corpus pass once
+    if word_freqs is not None:
+        # prebuilt (already materialized by the caller) — see
+        # bpe_train_local's word_freqs note
+        base, own = word_freqs, False
+    else:
+        base, own = bpe_word_freqs(df, text_col).persist(), True
+        base.count()  # materialize the corpus pass once
+    # r15 optimization (guide §1.4/§5): the merge loop used to persist
+    # + count + unpersist the rewritten vocabulary EVERY round — three
+    # sequential jobs per merge, with the persisted frame re-serialized
+    # each time.  The rewrite chain is kept LAZY over the one persisted
+    # base instead: round i's pair-count plan is base -> i chained
+    # ``replace`` columns -> explode -> aggregate, so each round is ONE
+    # job (the 1-row argmax collect).  Re-running i cheap string
+    # rewrites per round costs O(n_merges * |V|) column work on the
+    # VOCABULARY frame (never the corpus), which is far below the two
+    # saved job launches + cache writes per round at any scale; the
+    # production path for large n_merges stays ``bpe_train_local``.
+    # Same argmax, same tie-break, identical merge table.
+    vocab = base
     merges: list[tuple[int, str, str, str, int]] = []
     for i in range(1, n_merges + 1):
         best = (
@@ -122,11 +141,9 @@ def bpe_train(
             break
         l, r, cnt = best[0]["l"], best[0]["r"], int(best[0]["cnt"])
         merges.append((i, l, r, l + r, cnt))
-        nxt = _merge_once(vocab, l, r).persist()
-        nxt.count()
-        vocab.unpersist(blocking=False)
-        vocab = nxt
-    vocab.unpersist(blocking=False)
+        vocab = _merge_once(vocab, l, r)
+    if own:
+        base.unpersist(blocking=False)
     return spark.createDataFrame(
         merges, "merge_rank int, l string, r string, merged string, pair_freq bigint"
     )
@@ -153,6 +170,7 @@ def bpe_train_local(
     n_merges: int = 10,
     text_col: str = "text",
     max_vocab_rows: int = 50_000_000,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """``bpe_train`` with a DRIVER-SIDE merge loop — the production
     shape for real vocab sizes (r5 VERDICT item 5).
@@ -182,7 +200,12 @@ def bpe_train_local(
     from collections import Counter, defaultdict
 
     spark = df.sparkSession
-    base = bpe_word_freqs(df, text_col)
+    # ``word_freqs``: an optional PREBUILT (word, freq, sym) vocabulary
+    # (r15 optimization) — consumers that also need the vocabulary for
+    # segmentation (encode/segment paths) materialize it once and pass
+    # it in, so the guard count + collect below read the barrier
+    # instead of re-running the corpus scan per use
+    base = word_freqs if word_freqs is not None else bpe_word_freqs(df, text_col)
     n_vocab = base.count()
     if n_vocab > max_vocab_rows:
         raise ValueError(
@@ -242,7 +265,11 @@ def bpe_apply(
 
 
 def _train(
-    df: DataFrame, n_merges: int, text_col: str, trainer: str
+    df: DataFrame,
+    n_merges: int,
+    text_col: str,
+    trainer: str,
+    word_freqs: DataFrame | None = None,
 ) -> DataFrame:
     """Dispatch to a merge-table trainer.  ``local`` (the default for
     the consumers below) is the production shape — 2 Spark jobs total;
@@ -251,9 +278,9 @@ def _train(
     (pinned by tests/test_bpe.py on the fixture AND sf corpora), so
     downstream segmentation/encoding is trainer-agnostic."""
     if trainer == "local":
-        return bpe_train_local(df, n_merges, text_col)
+        return bpe_train_local(df, n_merges, text_col, word_freqs=word_freqs)
     if trainer == "distributed":
-        return bpe_train(df, n_merges, text_col)
+        return bpe_train(df, n_merges, text_col, word_freqs=word_freqs)
     raise ValueError(f"unknown trainer {trainer!r}")
 
 
@@ -268,9 +295,14 @@ def bpe_train_and_segment(
     vocabulary internally; segmentation reuses the same single corpus
     pass.  ``trainer="local"`` (default) trains driver-side in 2 Spark
     jobs; the merge table is identical to the distributed loop's."""
-    merge_rows = _train(df, n_merges, text_col, trainer).collect()
-    vocab = bpe_word_freqs(df, text_col)
-    seg = bpe_apply(vocab, [(m["l"], m["r"]) for m in merge_rows])
+    from magi_etl_spark.chkpt import materialize
+
+    # ONE materialized corpus pass shared by train and apply (r15 —
+    # left lazy, the train guard/collect and the segmentation each
+    # re-ran the corpus word count)
+    wf = materialize(bpe_word_freqs(df, text_col))
+    merge_rows = _train(df, n_merges, text_col, trainer, word_freqs=wf).collect()
+    seg = bpe_apply(wf, [(m["l"], m["r"]) for m in merge_rows])
     return seg.select("word", "freq", "segmented")
 
 
@@ -323,9 +355,17 @@ def bpe_encode_docs(
     single-partition ``dense_rank`` window is safe ONLY because the
     symbol table is |alphabet|+|merges| rows; corpus-sized frames must
     use the range-partitioned prefix-sum rank instead."""
-    merges = _train(df, n_merges, text_col, trainer)
+    from magi_etl_spark.chkpt import materialize
+
+    # ONE materialized corpus word-count pass (r15): it feeds the train
+    # guard + collect, the segmentation apply, AND (via the segmented
+    # vocab) the symbol table and the encode join — left lazy each of
+    # those re-ran the corpus explode + aggregate (4 compiled corpus
+    # scans on q122)
+    wf = materialize(bpe_word_freqs(df, text_col))
+    merges = _train(df, n_merges, text_col, trainer, word_freqs=wf)
     merge_list = [(m["l"], m["r"]) for m in merges.collect()]
-    vocab = bpe_apply(bpe_word_freqs(df, text_col), merge_list)
+    vocab = bpe_apply(wf, merge_list)
     symtab = bpe_symbol_vocab(vocab)
     seg = vocab.select("word", _syms(F.col("sym")).alias("word_syms"))
     toks = df.select(

@@ -65,24 +65,19 @@ def connected_components(
         # in ONE shuffle join + ONE aggregation per round.  Pointer
         # jumping halves the remaining distance to the component minimum
         # each round — convergence in O(log diameter), not O(diameter).
-        # The pointer edge (v, label[v]) used to be UNIONED with sym
-        # before the join, which hid sym's cached partitioning behind
-        # the union and re-exchanged the edge list every round.  Joining
-        # the two streams separately keeps the sym side exchange-free
-        # (only the vertex-scale pointer/label frames shuffle), and the
-        # unioned join outputs feed one aggregation — same rows, same
-        # integer min.
-        labelmap = labels.select(
-            F.col("v").alias("n"), F.col("label").alias("n_label")
-        )
-        via_edges = sym.join(labelmap, "n").select("v", "n_label")
-        via_pointer = (
-            labels.select("v", F.col("label").alias("n"))
-            .join(labelmap, "n")
-            .select("v", "n_label")
-        )
+        # (r15 measured: splitting the pointer edge into its own
+        # vertex-scale join — hoping to keep the persisted sym side
+        # exchange-free — was tried and REVERTED: sym carries no hash
+        # partitioning on the join key, so the split saved no exchange
+        # and the extra join per round cost ~35% on the dbscan path.)
+        contrib = sym.union(labels.select("v", F.col("label").alias("n")))
         new = (
-            via_edges.union(via_pointer)
+            contrib.join(
+                labels.select(
+                    F.col("v").alias("n"), F.col("label").alias("n_label")
+                ),
+                "n",
+            )
             .groupBy("v")
             .agg(F.min("n_label").alias("min_label"))
         )

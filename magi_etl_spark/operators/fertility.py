@@ -41,11 +41,15 @@ def tokenizer_fertility(
     chars_per_token)`` per group under a fresh ``n_merges``-merge BPE
     model trained on the whole corpus: ``fertility = tokens/word``,
     ``chars_per_token = chars/token``, both rounded to 6."""
-    merge_rows = bpe_train_local(df, n_merges, text_col).collect()
-    vocab = bpe_apply(
-        bpe_word_freqs(df, text_col),
-        [(m["l"], m["r"]) for m in merge_rows],
-    )
+    from magi_etl_spark.chkpt import materialize
+
+    # ONE materialized corpus word-count pass shared by the train
+    # guard/collect and the segmentation (r15 — the bpe.py idiom)
+    wf = materialize(bpe_word_freqs(df, text_col))
+    merge_rows = bpe_train_local(
+        df, n_merges, text_col, word_freqs=wf
+    ).collect()
+    vocab = bpe_apply(wf, [(m["l"], m["r"]) for m in merge_rows])
     seg = vocab.select(
         "word", F.size(_syms(F.col("sym"))).alias("n_sym")
     )
