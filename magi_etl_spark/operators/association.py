@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from magi_etl_spark.chkpt import materialize
+
 
 def copurchase_pairs(
     df: DataFrame,
@@ -44,6 +46,12 @@ def copurchase_pairs(
         baskets = baskets.join(
             sizes.filter(F.col("_sz") <= max_basket).select("_basket"), "_basket"
         )
+    # r15 (guide §1.4/§5): the deduped basket frame feeds FIVE
+    # downstream references (both pair-join sides, both per-item count
+    # joins, the basket total) — left lazy each reference compiled its
+    # own corpus scan + distinct exchange (5 live scans in the audit).
+    # One barrier makes the distinct pass run once.
+    baskets = materialize(baskets)
     a = baskets.select("_basket", F.col("_item").alias("item_a"))
     b = baskets.select("_basket", F.col("_item").alias("item_b"))
     co = (
@@ -103,7 +111,11 @@ def frequent_triples(
         .filter(F.col("_n") >= min_support)
         .select("_item")
     )
-    pruned = baskets.join(frequent, "_item")
+    # r15 (guide §1.4/§5): the pruned basket frame is the input to all
+    # THREE self-join sides — left lazy each side compiled its own copy
+    # of (corpus distinct + frequent-item agg + prune join): 6 live
+    # corpus scans in the audit.  One barrier runs the prune once.
+    pruned = materialize(baskets.join(frequent, "_item"))
     a = pruned.select("_basket", F.col("_item").alias("item_a"))
     b = pruned.select("_basket", F.col("_item").alias("item_b"))
     c = pruned.select("_basket", F.col("_item").alias("item_c"))

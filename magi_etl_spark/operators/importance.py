@@ -83,7 +83,12 @@ def dsir_scores(
     # outer join over the bucket domain: absent buckets get count 0
     spark = raw.sparkSession
     domain = spark.range(n_buckets).select(F.col("id").cast("int").alias("bucket"))
-    ratio = (
+    # r15 (guide §1.4/§5): the n_buckets-row ratio table feeds BOTH the
+    # total aggregate and the per-bucket weight projection — left lazy
+    # each reference compiled its own copy of the two corpus histogram
+    # passes (5 live corpus scans in the audit).  One barrier on this
+    # tiny frame runs each histogram once.
+    ratio = materialize(
         domain.join(t, "bucket", "left")
         .join(r, "bucket", "left")
         .select(

@@ -195,14 +195,51 @@ _PRIORITY: list[str] = [
     "q160_personalized_pagerank",
     "q157_revenue_concentration",
     "q175_curation_manifest",
-    # Oldest-verified-first tail refresh (rule 1 fill, 39 slots,
-    # computed from the union of CORRECTNESS rows at r14 close; ties in
-    # registration order): the seven r9-era rows (q203 displaced from
-    # the r14 window by the q245 rule-2 re-entry, then q220-q225), then
-    # the enumerated r10-era band.  q22 q26 q57 q98 q104 (displaced by
-    # the five scan-audit re-entries above), q106 q115 q132 q136 q204
-    # q226 and the rest of the r10-era tail displace to r16 (enumerated
-    # in COVERAGE.md "Planned r16 window").
+    # Rule-2 re-entries, OPTIMIZATION-round batch: the r15 optimization
+    # sweep edited operator modules (bpe/fertility, ngram_lm,
+    # importance, setjoin, dimjoin, negatives, selection, multimodal,
+    # association — plus the chkpt barrier module those now import), so
+    # every tail dependent with a pre-r15 green row re-enters
+    # (tests/test_gate_window.py's AST-fingerprint rule; each was
+    # re-verified vs DuckDB at sf0.01 AND sf0.1 in-session before
+    # landing).  24 slots in registration order, displacing the
+    # corresponding tail of the planned fill to r16 (COVERAGE.md
+    # "Planned r16 window", updated this round).
+    "q117_bpe_merges",
+    "q118_bpe_segment",
+    "q119_bigram_logprob",
+    "q120_top_ngrams",
+    "q122_bpe_encode_docs",
+    "q123_multimodal_features",
+    "q124_audio_features",
+    "q127_dsir_importance",
+    "q128_ngram_novelty",
+    "q129_duplicated_spans",
+    "q132_tokenize_and_pack",
+    "q142_copurchase_lift",
+    "q150_image_phash",
+    "q151_image_near_dup",
+    "q163_frequent_triples",
+    "q164_kneser_ney",
+    "q176_tokenizer_fertility",
+    "q178_span_removal",
+    "q195_similarity_join",
+    "q198_asof_enrichment",
+    "q210_common_runs",
+    "q211_negative_edges",
+    "q215_weighted_jaccard",
+    "q233_exact_quantiles",
+    # Oldest-verified-first tail refresh (rule 1 fill, 15 remaining
+    # slots after the 24 optimization re-entries above; computed from
+    # the union of CORRECTNESS rows at r14 close; ties in registration
+    # order): the seven r9-era rows (q203 displaced from the r14 window
+    # by the q245 rule-2 re-entry, then q220-q225), then the front of
+    # the enumerated r10-era band.  q39 q42 q40 q30 q31 q77 q05 q06
+    # q08 q09 q10 q11 q12 q13 q14 q46 q18 q27 q44 q41 q86 q28 q20 q21
+    # (displaced by the optimization re-entries) plus q22 q26 q57 q98
+    # q104 q106 q115 q132 q136 q204 q226 and the rest of the r10-era
+    # tail displace to r16 (enumerated in COVERAGE.md "Planned r16
+    # window").
     "q203_lorenz_points",
     "q220_kcenter_coreset",
     "q221_label_propagation",
@@ -218,30 +255,6 @@ _PRIORITY: list[str] = [
     "q36_rollup",
     "q37_pivot",
     "q38_srp_lsh_buckets",
-    "q39_token_cosine_pairs",
-    "q42_window_benchmark",
-    "q40_corpus_pipeline",
-    "q30_metric_query_events",
-    "q31_metric_query_unnest",
-    "q77_cached_metric_query",
-    "q05_region_revenue",
-    "q06_semi_join",
-    "q08_full_outer_cast_keys",
-    "q09_top1_per_group",
-    "q10_topk_per_group",
-    "q11_sessionize",
-    "q12_conditional_agg",
-    "q13_distinct_derived_key",
-    "q14_json_extract",
-    "q46_above_avg_customers",
-    "q18_week_buckets",
-    "q27_embedding_topk",
-    "q44_lsh_blocked_embedding_dedup",
-    "q41_ivf_topk",
-    "q86_ivf_kmeans_topk",
-    "q28_embedding_neardup",
-    "q20_token_stats",
-    "q21_quality_scores",
 ]
 
 
