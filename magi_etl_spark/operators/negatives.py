@@ -116,9 +116,12 @@ def negative_edge_samples(
         .groupBy("src", "trial")
         .agg(F.min_by("dst", F.struct(rank.alias("_hp"), F.col("dst"))).alias("dst"))
     )
+    # r15 optimization (guide §2.4): no ``.distinct()`` on the anti-join
+    # side — anti-join semantics ignore build-side multiplicity, so the
+    # dedup was a pure extra edge-scale exchange + aggregate
     pos = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).distinct()
+    )
     return (
         cand.where(F.col("dst") != F.col("src"))
         .join(pos, ["src", "dst"], "left_anti")

@@ -1681,12 +1681,16 @@ def q211_negative_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # r15 optimization (guide §2.4): no ``.distinct()`` on the edge feed —
+    # the operator derives its own distinct src/dst vertex sets and its
+    # anti-join ignores positive-pair multiplicity, so deduping here was
+    # one whole extra edge-scale exchange + aggregate with zero effect on
+    # the sampled output
     edges = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
             F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst")
         )
-        .distinct()
     )
     return negative_edge_samples(edges, "src", "dst", n_trials=4)
 
